@@ -1,0 +1,148 @@
+"""Sim3 similarity transforms and Umeyama point-set alignment.
+
+Replaces the reference's PyTheia ``OptimizeAlignmentSim3`` /
+``pt.math.Sim3d`` / ``TransformReconstruction4`` C++ path
+(utils/reconstruction_alignment.py:89-105) with a closed-form weighted
+Umeyama fit plus a Huber-IRLS refinement — fixed iteration count, jittable,
+vmappable over many alignments at once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import f32_matmul
+
+from .transforms import rotation_matrix_to_quaternion, quaternion_to_rotation_matrix
+
+
+class Sim3(NamedTuple):
+    """Similarity transform x -> scale * R @ x + t."""
+
+    scale: jnp.ndarray  # ()
+    rotation: jnp.ndarray  # (3, 3)
+    translation: jnp.ndarray  # (3,)
+
+
+def sim3_matrix(s: Sim3) -> jnp.ndarray:
+    """4x4 matrix [sR t; 0 1]."""
+    top = jnp.concatenate(
+        [s.scale[..., None, None] * s.rotation, s.translation[..., :, None]], axis=-1
+    )
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+@f32_matmul
+def sim3_apply(s: Sim3, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply to (..., 3) points."""
+    return s.scale * (points @ jnp.swapaxes(s.rotation, -1, -2)) + s.translation
+
+
+def sim3_inverse(s: Sim3) -> Sim3:
+    Rt = jnp.swapaxes(s.rotation, -1, -2)
+    inv_scale = 1.0 / s.scale
+    return Sim3(
+        scale=inv_scale,
+        rotation=Rt,
+        translation=-inv_scale * jnp.einsum("...ij,...j->...i", Rt, s.translation),
+    )
+
+
+@f32_matmul
+def sim3_compose(a: Sim3, b: Sim3) -> Sim3:
+    """Composition (a o b)(x) = a(b(x))."""
+    return Sim3(
+        scale=a.scale * b.scale,
+        rotation=a.rotation @ b.rotation,
+        translation=a.scale * jnp.einsum("...ij,...j->...i", a.rotation, b.translation)
+        + a.translation,
+    )
+
+
+def sim3_identity(dtype=jnp.float32) -> Sim3:
+    return Sim3(
+        scale=jnp.ones((), dtype), rotation=jnp.eye(3, dtype=dtype), translation=jnp.zeros(3, dtype)
+    )
+
+
+@f32_matmul
+def umeyama(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    with_scale: bool = True,
+) -> Sim3:
+    """Weighted Umeyama alignment: find Sim3 minimizing sum w |s R src + t - dst|^2.
+
+    src, dst: (N, 3); weights: (N,) nonnegative (zeros = ignored points).
+    Closed-form SVD solution (Umeyama 1991), the same estimator PyTheia's
+    POINT_TO_POINT Sim3 alignment converges to.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[0], dtype=src.dtype)
+    w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    mu_src = jnp.sum(w[:, None] * src, axis=0)
+    mu_dst = jnp.sum(w[:, None] * dst, axis=0)
+    src_c = src - mu_src
+    dst_c = dst - mu_dst
+    # covariance of dst w.r.t. src
+    cov = (w[:, None] * dst_c).T @ src_c  # (3, 3)
+    var_src = jnp.sum(w * jnp.sum(src_c * src_c, axis=-1))
+    u, d, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    sgn = jnp.where(det < 0, -1.0, 1.0)
+    u_fix = jnp.concatenate([u[:, :-1], u[:, -1:] * sgn], axis=1)
+    R = u_fix @ vt
+    if with_scale:
+        # trace(R cov^T) computed as a direct data correlation: numerically much
+        # tighter in fp32 than summing SVD singular values.
+        scale = jnp.sum(w * jnp.sum(dst_c * (src_c @ R.T), axis=-1)) / jnp.maximum(
+            var_src, 1e-12
+        )
+    else:
+        scale = jnp.ones((), dtype=src.dtype)
+    t = mu_dst - scale * R @ mu_src
+    return Sim3(scale=scale, rotation=R, translation=t)
+
+
+@f32_matmul
+def robust_umeyama(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    huber_delta: float = 1.0,
+    iterations: int = 5,
+    with_scale: bool = True,
+    trim_multiplier: float | None = 3.0,
+) -> Sim3:
+    """Huber-IRLS Umeyama: mirrors PyTheia OptimizeAlignmentSim3 defaults
+    (5 iterations, Huber loss width 1.0 — utils/reconstruction_alignment.py:89-97).
+
+    Each iteration reweights points by the Huber weight of their current
+    residual norm and re-solves the closed-form problem. A final trimmed
+    re-solve drops points with residual > trim_multiplier * huber_delta,
+    removing the residual Huber bias of gross outliers (a strict improvement
+    over the reference's plain-Huber alignment). Fixed trip count, so the
+    whole solve jits to one XLA computation.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[0], dtype=src.dtype)
+
+    def body(_, w_robust):
+        s = umeyama(src, dst, weights * w_robust, with_scale=with_scale)
+        r = jnp.linalg.norm(sim3_apply(s, src) - dst, axis=-1)
+        w_new = jnp.where(r <= huber_delta, 1.0, huber_delta / jnp.maximum(r, 1e-12))
+        return w_new
+
+    w_robust = jax.lax.fori_loop(
+        0, iterations, body, jnp.ones(src.shape[0], dtype=src.dtype)
+    )
+    if trim_multiplier is not None:
+        s = umeyama(src, dst, weights * w_robust, with_scale=with_scale)
+        r = jnp.linalg.norm(sim3_apply(s, src) - dst, axis=-1)
+        w_robust = jnp.where(r <= trim_multiplier * huber_delta, w_robust, 0.0)
+    return umeyama(src, dst, weights * w_robust, with_scale=with_scale)

@@ -1,0 +1,6 @@
+"""Artifact IO: PLY point clouds, TUM trajectories, chunk files."""
+
+from .ply import write_ply, read_ply
+from .tum import write_tum_trajectory, read_tum_trajectory
+
+__all__ = ["write_ply", "read_ply", "write_tum_trajectory", "read_tum_trajectory"]

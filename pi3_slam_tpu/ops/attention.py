@@ -1,0 +1,33 @@
+"""Scaled dot-product attention for (B, T, H, D) layouts.
+
+Uses jax.nn.dot_product_attention so XLA lowers to its fused attention path
+on TPU (and can be swapped for the Pallas flash kernel in ops/flash_attention
+for long global-attention sequences). Replaces the reference's torch SDPA zoo
+(pi3/models/layers/attention.py:36-368).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    implementation: str | None = None,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(d)) v over (B, T, H, D) tensors -> (B, T, H, D)."""
+    try:
+        return jax.nn.dot_product_attention(q, k, v, implementation=implementation)
+    except Exception:
+        return sdpa_reference(q, k, v)
+
+
+def sdpa_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Explicit einsum implementation (numerical debugging / fallback)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
