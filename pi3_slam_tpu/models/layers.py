@@ -1,0 +1,101 @@
+"""Shared transformer building blocks as pure functions.
+
+One generic pre-norm block covers the reference's Block (dinov2) and
+BlockRope (pi3) variants: optional LayerScale, optional qk-norm, optional
+RoPE2D. Parameters are dicts of (in, out)-oriented kernels so conversion from
+torch Linear weights is a transpose.
+
+Reference: pi3/models/layers/block.py:259-335 (BlockRope),
+pi3/models/dinov2/layers (Block/Mlp/LayerScale), attention.py:238-345
+(AttentionRope/FlashAttentionRope).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import sdpa
+from ..ops.rope import rope_2d
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """LayerNorm over the last dim, computed in fp32 (torch autocast keeps
+    normalizations in fp32 under AMP)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def linear(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None) -> jnp.ndarray:
+    y = x @ kernel.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def mlp(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+    """fc1 -> exact-erf GELU -> fc2 (dinov2 Mlp)."""
+    h = linear(x, p["fc1_kernel"], p["fc1_bias"])
+    h = jax.nn.gelu(h, approximate=False)
+    return linear(h, p["fc2_kernel"], p["fc2_bias"])
+
+
+def attention(
+    x: jnp.ndarray,
+    p: Dict[str, Any],
+    num_heads: int,
+    positions: jnp.ndarray | None = None,
+    rope_base: float = 100.0,
+    qk_norm_eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Self-attention with optional qk LayerNorm and RoPE2D.
+
+    x: (B, T, C). Params may contain q_norm_scale/k_norm_scale for qk-norm.
+    """
+    b, t, c = x.shape
+    d = c // num_heads
+    qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if "q_norm_scale" in p:
+        q = layer_norm(q, p["q_norm_scale"], p["q_norm_bias"], qk_norm_eps)
+        k = layer_norm(k, p["k_norm_scale"], p["k_norm_bias"], qk_norm_eps)
+    if positions is not None:
+        q = rope_2d(q, positions, rope_base)
+        k = rope_2d(k, positions, rope_base)
+    out = sdpa(q, k, v).reshape(b, t, c)
+    return linear(out, p["proj_kernel"], p["proj_bias"])
+
+
+def block(
+    x: jnp.ndarray,
+    p: Dict[str, Any],
+    num_heads: int,
+    positions: jnp.ndarray | None = None,
+    rope_base: float = 100.0,
+    norm_eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Pre-norm transformer block: x + ls1*attn(norm1(x)); x + ls2*mlp(norm2(x)).
+
+    LayerScale applied iff 'ls1' in params; qk-norm iff 'q_norm_scale' in the
+    attn params; RoPE iff positions is not None.
+    """
+    h = attention(
+        layer_norm(x, p["norm1_scale"], p["norm1_bias"], norm_eps),
+        p,
+        num_heads,
+        positions=positions,
+        rope_base=rope_base,
+    )
+    if "ls1" in p:
+        h = h * p["ls1"].astype(h.dtype)
+    x = x + h
+    h = mlp(layer_norm(x, p["norm2_scale"], p["norm2_bias"], norm_eps), p)
+    if "ls2" in p:
+        h = h * p["ls2"].astype(h.dtype)
+    return x + h

@@ -21,8 +21,9 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def _cubic_kernel(x: np.ndarray, A: float = -0.75) -> np.ndarray:
-    """Cubic convolution kernel (Keys), torch's A=-0.75 variant."""
+def _cubic_kernel(x: np.ndarray, A: float) -> np.ndarray:
+    """Cubic convolution kernel (Keys). torch uses A=-0.75 for plain bicubic
+    and A=-0.5 (the PIL kernel) on its antialias path."""
     ax = np.abs(x)
     ax2 = ax * ax
     ax3 = ax2 * ax
@@ -35,38 +36,58 @@ def _cubic_kernel(x: np.ndarray, A: float = -0.75) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _bicubic_matrix(in_size: int, out_size: int, scale: float) -> np.ndarray:
-    """(out, in) dense interpolation matrix for one axis.
+def _bicubic_matrix(
+    in_size: int, out_size: int, scale: float | None = None, antialias: bool = False
+) -> np.ndarray:
+    """(out, in) dense interpolation matrix for one axis, matching torch
+    F.interpolate(mode='bicubic', align_corners=False).
 
-    Coordinate mapping: src = (dst + 0.5) / scale - 0.5 (torch
-    align_corners=False with explicit scale_factor). Taps are edge-clamped.
+    * plain path (antialias=False): A=-0.75 kernel, 4 taps around
+      src = (dst + 0.5) / scale - 0.5 (explicit scale — the DINOv2 offset
+      kludge) or (dst + 0.5) * in/out - 0.5 (size-based); out-of-range taps
+      clamp-accumulate onto the edge pixel.
+    * antialias path: torch's upsample_*_aa algorithm — A=-0.5 kernel
+      stretched by max(in/out, 1), taps clipped to the valid range and
+      weights renormalized over the clipped window.
     """
+    ratio = (1.0 / scale) if scale is not None else in_size / out_size
     W = np.zeros((out_size, in_size), dtype=np.float64)
-    for d in range(out_size):
-        src = (d + 0.5) / scale - 0.5
-        x0 = int(np.floor(src))
-        frac = src - x0
-        taps = np.array([x0 - 1, x0, x0 + 1, x0 + 2])
-        weights = _cubic_kernel(np.array([frac + 1, frac, frac - 1, frac - 2]))
-        for t, wgt in zip(taps, weights):
-            W[d, min(max(t, 0), in_size - 1)] += wgt
+    if antialias:
+        filt = max(ratio, 1.0)
+        support = 2.0 * filt
+        for d in range(out_size):
+            center = ratio * (d + 0.5)
+            xmin = max(0, int(center - support + 0.5))
+            xmax = min(in_size, int(center + support + 0.5))
+            taps = np.arange(xmin, xmax)
+            weights = _cubic_kernel((taps + 0.5 - center) / filt, A=-0.5)
+            W[d, taps] = weights / weights.sum()
+    else:
+        for d in range(out_size):
+            src = (d + 0.5) * ratio - 0.5
+            x0 = int(np.floor(src))
+            frac = src - x0
+            taps = np.array([x0 - 1, x0, x0 + 1, x0 + 2])
+            weights = _cubic_kernel(np.array([frac + 1, frac, frac - 1, frac - 2]), A=-0.75)
+            for t, wgt in zip(taps, weights):
+                W[d, min(max(t, 0), in_size - 1)] += wgt
     return W
 
 
 def interpolate_pos_embed(
     pos_embed: jnp.ndarray,
     grid_hw: tuple[int, int],
-    interpolate_offset: float = 0.1,
-    antialias: bool = False,
+    interpolate_offset: float = 0.0,
+    antialias: bool = True,
 ) -> jnp.ndarray:
     """Interpolate a square (M*M, C) patch pos-embed grid to (h0*w0, C).
 
-    Mirrors DINOv2 interpolate_pos_encoding: scale factors include the
-    historical +offset kludge. antialias=False only (the dinov2_vitl14_reg
-    config used by Pi3).
+    Mirrors DINOv2 interpolate_pos_encoding
+    (pi3/models/dinov2/models/vision_transformer.py:181-213). The *_reg
+    factories used by Pi3 set interpolate_antialias=True, offset=0.0
+    (hub/backbones.py:128-140) — those are the defaults here; the plain
+    (offset=0.1, antialias=False) variant is also supported.
     """
-    if antialias:
-        raise NotImplementedError("antialias bicubic not needed for Pi3's encoder config")
     n, c = pos_embed.shape
     m = int(round(n**0.5))
     assert m * m == n, "pos embed grid must be square"
@@ -74,13 +95,12 @@ def interpolate_pos_embed(
     if (h0, w0) == (m, m):
         return pos_embed
     if interpolate_offset:
-        sy = float(h0 + interpolate_offset) / m
-        sx = float(w0 + interpolate_offset) / m
+        sy: float | None = float(h0 + interpolate_offset) / m
+        sx: float | None = float(w0 + interpolate_offset) / m
     else:
-        sy = h0 / m
-        sx = w0 / m
-    Wy = jnp.asarray(_bicubic_matrix(m, h0, sy), dtype=jnp.float32)
-    Wx = jnp.asarray(_bicubic_matrix(m, w0, sx), dtype=jnp.float32)
+        sy = sx = None
+    Wy = jnp.asarray(_bicubic_matrix(m, h0, sy, antialias), dtype=jnp.float32)
+    Wx = jnp.asarray(_bicubic_matrix(m, w0, sx, antialias), dtype=jnp.float32)
     grid = pos_embed.astype(jnp.float32).reshape(m, m, c)
     out = jnp.einsum("ym,mnc,xn->yxc", Wy, grid, Wx)
     return out.reshape(h0 * w0, c).astype(pos_embed.dtype)

@@ -1,0 +1,328 @@
+"""Batched bundle adjustment: Huber-robust damped Gauss-Newton with a dense
+Schur complement on camera poses.
+
+TPU-native replacement for PyTheia's BundleAdjustReconstruction
+(utils/chunk_reconstruction.py:192-209: 10 iterations, Huber width 2.0,
+DENSE_SCHUR) and the pose-prior-constrained variant used in chunk alignment
+(utils/reconstruction_alignment.py:137-159: 50 iterations, Huber 3.0,
+orientation prior cov 2*I, position prior cov 25*I).
+
+Formulation
+-----------
+Cameras follow the PyTheia convention: orientation R_cw (world->camera
+rotation) and camera center c, so  x_cam = R_cw @ (X - c).  Pose updates are
+left-multiplied axis-angle increments R' = exp(w) R_cw, c' = c + dc; points
+update additively. Per-observation residual r = project(K, x_cam) - uv with
+IRLS Huber weights. The normal equations are solved by eliminating the (3x3
+block diagonal) point system and Cholesky-solving the (6N x 6N) camera Schur
+complement — the same structure DENSE_SCHUR uses, but built as one fused XLA
+program with segment-sum scatters instead of Ceres' sparse assembly.
+
+Everything is fixed-shape: observations are padded track-major arrays
+(T, M); invalid slots carry weight 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.transforms import skew, so3_exp, so3_log
+from ..utils.precision import f32_matmul
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle-adjustment problem.
+
+    N frames, T tracks, M observation slots per track.
+    """
+
+    rotations: jnp.ndarray  # (N, 3, 3) R_cw world->camera
+    centers: jnp.ndarray  # (N, 3) camera centers (world frame)
+    points: jnp.ndarray  # (T, 3) world points
+    intrinsics: jnp.ndarray  # (N, 4): fx, fy, cx, cy
+    obs_frame: jnp.ndarray  # (T, M) int32 frame index per observation
+    obs_uv: jnp.ndarray  # (T, M, 2) observed pixel coords
+    obs_valid: jnp.ndarray  # (T, M) float32 1/0 validity
+    track_valid: jnp.ndarray  # (T,) float32 1/0
+    # optional pose priors (zeros = no prior)
+    prior_rotations: jnp.ndarray  # (N, 3, 3)
+    prior_centers: jnp.ndarray  # (N, 3)
+    prior_rot_weight: jnp.ndarray  # (N,) 1/sigma^2
+    prior_pos_weight: jnp.ndarray  # (N,) 1/sigma^2
+
+
+def make_problem(
+    rotations,
+    centers,
+    points,
+    intrinsics,
+    obs_frame,
+    obs_uv,
+    obs_valid,
+    track_valid=None,
+    prior_rotations=None,
+    prior_centers=None,
+    prior_rot_weight=None,
+    prior_pos_weight=None,
+) -> BAProblem:
+    N = rotations.shape[0]
+    T = points.shape[0]
+    f32 = jnp.float32
+    return BAProblem(
+        rotations=jnp.asarray(rotations, f32),
+        centers=jnp.asarray(centers, f32),
+        points=jnp.asarray(points, f32),
+        intrinsics=jnp.asarray(intrinsics, f32),
+        obs_frame=jnp.asarray(obs_frame, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, f32),
+        obs_valid=jnp.asarray(obs_valid, f32),
+        track_valid=(
+            jnp.ones((T,), f32) if track_valid is None else jnp.asarray(track_valid, f32)
+        ),
+        prior_rotations=(
+            jnp.broadcast_to(jnp.eye(3, dtype=f32), (N, 3, 3))
+            if prior_rotations is None
+            else jnp.asarray(prior_rotations, f32)
+        ),
+        prior_centers=(
+            jnp.zeros((N, 3), f32) if prior_centers is None else jnp.asarray(prior_centers, f32)
+        ),
+        prior_rot_weight=(
+            jnp.zeros((N,), f32) if prior_rot_weight is None else jnp.asarray(prior_rot_weight, f32)
+        ),
+        prior_pos_weight=(
+            jnp.zeros((N,), f32) if prior_pos_weight is None else jnp.asarray(prior_pos_weight, f32)
+        ),
+    )
+
+
+def _project(rot, center, intr, X):
+    """x_cam = R (X - c); uv = K pi(x_cam). All per-observation (batched)."""
+    x_cam = jnp.einsum("...ij,...j->...i", rot, X - center)
+    z = x_cam[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    u = intr[..., 0] * x_cam[..., 0] / z_safe + intr[..., 2]
+    v = intr[..., 1] * x_cam[..., 1] / z_safe + intr[..., 3]
+    return jnp.stack([u, v], axis=-1), x_cam
+
+
+def reprojection_errors(p: BAProblem) -> jnp.ndarray:
+    """(T, M) pixel reprojection error norms (inf where invalid)."""
+    rot = p.rotations[p.obs_frame]  # (T, M, 3, 3)
+    cen = p.centers[p.obs_frame]
+    intr = p.intrinsics[p.obs_frame]
+    uv_hat, x_cam = _project(rot, cen, intr, p.points[:, None, :])
+    err = jnp.linalg.norm(uv_hat - p.obs_uv, axis=-1)
+    behind = x_cam[..., 2] <= 0
+    valid = (p.obs_valid > 0) & (p.track_valid[:, None] > 0) & ~behind
+    return jnp.where(valid, err, jnp.inf)
+
+
+def _robust_weights(r_norm, delta):
+    """Huber IRLS weight: 1 inside delta, delta/|r| outside."""
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
+
+
+def _huber_cost(r_norm, delta):
+    quad = 0.5 * r_norm**2
+    lin = delta * (r_norm - 0.5 * delta)
+    return jnp.where(r_norm <= delta, quad, lin)
+
+
+def _cost(p: BAProblem, huber_delta: float) -> jnp.ndarray:
+    rot = p.rotations[p.obs_frame]
+    cen = p.centers[p.obs_frame]
+    intr = p.intrinsics[p.obs_frame]
+    uv_hat, x_cam = _project(rot, cen, intr, p.points[:, None, :])
+    r = uv_hat - p.obs_uv
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    w_valid = p.obs_valid * p.track_valid[:, None] * (x_cam[..., 2] > 1e-6)
+    cost = jnp.sum(w_valid * _huber_cost(r_norm, huber_delta))
+    # prior terms
+    dr = jax.vmap(so3_log)(
+        jnp.einsum("nij,nkj->nik", p.rotations, p.prior_rotations)
+    )  # log(R R_prior^T)
+    dc = p.centers - p.prior_centers
+    cost = cost + 0.5 * jnp.sum(p.prior_rot_weight * jnp.sum(dr * dr, axis=-1))
+    cost = cost + 0.5 * jnp.sum(p.prior_pos_weight * jnp.sum(dc * dc, axis=-1))
+    return cost
+
+
+@f32_matmul
+def _gn_step(p: BAProblem, huber_delta: float, lm_lambda: jnp.ndarray, fixed_cameras: jnp.ndarray):
+    """One damped GN step. Returns (new_rotations, new_centers, new_points)."""
+    N = p.rotations.shape[0]
+    T, M = p.obs_frame.shape
+
+    rot = p.rotations[p.obs_frame]  # (T, M, 3, 3)
+    cen = p.centers[p.obs_frame]  # (T, M, 3)
+    intr = p.intrinsics[p.obs_frame]  # (T, M, 4)
+    X = p.points[:, None, :]  # (T, 1, 3)
+
+    uv_hat, x_cam = _project(rot, cen, intr, X)
+    r = uv_hat - p.obs_uv  # (T, M, 2)
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    w = (
+        p.obs_valid
+        * p.track_valid[:, None]
+        * (x_cam[..., 2] > 1e-6)
+        * _robust_weights(r_norm, huber_delta)
+    )  # (T, M)
+
+    # projection jacobian d uv / d x_cam : (T, M, 2, 3)
+    z = jnp.where(jnp.abs(x_cam[..., 2]) < 1e-8, 1e-8, x_cam[..., 2])
+    fx = intr[..., 0]
+    fy = intr[..., 1]
+    zero = jnp.zeros_like(z)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([fx / z, zero, -fx * x_cam[..., 0] / (z * z)], axis=-1),
+            jnp.stack([zero, fy / z, -fy * x_cam[..., 1] / (z * z)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    # d x_cam / d (w, dc, dX):  -[x_cam]x | -R | R
+    Jw = -skew(x_cam)  # (T, M, 3, 3)
+    Jc = jnp.concatenate([Jpi @ Jw, Jpi @ (-rot)], axis=-1)  # (T, M, 2, 6)
+    Jp = Jpi @ rot  # (T, M, 2, 3)
+
+    wJc = w[..., None, None] * Jc
+    # camera blocks, accumulated per frame
+    Hcc_obs = jnp.einsum("tmki,tmkj->tmij", wJc, Jc)  # (T, M, 6, 6)
+    bc_obs = -jnp.einsum("tmki,tmk->tmi", wJc, r)  # (T, M, 6)
+    flat_f = p.obs_frame.reshape(-1)
+    Hcc = jax.ops.segment_sum(Hcc_obs.reshape(-1, 6, 6), flat_f, num_segments=N)
+    bc = jax.ops.segment_sum(bc_obs.reshape(-1, 6), flat_f, num_segments=N)
+
+    # point blocks per track
+    wJp = w[..., None, None] * Jp
+    Hpp = jnp.einsum("tmki,tmkj->tij", wJp, Jp)  # (T, 3, 3)
+    bp = -jnp.einsum("tmki,tmk->ti", wJp, r)  # (T, 3)
+
+    # camera-point coupling per observation: (T, M, 6, 3)
+    Hcp = jnp.einsum("tmki,tmkj->tmij", wJc, Jp)
+
+    # pose priors -> camera diagonal blocks
+    dr_prior = jax.vmap(so3_log)(jnp.einsum("nij,nkj->nik", p.rotations, p.prior_rotations))
+    dc_prior = p.centers - p.prior_centers
+    eye3 = jnp.eye(3)
+    Hcc = Hcc.at[:, :3, :3].add(p.prior_rot_weight[:, None, None] * eye3)
+    Hcc = Hcc.at[:, 3:, 3:].add(p.prior_pos_weight[:, None, None] * eye3)
+    bc = bc.at[:, :3].add(-p.prior_rot_weight[:, None] * dr_prior)
+    bc = bc.at[:, 3:].add(-p.prior_pos_weight[:, None] * dc_prior)
+
+    # Levenberg-Marquardt damping (additive, scaled by diagonal magnitude)
+    diag_c = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+    Hcc = Hcc + jnp.eye(6) * (lm_lambda * (diag_c + 1e-6))[..., None, :] * jnp.eye(6)
+    diag_p = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp = Hpp + jnp.eye(3) * (lm_lambda * (diag_p + 1e-6))[..., None, :] * jnp.eye(3)
+
+    # guard: tracks with no valid observations get identity Hpp (delta stays 0)
+    track_has_obs = jnp.sum(w, axis=1) > 0
+    Hpp = jnp.where(track_has_obs[:, None, None], Hpp, jnp.eye(3))
+    Hpp_inv = jnp.linalg.inv(Hpp)  # (T, 3, 3)
+
+    # Schur complement on cameras: S = Hcc - sum_t Hcp Hpp^-1 Hpc
+    Y = jnp.einsum("tmij,tjk->tmik", Hcp, Hpp_inv)  # (T, M, 6, 3)
+    # pairwise frame couplings within each track
+    S_contrib = jnp.einsum("taij,tbkj->tabik", Y, Hcp)  # (T, M, M, 6, 6)
+    pair_idx = (p.obs_frame[:, :, None] * N + p.obs_frame[:, None, :]).reshape(-1)
+    S_flat = jax.ops.segment_sum(
+        S_contrib.reshape(-1, 6, 6), pair_idx, num_segments=N * N
+    )
+    S = Hcc[:, None] * 0.0 + 0.0  # placeholder shape (N, N, 6, 6) built below
+    S = -S_flat.reshape(N, N, 6, 6)
+    S = S.at[jnp.arange(N), jnp.arange(N)].add(Hcc)
+
+    b_schur = bc - jnp.einsum("tmij,tj->tmi", Y, bp).reshape(-1, 6) @ jnp.zeros((6, 6))  # dummy
+    # correct accumulation of Y @ bp per frame:
+    yb = jnp.einsum("tmij,tj->tmi", Y, bp)  # (T, M, 6)
+    b_schur = bc - jax.ops.segment_sum(yb.reshape(-1, 6), flat_f, num_segments=N)
+
+    # fixed cameras: identity rows/cols, zero rhs
+    fixc = fixed_cameras  # (N,) float 1 = fixed
+    keep = (1.0 - fixc)[:, None]
+    b_schur = b_schur * keep
+    mask_rc = keep[:, None, :, None] * keep[None, :, None, :]  # (N, N, 6, 6) via broadcast
+    S = S * mask_rc
+    S = S.at[jnp.arange(N), jnp.arange(N)].add(jnp.eye(6) * fixc[:, None, None])
+
+    # dense solve on the (6N, 6N) system
+    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+    delta_c = jnp.linalg.solve(S_dense, b_schur.reshape(-1)).reshape(N, 6)
+    delta_c = jnp.nan_to_num(delta_c)
+
+    # back-substitute points: dX = Hpp^-1 (bp - Hpc dc)
+    dc_per_obs = delta_c[p.obs_frame]  # (T, M, 6)
+    hpc_dc = jnp.einsum("tmij,tmi->tj", Hcp, dc_per_obs)  # (T, 3) sum over obs
+    delta_p = jnp.einsum("tij,tj->ti", Hpp_inv, bp - hpc_dc)
+    delta_p = jnp.nan_to_num(delta_p) * track_has_obs[:, None]
+
+    new_rot = jax.vmap(lambda wv, Rv: so3_exp(wv) @ Rv)(delta_c[:, :3], p.rotations)
+    new_cen = p.centers + delta_c[:, 3:]
+    new_pts = p.points + delta_p
+    return new_rot, new_cen, new_pts
+
+
+def bundle_adjust(
+    problem: BAProblem,
+    iterations: int = 10,
+    huber_delta: float = 2.0,
+    init_lambda: float = 1e-4,
+    fixed_cameras: jnp.ndarray | None = None,
+) -> BAProblem:
+    """Run LM-damped Gauss-Newton BA; returns the problem with updated
+    rotations/centers/points. Jit-friendly (fixed iteration count; step
+    acceptance via jnp.where)."""
+    N = problem.rotations.shape[0]
+    fixc = (
+        jnp.zeros((N,), jnp.float32) if fixed_cameras is None else jnp.asarray(fixed_cameras, jnp.float32)
+    )
+
+    def body(carry, _):
+        prob, lam, cost = carry
+        new_rot, new_cen, new_pts = _gn_step(prob, huber_delta, lam, fixc)
+        cand = prob._replace(rotations=new_rot, centers=new_cen, points=new_pts)
+        new_cost = _cost(cand, huber_delta)
+        accept = new_cost < cost
+        prob = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), cand, prob
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 10.0, 1e4))
+        return (prob, lam, cost), cost
+
+    init_cost = _cost(problem, huber_delta)
+    (out, _, _), _ = jax.lax.scan(
+        body, (problem, jnp.asarray(init_lambda), init_cost), None, length=iterations
+    )
+    return out
+
+
+def prune_outlier_tracks(
+    p: BAProblem, max_reproj_px: float = 2.0, min_tri_angle_deg: float = 0.25
+) -> jnp.ndarray:
+    """Mirror SetOutlierTracksToUnestimated (utils/chunk_reconstruction.py:218):
+    a track survives if its max reprojection error <= max_reproj_px AND the max
+    pairwise triangulation angle across its observations >= min_tri_angle_deg.
+
+    Returns updated track_valid (T,) float32.
+    """
+    err = reprojection_errors(p)  # (T, M), inf where invalid
+    valid = jnp.isfinite(err)
+    max_err = jnp.max(jnp.where(valid, err, 0.0), axis=1)
+    has_obs = jnp.any(valid, axis=1)
+
+    rays = p.points[:, None, :] - p.centers[p.obs_frame]  # (T, M, 3)
+    rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.einsum("tmi,tni->tmn", rays, rays)
+    pair_ok = valid[:, :, None] & valid[:, None, :]
+    cos_min = jnp.min(jnp.where(pair_ok, cosang, 1.0), axis=(1, 2))
+    max_angle = jnp.degrees(jnp.arccos(jnp.clip(cos_min, -1.0, 1.0)))
+
+    keep = has_obs & (max_err <= max_reproj_px) & (max_angle >= min_tri_angle_deg)
+    return p.track_valid * keep.astype(jnp.float32)

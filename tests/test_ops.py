@@ -102,11 +102,14 @@ def test_tokens_to_image_matches_pixel_shuffle(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
-def test_interpolate_pos_embed_matches_torch(rng):
+def test_interpolate_pos_embed_matches_torch_offset_mode(rng):
+    """Plain dinov2 config: offset=0.1, antialias=False, scale_factor call."""
     M, C = 37, 8
     pe = rng.normal(size=(M * M, C)).astype(np.float32)
     for h0, w0 in [(24, 31), (37, 37), (10, 47)]:
-        ours = np.asarray(interpolate_pos_embed(jnp.asarray(pe), (h0, w0)))
+        ours = np.asarray(
+            interpolate_pos_embed(jnp.asarray(pe), (h0, w0), interpolate_offset=0.1, antialias=False)
+        )
         pt = torch.from_numpy(pe).reshape(1, M, M, C).permute(0, 3, 1, 2)
         if (h0, w0) == (M, M):
             ref = pe
@@ -119,6 +122,24 @@ def test_interpolate_pos_embed_matches_torch(rng):
                 .reshape(h0 * w0, C)
                 .numpy()
             )
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_interpolate_pos_embed_matches_torch_reg_mode(rng):
+    """Pi3's encoder config (vitl14_reg): size-based, antialias=True."""
+    M, C = 37, 8
+    pe = rng.normal(size=(M * M, C)).astype(np.float32)
+    for h0, w0 in [(4, 4), (24, 31), (10, 47), (40, 45)]:
+        ours = np.asarray(
+            interpolate_pos_embed(jnp.asarray(pe), (h0, w0), interpolate_offset=0.0, antialias=True)
+        )
+        pt = torch.from_numpy(pe).reshape(1, M, M, C).permute(0, 3, 1, 2)
+        ref = (
+            F.interpolate(pt, size=(h0, w0), mode="bicubic", antialias=True)
+            .permute(0, 2, 3, 1)
+            .reshape(h0 * w0, C)
+            .numpy()
+        )
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
