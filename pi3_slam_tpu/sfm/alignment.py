@@ -1,0 +1,170 @@
+"""Chunk-to-chunk Sim3 alignment with pose-prior-constrained refinement.
+
+Replaces align_and_refine_reconstructions
+(utils/reconstruction_alignment.py:40-198):
+
+1. find tracks common to both chunks through their shared overlap frames —
+   the reference matches "by feature" (identical keypoint coords in the
+   same-named view); here overlap frames carry the same grid keypoints, so
+   common tracks are keyed by (frame name, keypoint pixel position).
+2. drop common points farther from the reference chunk's last camera than the
+   median distance (:78-86).
+3. Sim3 fit (Huber IRLS, width 1.0, 5 iterations — mirroring
+   OptimizeAlignmentSim3's configuration at :89-97).
+4. transform the query reconstruction.
+5. pose-prior BA on the query chunk: overlap views pulled toward the
+   reference poses with orientation cov 2*I / position cov 25*I
+   (:110-132), 50 iterations Huber 3.0 (:137-159), then outlier pruning
+   (3 px, 0.25 deg, :170).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.sim3 import Sim3, robust_umeyama, sim3_apply
+from .ba import prune_outlier_tracks
+from .reconstruction import ChunkReconstruction, _jit_bundle_adjust
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    sim3: Sim3
+    num_common_tracks: int
+    num_used_tracks: int
+    success: bool
+
+
+def create_view_graph_matches(chunk_size: int, overlap: int) -> List[Tuple[int, int]]:
+    """Frame-index pairs (prev_chunk_idx, cur_chunk_idx) for the overlap
+    (utils/reconstruction_alignment.py:16-37)."""
+    return [(chunk_size - overlap + i, i) for i in range(overlap)]
+
+
+def find_common_tracks(
+    ref: ChunkReconstruction,
+    query: ChunkReconstruction,
+    quantize_px: float = 0.25,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Match tracks owned by shared (same-named) frames at the same keypoint
+    position. Returns (ref_track_idx, query_track_idx) arrays."""
+    name_to_ref_frame = {n: i for i, n in enumerate(ref.frame_names)}
+    shared = [
+        (name_to_ref_frame[n], j)
+        for j, n in enumerate(query.frame_names)
+        if n in name_to_ref_frame
+    ]
+    if not shared:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    ref_ids: List[int] = []
+    query_ids: List[int] = []
+    for fr, fq in shared:
+        ref_rows = np.nonzero((ref.track_frame == fr) & (ref.track_valid > 0))[0]
+        q_rows = np.nonzero((query.track_frame == fq) & (query.track_valid > 0))[0]
+        key_ref = {
+            (round(float(u) / quantize_px), round(float(v) / quantize_px)): t
+            for t, (u, v) in zip(ref_rows, ref.track_uv[ref_rows])
+        }
+        for t, (u, v) in zip(q_rows, query.track_uv[q_rows]):
+            k = (round(float(u) / quantize_px), round(float(v) / quantize_px))
+            if k in key_ref:
+                ref_ids.append(int(key_ref[k]))
+                query_ids.append(int(t))
+    return np.asarray(ref_ids, np.int64), np.asarray(query_ids, np.int64)
+
+
+def apply_sim3_to_reconstruction(recon: ChunkReconstruction, s: Sim3) -> None:
+    """In-place TransformReconstruction4 equivalent: X' = sR X + t,
+    c' = sR c + t, R_cw' = R_cw R^T (projection-invariant)."""
+    R = np.asarray(s.rotation, np.float64)
+    t = np.asarray(s.translation, np.float64)
+    sc = float(s.scale)
+    recon.points = (sc * recon.points.astype(np.float64) @ R.T + t).astype(np.float32)
+    recon.centers = (sc * recon.centers.astype(np.float64) @ R.T + t).astype(np.float32)
+    recon.rotations = (recon.rotations.astype(np.float64) @ R.T).astype(np.float32)
+
+
+def align_chunks(
+    ref: ChunkReconstruction,
+    query: ChunkReconstruction,
+    huber_delta_sim3: float = 1.0,
+    sim3_iterations: int = 5,
+    refine: bool = True,
+    refine_iterations: int = 50,
+    refine_huber: float = 3.0,
+    orientation_prior_cov: float = 2.0,
+    position_prior_cov: float = 25.0,
+    prune_max_reproj_px: float = 3.0,
+    prune_min_tri_angle_deg: float = 0.25,
+    min_common_tracks: int = 4,
+) -> AlignmentResult:
+    """Align query chunk onto ref chunk in place."""
+    ref_ids, q_ids = find_common_tracks(ref, query)
+    n_common = ref_ids.size
+    if n_common < min_common_tracks:
+        return AlignmentResult(
+            sim3=Sim3(jnp.ones(()), jnp.eye(3), jnp.zeros(3)),
+            num_common_tracks=int(n_common),
+            num_used_tracks=0,
+            success=False,
+        )
+
+    dst = ref.points[ref_ids].astype(np.float64)
+    src = query.points[q_ids].astype(np.float64)
+
+    # median-distance filter w.r.t. the reference chunk's last camera
+    last_cam = ref.centers[-1].astype(np.float64)
+    d = np.linalg.norm(dst - last_cam, axis=-1)
+    keep = d <= np.median(d)
+    if keep.sum() >= min_common_tracks:
+        dst = dst[keep]
+        src = src[keep]
+
+    s = robust_umeyama(
+        jnp.asarray(src, jnp.float32),
+        jnp.asarray(dst, jnp.float32),
+        huber_delta=huber_delta_sim3,
+        iterations=sim3_iterations,
+    )
+    apply_sim3_to_reconstruction(query, s)
+
+    if refine:
+        # priors: overlap views of the query pulled toward ref's poses
+        n = query.num_frames
+        prior_R = query.rotations.copy()
+        prior_c = query.centers.copy()
+        rot_w = np.zeros(n, np.float32)
+        pos_w = np.zeros(n, np.float32)
+        name_to_ref = {nm: i for i, nm in enumerate(ref.frame_names)}
+        for j, nm in enumerate(query.frame_names):
+            i = name_to_ref.get(nm)
+            if i is not None:
+                prior_R[j] = ref.rotations[i]
+                prior_c[j] = ref.centers[i]
+                rot_w[j] = 1.0 / orientation_prior_cov
+                pos_w[j] = 1.0 / position_prior_cov
+        prob = query.to_problem(
+            priors=dict(
+                prior_rotations=prior_R,
+                prior_centers=prior_c,
+                prior_rot_weight=rot_w,
+                prior_pos_weight=pos_w,
+            )
+        )
+        prob = _jit_bundle_adjust(prob, refine_iterations, refine_huber)
+        prob = prob._replace(
+            track_valid=prune_outlier_tracks(prob, prune_max_reproj_px, prune_min_tri_angle_deg)
+        )
+        query.update_from_problem(prob)
+
+    return AlignmentResult(
+        sim3=s,
+        num_common_tracks=int(n_common),
+        num_used_tracks=int(src.shape[0]),
+        success=True,
+    )

@@ -217,29 +217,37 @@ def _gn_step(p: BAProblem, huber_delta: float, lm_lambda: jnp.ndarray, fixed_cam
 
     # Levenberg-Marquardt damping (additive, scaled by diagonal magnitude)
     diag_c = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
-    Hcc = Hcc + jnp.eye(6) * (lm_lambda * (diag_c + 1e-6))[..., None, :] * jnp.eye(6)
+    Hcc = Hcc + jax.vmap(jnp.diag)(lm_lambda * (diag_c + 1e-6))
     diag_p = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
-    Hpp = Hpp + jnp.eye(3) * (lm_lambda * (diag_p + 1e-6))[..., None, :] * jnp.eye(3)
+    Hpp = Hpp + jax.vmap(jnp.diag)(lm_lambda * (diag_p + 1e-6))
 
     # guard: tracks with no valid observations get identity Hpp (delta stays 0)
     track_has_obs = jnp.sum(w, axis=1) > 0
     Hpp = jnp.where(track_has_obs[:, None, None], Hpp, jnp.eye(3))
     Hpp_inv = jnp.linalg.inv(Hpp)  # (T, 3, 3)
 
-    # Schur complement on cameras: S = Hcc - sum_t Hcp Hpp^-1 Hpc
+    # Schur complement on cameras: S = Hcc - sum_t Hcp Hpp^-1 Hpc.
+    # Accumulated with a scan over the first observation slot so the pairwise
+    # coupling tensor is never materialized at (T, M, M, 6, 6).
     Y = jnp.einsum("tmij,tjk->tmik", Hcp, Hpp_inv)  # (T, M, 6, 3)
-    # pairwise frame couplings within each track
-    S_contrib = jnp.einsum("taij,tbkj->tabik", Y, Hcp)  # (T, M, M, 6, 6)
-    pair_idx = (p.obs_frame[:, :, None] * N + p.obs_frame[:, None, :]).reshape(-1)
-    S_flat = jax.ops.segment_sum(
-        S_contrib.reshape(-1, 6, 6), pair_idx, num_segments=N * N
+
+    def schur_slot(S_acc, slot):
+        Ym1, f1 = slot  # (T, 6, 3), (T,)
+        contrib = jnp.einsum("tij,tmkj->tmik", Ym1, Hcp)  # (T, M, 6, 6)
+        pair_idx = (f1[:, None] * N + p.obs_frame).reshape(-1)
+        S_acc = S_acc + jax.ops.segment_sum(
+            contrib.reshape(-1, 6, 6), pair_idx, num_segments=N * N
+        )
+        return S_acc, None
+
+    S_flat, _ = jax.lax.scan(
+        schur_slot,
+        jnp.zeros((N * N, 6, 6)),
+        (Y.transpose(1, 0, 2, 3), p.obs_frame.T),
     )
-    S = Hcc[:, None] * 0.0 + 0.0  # placeholder shape (N, N, 6, 6) built below
     S = -S_flat.reshape(N, N, 6, 6)
     S = S.at[jnp.arange(N), jnp.arange(N)].add(Hcc)
 
-    b_schur = bc - jnp.einsum("tmij,tj->tmi", Y, bp).reshape(-1, 6) @ jnp.zeros((6, 6))  # dummy
-    # correct accumulation of Y @ bp per frame:
     yb = jnp.einsum("tmij,tj->tmi", Y, bp)  # (T, M, 6)
     b_schur = bc - jax.ops.segment_sum(yb.reshape(-1, 6), flat_f, num_segments=N)
 
