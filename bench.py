@@ -1,0 +1,74 @@
+"""Benchmark: Pi3 chunk-inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the hot loop of the reference pipeline — Pi3 forward over a full
+chunk at the eval resolution (pixel budget 127500 => 308x406 for 4:3 input,
+the 7-Scenes configuration; SURVEY §2.5, utils/image_utils.py:13-50) — in
+frames/sec/chip. bf16 trunk, fp32 heads, blockwise global attention.
+
+vs_baseline: the reference publishes no FPS numbers (only APE); its pipeline
+prints per-chunk FPS at runtime. We normalize against a nominal 15 frames/sec
+reference-GPU steady-state chunk-creation rate so the ratio is comparable
+across rounds; the real accuracy gate (7-Scenes APE <= 0.07 m) needs dataset
++ checkpoint access that this environment does not have.
+"""
+
+import json
+import time
+
+import numpy as np
+
+CHUNK_FRAMES = 100
+HEIGHT, WIDTH = 308, 406
+REFERENCE_FPS = 15.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
+
+    cfg = Pi3Config()
+    params = init_pi3_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, CHUNK_FRAMES, 3, HEIGHT, WIDTH)).astype(
+            np.float32
+        )
+    )
+
+    fwd = jax.jit(lambda p, x: pi3_forward(p, x, cfg, compute_dtype=jnp.bfloat16))
+
+    def drain(out):
+        # block_until_ready is a no-op on the axon remote backend; force a
+        # scalar device->host transfer to drain the dispatch queue.
+        return float(jnp.sum(out["conf"]))
+
+    # warmup / compile
+    drain(fwd(params, imgs))
+
+    iters = 2
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fwd(params, imgs)
+    drain(out)
+    dt = (time.perf_counter() - t0) / iters
+    fps = CHUNK_FRAMES / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pi3_chunk_inference_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": f"frames/sec ({CHUNK_FRAMES}f chunk @ {HEIGHT}x{WIDTH}, bf16)",
+                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -295,8 +295,8 @@ def init_pi3_params(key, cfg: Pi3Config = Pi3Config(), dtype=jnp.float32) -> Dic
         return (jax.random.truncated_normal(k, -2, 2, shape) * std).astype(dtype)
 
     dec_pairs = cfg.dec_depth // 2
-    even = _init_block_stack(keys[0], dec_pairs, C, cfg.mlp_ratio, True, 0.01, dtype)
-    odd = _init_block_stack(keys[1], dec_pairs, C, cfg.mlp_ratio, True, 0.01, dtype)
+    even = _init_block_stack(keys[0], dec_pairs, C, cfg.mlp_ratio, True, 0.01, dtype, cfg.dec_num_heads)
+    odd = _init_block_stack(keys[1], dec_pairs, C, cfg.mlp_ratio, True, 0.01, dtype, cfg.dec_num_heads)
 
     def camera_head(key):
         ks = jax.random.split(key, 10)
@@ -332,20 +332,20 @@ def init_pi3_params(key, cfg: Pi3Config = Pi3Config(), dtype=jnp.float32) -> Dic
             "odd_blocks": odd,
         },
         "point_decoder": _init_head_decoder(
-            keys[4], 2 * C, cfg.head_dim, 1024, cfg.head_depth, cfg.mlp_ratio, dtype
+            keys[4], 2 * C, cfg.head_dim, cfg.head_dim, cfg.head_depth, cfg.mlp_ratio, dtype
         ),
         "conf_decoder": _init_head_decoder(
-            keys[5], 2 * C, cfg.head_dim, 1024, cfg.head_depth, cfg.mlp_ratio, dtype
+            keys[5], 2 * C, cfg.head_dim, cfg.head_dim, cfg.head_depth, cfg.mlp_ratio, dtype
         ),
         "camera_decoder": _init_head_decoder(
             keys[6], 2 * C, cfg.head_dim, cfg.camera_dim, cfg.head_depth, cfg.mlp_ratio, dtype
         ),
         "point_head": {
-            "kernel": trunc(keys[7], (1024, 3 * psz * psz)),
+            "kernel": trunc(keys[7], (cfg.head_dim, 3 * psz * psz)),
             "bias": jnp.zeros((3 * psz * psz,), dtype),
         },
         "conf_head": {
-            "kernel": trunc(keys[8], (1024, psz * psz)),
+            "kernel": trunc(keys[8], (cfg.head_dim, psz * psz)),
             "bias": jnp.zeros((psz * psz,), dtype),
         },
         "camera_head": camera_head(keys[9]),

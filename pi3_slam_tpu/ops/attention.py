@@ -11,6 +11,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Sequences at least this long route through blockwise online-softmax
+# attention: O(T * block) memory instead of the O(T^2) logits tensor, which
+# for a 100-frame chunk's global blocks (~65k tokens) would be hundreds of GB.
+LONG_SEQUENCE_THRESHOLD = 4096
+
 
 def sdpa(
     q: jnp.ndarray,
@@ -19,6 +24,10 @@ def sdpa(
     implementation: str | None = None,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v over (B, T, H, D) tensors -> (B, T, H, D)."""
+    if q.shape[1] >= LONG_SEQUENCE_THRESHOLD:
+        from .flash_attention import blockwise_attention
+
+        return blockwise_attention(q, k, v)
     try:
         return jax.nn.dot_product_attention(q, k, v, implementation=implementation)
     except Exception:
