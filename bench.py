@@ -31,8 +31,9 @@ def main():
     from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
 
     cfg = Pi3Config()
-    params = init_pi3_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
+
+    params = jax.device_put(cast_tree_bf16_host(init_pi3_params(0, cfg)))
 
     imgs = jnp.asarray(
         np.random.default_rng(0).uniform(size=(1, CHUNK_FRAMES, 3, HEIGHT, WIDTH)).astype(

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""CLI: create offline chunks (Pi3 inference + keypoints + metric scale).
+
+Drop-in equivalent of the reference create_offline_chunks.py (same flag
+names); --model-path takes a converted .npz weight file instead of an HF hub
+id (this environment has no network egress — see tools/convert_checkpoint.py).
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+
+def collect_image_paths(images_arg: str, skip_start: int = 0, skip_end: int = 0):
+    """Folder, glob pattern, or text file listing image paths
+    (create_offline_chunks.py:27-41 of the reference)."""
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".webp")
+    if os.path.isdir(images_arg):
+        paths = sorted(
+            p for p in glob.glob(os.path.join(images_arg, "*")) if p.lower().endswith(exts)
+        )
+    elif os.path.isfile(images_arg) and images_arg.endswith(".txt"):
+        with open(images_arg) as f:
+            paths = [l.strip() for l in f if l.strip()]
+    else:
+        paths = sorted(glob.glob(images_arg))
+    if skip_end:
+        paths = paths[skip_start : len(paths) - skip_end]
+    elif skip_start:
+        paths = paths[skip_start:]
+    return paths
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--images", required=True,
+                        help="Folder with images, a glob pattern, or a text file listing image paths")
+    parser.add_argument("--model-path", default=None,
+                        help="Converted Pi3 weights (.npz from tools/convert_checkpoint.py); omit for random init")
+    parser.add_argument("--output", default="output_chunks", help="Output directory")
+    parser.add_argument("--chunk-length", type=int, default=50)
+    parser.add_argument("--overlap", type=int, default=5)
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--cam-dist-path", type=str, default=None,
+                        help="Camera calibration JSON for undistortion")
+    parser.add_argument("--metric-depth", action="store_true", default=True,
+                        help="Enable MoGe metric scaling")
+    parser.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
+    parser.add_argument("--moge-path", default=None, help="Converted MoGe weights (.npz)")
+    parser.add_argument("--keypoints", default="grid", choices=["aliked", "grid", "none"])
+    parser.add_argument("--max-kp", type=int, default=200)
+    parser.add_argument("--estimate-intrinsics", action="store_true", default=True)
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--skip-start", type=int, default=0)
+    parser.add_argument("--skip-end", type=int, default=0)
+    parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
+    parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = parser.parse_args(argv)
+
+    paths = collect_image_paths(args.images, args.skip_start, args.skip_end)
+    if not paths:
+        print(f"error: no images found for {args.images}", file=sys.stderr)
+        return 2
+    print(f"{len(paths)} images")
+
+    from pi3_slam_tpu.slam import OfflineChunkCreator, OfflineCreatorConfig
+
+    config = OfflineCreatorConfig(
+        output_dir=args.output,
+        chunk_length=args.chunk_length,
+        overlap=args.overlap,
+        pixel_limit=args.pixel_limit,
+        checkpoint_path=args.model_path,
+        compute_dtype=args.compute_dtype,
+        use_metric_depth=args.metric_depth,
+        moge_checkpoint_path=args.moge_path,
+        keypoint_type=args.keypoints,
+        max_keypoints=args.max_kp,
+        estimate_camera_params=args.estimate_intrinsics,
+        cam_dist_path=args.cam_dist_path,
+        num_loader_workers=args.num_workers,
+    )
+    creator = OfflineChunkCreator(config)
+    creator.process_and_save(paths)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

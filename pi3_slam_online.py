@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""CLI: online streaming SLAM (chunked inference + incremental alignment).
+
+Equivalent of the reference pi3_slam_online_modular.py: image folder or video
+input, pipelined chunk processing, PLY + TUM outputs, optional visualization.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    g_in = parser.add_argument_group("input")
+    g_in.add_argument("--images", default=None, help="Image folder / glob / list file")
+    g_in.add_argument("--video", default=None, help="Video file")
+    g_in.add_argument("--skip-start", type=int, default=0)
+    g_in.add_argument("--skip-end", type=int, default=0)
+    g_in.add_argument("--stride", type=int, default=1, help="Video frame stride")
+
+    g_model = parser.add_argument_group("model")
+    g_model.add_argument("--model-path", default=None, help="Converted Pi3 weights (.npz)")
+    g_model.add_argument("--moge-path", default=None)
+    g_model.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+
+    g_proc = parser.add_argument_group("processing")
+    g_proc.add_argument("--chunk-length", type=int, default=30)
+    g_proc.add_argument("--overlap", type=int, default=5)
+    g_proc.add_argument("--pixel-limit", type=int, default=255000 // 2)
+    g_proc.add_argument("--num-workers", type=int, default=2)
+    g_proc.add_argument("--metric-depth", action="store_true", default=True)
+    g_proc.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
+
+    g_cam = parser.add_argument_group("camera")
+    g_cam.add_argument("--cam-dist-path", default=None)
+    g_cam.add_argument("--estimate-intrinsics", action="store_true", default=True)
+
+    g_kp = parser.add_argument_group("keypoints")
+    g_kp.add_argument("--keypoints", default="grid", choices=["grid", "aliked"])
+    g_kp.add_argument("--max-kp", type=int, default=1000)
+
+    g_rec = parser.add_argument_group("reconstruction")
+    g_rec.add_argument("--max-observations-per-track", type=int, default=10)
+
+    g_viz = parser.add_argument_group("visualization")
+    g_viz.add_argument("--visualize", action="store_true")
+    g_viz.add_argument("--viz-port", type=int, default=8080)
+
+    g_out = parser.add_argument_group("output")
+    g_out.add_argument("--output", default="online_output")
+    args = parser.parse_args(argv)
+
+    if (args.images is None) == (args.video is None):
+        print("error: give exactly one of --images / --video", file=sys.stderr)
+        return 2
+
+    if args.video:
+        from pi3_slam_tpu.data.image_io import list_video_frames
+
+        paths = list_video_frames(args.video, args.skip_start, args.skip_end, args.stride)
+    else:
+        from create_offline_chunks import collect_image_paths
+
+        paths = collect_image_paths(args.images, args.skip_start, args.skip_end)
+    if not paths:
+        print("error: no input frames", file=sys.stderr)
+        return 2
+    print(f"{len(paths)} frames")
+
+    from pi3_slam_tpu.slam import OnlineConfig, Pi3SLAMOnline
+
+    config = OnlineConfig(
+        chunk_length=args.chunk_length,
+        overlap=args.overlap,
+        pixel_limit=args.pixel_limit,
+        checkpoint_path=args.model_path,
+        compute_dtype=args.compute_dtype,
+        use_metric_depth=args.metric_depth,
+        moge_checkpoint_path=args.moge_path,
+        keypoint_type=args.keypoints,
+        max_keypoints=args.max_kp,
+        estimate_camera_params=args.estimate_intrinsics,
+        cam_dist_path=args.cam_dist_path,
+        max_observations_per_track=args.max_observations_per_track,
+        num_loader_workers=args.num_workers,
+        visualize=args.visualize,
+        viz_port=args.viz_port,
+        output_dir=args.output,
+    )
+    slam = Pi3SLAMOnline(config)
+    slam.process_image_paths(paths)
+    os.makedirs(args.output, exist_ok=True)
+    slam.save_final_result(os.path.join(args.output, "final_points.ply"))
+    slam.save_trajectory_tum(os.path.join(args.output, "trajectory_tum.txt"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,19 @@ class DinoV2Config:
     interpolate_antialias: bool = True
 
 
+def _key_seed(key) -> int:
+    """Host int seed from a jax PRNG key (typed or legacy) or a plain int."""
+    import numpy as np
+
+    if isinstance(key, int):
+        return key
+    try:
+        data = jax.random.key_data(key)
+    except Exception:
+        data = key
+    return int(np.asarray(data).ravel()[-1])
+
+
 VIT_SMALL = DinoV2Config(embed_dim=384, depth=12, num_heads=6)
 VIT_BASE = DinoV2Config(embed_dim=768, depth=12, num_heads=12)
 VIT_LARGE = DinoV2Config()
@@ -119,39 +132,46 @@ def dinov2_forward(
 
 def init_dinov2_params(key, cfg: DinoV2Config = VIT_LARGE, dtype=jnp.float32) -> Dict[str, Any]:
     """Random init (shapes match the converter's output; values are only for
-    tests — real use loads converted pretrained weights)."""
+    tests — real use loads converted pretrained weights).
+
+    Generated host-side with numpy: per-array jax.random dispatches cost ~100ms
+    each through the axon remote backend (~2 min for the full tree).
+    """
+    import numpy as np
+
     C = cfg.embed_dim
     hidden = C * cfg.mlp_ratio
     L = cfg.depth
     n_pos = cfg.pos_embed_size**2 + 1
-    keys = jax.random.split(key, 8)
+    rng = np.random.default_rng(_key_seed(key))
+    keys = [None] * 8
 
-    def trunc(k, shape, std=0.02):
-        return (jax.random.truncated_normal(k, -2, 2, shape) * std).astype(dtype)
+    def trunc(_k, shape, std=0.02):
+        return (rng.random(shape, dtype=np.float32) - 0.5) * (std * 3.4641016)
 
     blocks = {
-        "norm1_scale": jnp.ones((L, C), dtype),
-        "norm1_bias": jnp.zeros((L, C), dtype),
+        "norm1_scale": np.ones((L, C), np.float32),
+        "norm1_bias": np.zeros((L, C), np.float32),
         "qkv_kernel": trunc(keys[0], (L, C, 3 * C)),
-        "qkv_bias": jnp.zeros((L, 3 * C), dtype),
+        "qkv_bias": np.zeros((L, 3 * C), np.float32),
         "proj_kernel": trunc(keys[1], (L, C, C)),
-        "proj_bias": jnp.zeros((L, C), dtype),
-        "ls1": jnp.ones((L, C), dtype),
-        "norm2_scale": jnp.ones((L, C), dtype),
-        "norm2_bias": jnp.zeros((L, C), dtype),
+        "proj_bias": np.zeros((L, C), np.float32),
+        "ls1": np.ones((L, C), np.float32),
+        "norm2_scale": np.ones((L, C), np.float32),
+        "norm2_bias": np.zeros((L, C), np.float32),
         "fc1_kernel": trunc(keys[2], (L, C, hidden)),
-        "fc1_bias": jnp.zeros((L, hidden), dtype),
+        "fc1_bias": np.zeros((L, hidden), np.float32),
         "fc2_kernel": trunc(keys[3], (L, hidden, C)),
-        "fc2_bias": jnp.zeros((L, C), dtype),
-        "ls2": jnp.ones((L, C), dtype),
+        "fc2_bias": np.zeros((L, C), np.float32),
+        "ls2": np.ones((L, C), np.float32),
     }
     return {
         "patch_embed_kernel": trunc(keys[4], (3 * cfg.patch_size**2, C)),
-        "patch_embed_bias": jnp.zeros((C,), dtype),
+        "patch_embed_bias": np.zeros((C,), np.float32),
         "cls_token": trunc(keys[5], (1, C), std=1e-6),
         "pos_embed": trunc(keys[6], (n_pos, C)),
         "register_tokens": trunc(keys[7], (cfg.num_register_tokens, C), std=1e-6),
         "blocks": blocks,
-        "norm_scale": jnp.ones((C,), dtype),
-        "norm_bias": jnp.zeros((C,), dtype),
+        "norm_scale": np.ones((C,), np.float32),
+        "norm_bias": np.zeros((C,), np.float32),
     }

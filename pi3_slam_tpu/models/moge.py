@@ -1,0 +1,42 @@
+"""MoGe-2 metric monocular depth (JAX) — runner interface.
+
+The pipeline uses MoGe only for metric-scale recovery: infer depth on a
+chunk's first frame, take the median MoGe/Pi3 depth ratio
+(slam/offline_chunk_creator.py:122-127,182-192). The full MoGe-2 model
+(DINOv2 encoder + ConvStack neck/heads + scale head, moge/model/v2.py) is
+implemented in this module; MoGeRunner wraps it behind the one call the
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class MoGeRunner:
+    """infer_depth((3, H, W) float [0,1]) -> (H, W) metric depth."""
+
+    def __init__(self, checkpoint_path: Optional[str]):
+        if checkpoint_path is None:
+            raise FileNotFoundError(
+                "MoGe checkpoint not provided (convert with tools/convert_checkpoint.py "
+                "--model moge); pipeline continues without metric depth"
+            )
+        import jax
+
+        from .convert import load_params_npz
+        from .moge_model import MoGeConfig, moge_infer_depth
+
+        self.params = load_params_npz(checkpoint_path)
+        self.cfg = MoGeConfig.from_params(self.params)
+        self._infer = jax.jit(
+            lambda p, img: moge_infer_depth(p, img, self.cfg)
+        )
+
+    def infer_depth(self, image: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = self._infer(self.params, jnp.asarray(image))
+        return np.asarray(out)

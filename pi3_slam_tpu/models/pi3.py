@@ -26,7 +26,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from .dinov2 import DinoV2Config, VIT_LARGE, dinov2_forward, init_dinov2_params
+from .dinov2 import DinoV2Config, VIT_LARGE, dinov2_forward, init_dinov2_params, _key_seed
 from .layers import block, linear
 from ..ops.pixel_shuffle import tokens_to_image
 from ..ops.rope import make_patch_positions
@@ -237,97 +237,126 @@ def pi3_forward(
     }
 
 
-def _init_block_stack(key, L, dim, mlp_ratio, qk_norm, layerscale_init, dtype, num_heads=16):
-    hidden = dim * mlp_ratio
-    keys = jax.random.split(key, 4)
+def _np_rng(key):
+    import numpy as np
 
-    def trunc(k, shape, std=0.02):
-        return (jax.random.truncated_normal(k, -2, 2, shape) * std).astype(dtype)
+    return np.random.default_rng(_key_seed(key))
+
+
+def _init_block_stack(key, L, dim, mlp_ratio, qk_norm, layerscale_init, dtype, num_heads=16):
+    """Host-side (numpy) random block-stack init. Values only matter for
+    tests; real weights come from the checkpoint converter. Pure numpy because
+    per-array device dispatches cost seconds each through the axon tunnel."""
+    import numpy as np
+
+    hidden = dim * mlp_ratio
+    rng = _np_rng(key)
+
+    def trunc(shape, std=0.02):
+        # uniform with matching std: one float32 pass, ~5x faster than
+        # gaussian+clip+cast for the ~1B-element full-size tree
+        return (rng.random(shape, dtype=np.float32) - 0.5) * (std * 3.4641016)
 
     blocks = {
-        "norm1_scale": jnp.ones((L, dim), dtype),
-        "norm1_bias": jnp.zeros((L, dim), dtype),
-        "qkv_kernel": trunc(keys[0], (L, dim, 3 * dim)),
-        "qkv_bias": jnp.zeros((L, 3 * dim), dtype),
-        "proj_kernel": trunc(keys[1], (L, dim, dim)),
-        "proj_bias": jnp.zeros((L, dim), dtype),
-        "norm2_scale": jnp.ones((L, dim), dtype),
-        "norm2_bias": jnp.zeros((L, dim), dtype),
-        "fc1_kernel": trunc(keys[2], (L, dim, hidden)),
-        "fc1_bias": jnp.zeros((L, hidden), dtype),
-        "fc2_kernel": trunc(keys[3], (L, hidden, dim)),
-        "fc2_bias": jnp.zeros((L, dim), dtype),
+        "norm1_scale": np.ones((L, dim), np.float32),
+        "norm1_bias": np.zeros((L, dim), np.float32),
+        "qkv_kernel": trunc((L, dim, 3 * dim)),
+        "qkv_bias": np.zeros((L, 3 * dim), np.float32),
+        "proj_kernel": trunc((L, dim, dim)),
+        "proj_bias": np.zeros((L, dim), np.float32),
+        "norm2_scale": np.ones((L, dim), np.float32),
+        "norm2_bias": np.zeros((L, dim), np.float32),
+        "fc1_kernel": trunc((L, dim, hidden)),
+        "fc1_bias": np.zeros((L, hidden), np.float32),
+        "fc2_kernel": trunc((L, hidden, dim)),
+        "fc2_bias": np.zeros((L, dim), np.float32),
     }
     if qk_norm:
         hd = dim // num_heads  # per-head LayerNorm over head_dim
-        blocks["q_norm_scale"] = jnp.ones((L, hd), dtype)
-        blocks["k_norm_scale"] = jnp.ones((L, hd), dtype)
-        blocks["q_norm_bias"] = jnp.zeros((L, hd), dtype)
-        blocks["k_norm_bias"] = jnp.zeros((L, hd), dtype)
+        blocks["q_norm_scale"] = np.ones((L, hd), np.float32)
+        blocks["k_norm_scale"] = np.ones((L, hd), np.float32)
+        blocks["q_norm_bias"] = np.zeros((L, hd), np.float32)
+        blocks["k_norm_bias"] = np.zeros((L, hd), np.float32)
     if layerscale_init is not None:
-        blocks["ls1"] = jnp.full((L, dim), layerscale_init, dtype)
-        blocks["ls2"] = jnp.full((L, dim), layerscale_init, dtype)
+        blocks["ls1"] = np.full((L, dim), layerscale_init, np.float32)
+        blocks["ls2"] = np.full((L, dim), layerscale_init, np.float32)
     return blocks
 
 
 def _init_head_decoder(key, in_dim, dim, out_dim, depth, mlp_ratio, dtype):
-    keys = jax.random.split(key, 3)
+    import numpy as np
 
-    def trunc(k, shape, std=0.02):
-        return (jax.random.truncated_normal(k, -2, 2, shape) * std).astype(dtype)
+    rng = _np_rng(key)
+
+    def trunc(shape, std=0.02):
+        # uniform with matching std: one float32 pass, ~5x faster than
+        # gaussian+clip+cast for the ~1B-element full-size tree
+        return (rng.random(shape, dtype=np.float32) - 0.5) * (std * 3.4641016)
 
     return {
-        "project_kernel": trunc(keys[0], (in_dim, dim)),
-        "project_bias": jnp.zeros((dim,), dtype),
-        "blocks": _init_block_stack(keys[1], depth, dim, mlp_ratio, False, None, dtype),
-        "out_kernel": trunc(keys[2], (dim, out_dim)),
-        "out_bias": jnp.zeros((out_dim,), dtype),
+        "project_kernel": trunc((in_dim, dim)),
+        "project_bias": np.zeros((dim,), np.float32),
+        "blocks": _init_block_stack(_key_seed(key) + 1, depth, dim, mlp_ratio, False, None, dtype),
+        "out_kernel": trunc((dim, out_dim)),
+        "out_bias": np.zeros((out_dim,), np.float32),
     }
 
 
 def init_pi3_params(key, cfg: Pi3Config = Pi3Config(), dtype=jnp.float32) -> Dict[str, Any]:
-    """Random-initialized parameter pytree (for tests; real use converts the
-    HF yyfz233/Pi3 checkpoint via models/convert.py)."""
-    C = cfg.dec_embed_dim
-    keys = jax.random.split(key, 10)
+    """Random-initialized parameter pytree, generated entirely on host
+    (numpy float32 leaves; jit ingests them directly). Real use converts the
+    HF yyfz233/Pi3 checkpoint via models/convert.py."""
+    import numpy as np
 
-    def trunc(k, shape, std=0.02):
-        return (jax.random.truncated_normal(k, -2, 2, shape) * std).astype(dtype)
+    C = cfg.dec_embed_dim
+    base = _key_seed(key)
+    keys = [base * 31 + i for i in range(10)]
 
     dec_pairs = cfg.dec_depth // 2
     even = _init_block_stack(keys[0], dec_pairs, C, cfg.mlp_ratio, True, 0.01, dtype, cfg.dec_num_heads)
     odd = _init_block_stack(keys[1], dec_pairs, C, cfg.mlp_ratio, True, 0.01, dtype, cfg.dec_num_heads)
 
-    def camera_head(key):
-        ks = jax.random.split(key, 10)
+    def camera_head(seed):
+        rng = np.random.default_rng(seed)
+
+        def trunc(shape, std=0.02):
+            return np.clip(rng.standard_normal(shape), -2, 2).astype(np.float32) * std
+
         d = cfg.camera_dim
         out = {}
         for i in range(2):
             out[f"res_conv{i}"] = {
-                "fc1_kernel": trunc(ks[3 * i], (d, d)),
-                "fc1_bias": jnp.zeros((d,), dtype),
-                "fc2_kernel": trunc(ks[3 * i + 1], (d, d)),
-                "fc2_bias": jnp.zeros((d,), dtype),
-                "fc3_kernel": trunc(ks[3 * i + 2], (d, d)),
-                "fc3_bias": jnp.zeros((d,), dtype),
+                "fc1_kernel": trunc((d, d)),
+                "fc1_bias": np.zeros((d,), np.float32),
+                "fc2_kernel": trunc((d, d)),
+                "fc2_bias": np.zeros((d,), np.float32),
+                "fc3_kernel": trunc((d, d)),
+                "fc3_bias": np.zeros((d,), np.float32),
             }
         out.update(
-            mlp1_kernel=trunc(ks[6], (d, d)),
-            mlp1_bias=jnp.zeros((d,), dtype),
-            mlp2_kernel=trunc(ks[7], (d, d)),
-            mlp2_bias=jnp.zeros((d,), dtype),
-            fc_t_kernel=trunc(ks[8], (d, 3)),
-            fc_t_bias=jnp.zeros((3,), dtype),
-            fc_rot_kernel=trunc(ks[9], (d, 9)),
-            fc_rot_bias=jnp.zeros((9,), dtype),
+            mlp1_kernel=trunc((d, d)),
+            mlp1_bias=np.zeros((d,), np.float32),
+            mlp2_kernel=trunc((d, d)),
+            mlp2_bias=np.zeros((d,), np.float32),
+            fc_t_kernel=trunc((d, 3)),
+            fc_t_bias=np.zeros((3,), np.float32),
+            fc_rot_kernel=trunc((d, 9)),
+            fc_rot_bias=np.zeros((9,), np.float32),
         )
         return out
+
+    rng = np.random.default_rng(keys[3])
+
+    def trunc(shape, std=0.02):
+        # uniform with matching std: one float32 pass, ~5x faster than
+        # gaussian+clip+cast for the ~1B-element full-size tree
+        return (rng.random(shape, dtype=np.float32) - 0.5) * (std * 3.4641016)
 
     psz = cfg.patch_size
     return {
         "encoder": init_dinov2_params(keys[2], cfg.encoder, dtype),
         "decoder": {
-            "register_token": trunc(keys[3], (cfg.num_register_tokens, C), std=1e-6),
+            "register_token": trunc((cfg.num_register_tokens, C), std=1e-6),
             "even_blocks": even,
             "odd_blocks": odd,
         },
@@ -341,12 +370,12 @@ def init_pi3_params(key, cfg: Pi3Config = Pi3Config(), dtype=jnp.float32) -> Dic
             keys[6], 2 * C, cfg.head_dim, cfg.camera_dim, cfg.head_depth, cfg.mlp_ratio, dtype
         ),
         "point_head": {
-            "kernel": trunc(keys[7], (cfg.head_dim, 3 * psz * psz)),
-            "bias": jnp.zeros((3 * psz * psz,), dtype),
+            "kernel": trunc((cfg.head_dim, 3 * psz * psz)),
+            "bias": np.zeros((3 * psz * psz,), np.float32),
         },
         "conf_head": {
-            "kernel": trunc(keys[8], (cfg.head_dim, psz * psz)),
-            "bias": jnp.zeros((psz * psz,), dtype),
+            "kernel": trunc((cfg.head_dim, psz * psz)),
+            "bias": np.zeros((psz * psz,), np.float32),
         },
-        "camera_head": camera_head(keys[9]),
+        "camera_head": camera_head(keys[7]),
     }

@@ -1,0 +1,255 @@
+"""Offline chunk creation: run Pi3 (+ optional MoGe metric scale) over
+overlapping chunks and persist compact keypoint-sparse chunk files.
+
+Replaces OfflineChunkCreator (slam/offline_chunk_creator.py:54-373). The
+whole per-chunk compute — forward pass, confidence/depth-edge masking,
+intrinsics estimation, keypoint interpolation, color sampling — is ONE jitted
+device step; the host only decodes images (threaded prefetch), applies the
+median metric-scale ratio, and writes npz chunk files (the documented
+replacement for the reference's .pt torch pickles; same keys/shapes/dtypes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import ChunkDataset, PrefetchLoader, calculate_target_size
+from ..data.undistortion import create_undistorter
+from ..geometry.focal import estimate_camera_parameters
+from ..geometry.maps import depth_edge
+from ..geometry.transforms import se3_inverse
+from ..models import Pi3Config, pi3_forward, init_pi3_params
+from ..models.convert import load_params_npz
+from ..ops.interpolate import grid_sample_frames
+from ..utils.keypoints import grid_keypoints
+from .config import OfflineCreatorConfig
+
+
+def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_rtol: float,
+                    estimate_intrinsics: bool):
+    """Build the jitted per-chunk device step.
+
+    step(params, images (1,N,3,H,W), keypoints (N,K,2)) -> compact outputs.
+    """
+
+    def step(params, images, keypoints):
+        out = pi3_forward(params, images, cfg, compute_dtype=compute_dtype)
+        local = out["local_points"][0]  # (N, H, W, 3)
+        world = out["points"][0]
+        conf = out["conf"][0]  # (N, H, W, 1)
+        poses = out["camera_poses"][0]  # (N, 4, 4)
+
+        conf_mask = jax.nn.sigmoid(conf[..., 0]) > conf_threshold
+        non_edge = ~depth_edge(local[..., 2], rtol=edge_rtol)
+        masks = jnp.logical_and(conf_mask, non_edge)  # (N, H, W)
+
+        # keypoint interpolation (slam/offline_chunk_creator.py:129-159):
+        # bilinear for points, nearest for conf/mask
+        pts_kp = grid_sample_frames(world, keypoints, mode="bilinear")
+        local_kp = grid_sample_frames(local, keypoints, mode="bilinear")
+        conf_kp = grid_sample_frames(conf, keypoints, mode="nearest")
+        masks_kp = grid_sample_frames(
+            masks[..., None].astype(jnp.float32), keypoints, mode="nearest"
+        )[..., 0] > 0.5
+        colors_kp = grid_sample_frames(
+            images[0].transpose(0, 2, 3, 1), keypoints, mode="bilinear"
+        )
+
+        result = {
+            "points_kp": pts_kp,
+            "local_points_kp": local_kp,
+            "conf_kp": conf_kp,
+            "masks_kp": masks_kp,
+            "colors_kp": colors_kp,
+            "camera_poses": poses,
+            "depth0": local[0, ..., 2],
+            "mask0": masks[0],
+        }
+        if estimate_intrinsics:
+            cam = estimate_camera_parameters(local, conf)
+            result["intrinsics"] = cam["intrinsics"]
+            result["focal"] = cam["focal"]
+            result["shift"] = cam["shift"]
+        return result
+
+    return jax.jit(step)
+
+
+class OfflineChunkCreator:
+    def __init__(self, config: OfflineCreatorConfig, pi3_config: Pi3Config | None = None):
+        self.config = config
+        self.pi3_config = pi3_config or Pi3Config()
+        self.target_size = None
+        self.chunks_dir = os.path.join(config.output_dir, "chunks")
+        os.makedirs(self.chunks_dir, exist_ok=True)
+
+        dtype_map = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+        self.compute_dtype = dtype_map[config.compute_dtype]
+
+        if config.checkpoint_path:
+            print(f"Loading Pi3 weights: {config.checkpoint_path}")
+            self.params = load_params_npz(config.checkpoint_path)
+        else:
+            print("No checkpoint given - random Pi3 weights (geometry will be noise)")
+            self.params = init_pi3_params(0, self.pi3_config)
+        if self.compute_dtype == jnp.bfloat16:
+            from ..utils.precision import cast_tree_bf16_host
+
+            self.params = cast_tree_bf16_host(self.params)
+        # pin parameters on device once; numpy leaves would re-upload per call
+        self.params = jax.device_put(self.params)
+
+        self.moge = None
+        if config.use_metric_depth:
+            try:
+                from ..models.moge import MoGeRunner
+
+                self.moge = MoGeRunner(config.moge_checkpoint_path)
+            except Exception as e:
+                print(f"MoGe unavailable ({e}); continuing without metric depth")
+
+        self.undistorter = None
+        if config.cam_dist_path:
+            self.undistorter = create_undistorter(config.cam_dist_path)
+
+        self._step_cache: Dict[tuple, callable] = {}
+
+    def _get_step(self):
+        key = (self.config.conf_threshold, self.config.depth_edge_rtol)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_chunk_step(
+                self.pi3_config,
+                self.compute_dtype,
+                self.config.conf_threshold,
+                self.config.depth_edge_rtol,
+                self.config.estimate_camera_params,
+            )
+        return self._step_cache[key]
+
+    def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
+        """One chunk: device step + metric scale + fp16 compaction."""
+        N, _, H, W = images.shape
+        kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
+        kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
+
+        step = self._get_step()
+        t0 = time.time()
+        dev = step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
+        host = {k: np.asarray(v) for k, v in dev.items()}  # forces completion
+        dt = max(1e-6, time.time() - t0)
+        fps = N / dt
+        print(f"   inference+interp: {dt:.3f}s for {N} frames -> {fps:.2f} FPS")
+
+        poses = host["camera_poses"].astype(np.float64)
+        points_kp = host["points_kp"].astype(np.float64)
+        local_kp = host["local_points_kp"].astype(np.float64)
+
+        scale_factor = None
+        if self.moge is not None:
+            moge_depth = self.moge.infer_depth(images[0])  # (H, W)
+            mask0 = host["mask0"]
+            ratio = moge_depth[mask0] / np.maximum(host["depth0"][mask0], 1e-9)
+            if ratio.size:
+                scale_factor = float(np.median(ratio))
+                points_kp *= scale_factor
+                local_kp *= scale_factor
+                poses[:, :3, 3] *= scale_factor
+
+        poses_cw = np.asarray(se3_inverse(jnp.asarray(poses))).astype(np.float32)
+
+        result = {
+            "points": points_kp.astype(np.float16),
+            "local_points": local_kp.astype(np.float16),
+            "conf": host["conf_kp"].astype(np.float16),
+            "masks": host["masks_kp"],
+            "keypoints": kps.astype(np.float16),
+            "colors": (host["colors_kp"] * 255).clip(0, 255).astype(np.uint8),
+            "camera_poses": poses.astype(np.float32),
+            "camera_poses_cw": poses_cw,
+            "image_paths": np.asarray(paths),
+            "original_height": self.target_size[0],
+            "original_width": self.target_size[1],
+            "_metrics": {"infer_s": dt, "num_frames": N, "fps": fps},
+        }
+        if scale_factor is not None:
+            result["metric_scale"] = np.float32(scale_factor)
+        if "intrinsics" in host:
+            result["intrinsics"] = host["intrinsics"].astype(np.float32)
+        return result
+
+    def process_and_save(self, image_paths: List) -> List[str]:
+        if not image_paths:
+            raise ValueError("image_paths is empty")
+        self.target_size = calculate_target_size(image_paths[0], self.config.pixel_limit)
+        print(f"Target size: {self.target_size}")
+
+        dataset = ChunkDataset(
+            image_paths,
+            self.config.chunk_length,
+            self.config.overlap,
+            self.target_size,
+            undistorter=self.undistorter,
+        )
+        loader = PrefetchLoader(dataset, num_workers=self.config.num_loader_workers)
+
+        saved, manifest = [], []
+        infer_times, infer_frames, per_chunk_fps = [], [], []
+        print(f"Processing {len(dataset)} chunks...")
+        for batch in loader:
+            chunk_idx = batch["chunk_idx"]
+            result = self._process_single_chunk(batch["images"], batch["paths"])
+            m = result.pop("_metrics")
+            infer_times.append(m["infer_s"])
+            infer_frames.append(m["num_frames"])
+            per_chunk_fps.append(m["fps"])
+
+            result["chunk_index"] = chunk_idx
+            result["start_idx"] = batch["start"]
+            result["end_idx"] = batch["end"]
+            out_name = f"chunk_{chunk_idx:06d}.npz"
+            out_path = os.path.join(self.chunks_dir, out_name)
+            np.savez_compressed(out_path, **result)
+            saved.append(out_path)
+            manifest.append(
+                {
+                    "chunk_index": chunk_idx,
+                    "file": out_name,
+                    "start_idx": batch["start"],
+                    "end_idx": batch["end"],
+                    "num_frames": m["num_frames"],
+                    "image_paths": list(batch["paths"]),
+                }
+            )
+            print(f"   saved {out_path}")
+
+        total_t = sum(infer_times)
+        total_f = sum(infer_frames)
+        if total_t > 0:
+            print(f"Overall inference: {total_f} frames in {total_t:.2f}s -> {total_f/total_t:.2f} FPS")
+        steady = sorted(
+            f for f, n in zip(per_chunk_fps, infer_frames) if n == self.config.chunk_length
+        )
+        if steady:
+            print(f"Steady-state FPS (median over full chunks): {steady[len(steady)//2]:.2f}")
+
+        with open(os.path.join(self.config.output_dir, "chunks_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(os.path.join(self.config.output_dir, "chunk_metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "chunk_length": int(self.config.chunk_length),
+                    "overlap": int(self.config.overlap),
+                    "target_size": list(self.target_size),
+                },
+                f,
+                indent=2,
+            )
+        print(f"Saved {len(saved)} chunks to {self.chunks_dir}")
+        return saved

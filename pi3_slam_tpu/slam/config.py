@@ -1,0 +1,69 @@
+"""Pipeline configuration dataclasses.
+
+Mirrors OfflineCreatorConfig (slam/offline_chunk_creator.py:36-50) and the
+constructor kwargs of the reference CLIs, with TPU-specific additions
+(checkpoint path for converted weights, compute dtype).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class OfflineCreatorConfig:
+    output_dir: str = "output_chunks"
+    chunk_length: int = 100
+    overlap: int = 10
+    pixel_limit: int = 255000 // 2
+    device: str = "tpu"
+    # model
+    checkpoint_path: Optional[str] = None  # converted Pi3 .npz; None = random init
+    compute_dtype: str = "bfloat16"
+    # metric scale
+    use_metric_depth: bool = True
+    moge_checkpoint_path: Optional[str] = None
+    # keypoints
+    keypoint_type: str = "grid"
+    max_keypoints: int = 1000
+    grid_spacing: Optional[int] = None
+    # camera
+    estimate_camera_params: bool = True
+    cam_dist_path: Optional[str] = None  # calibration JSON for undistortion
+    # loader
+    num_loader_workers: int = 2
+    conf_threshold: float = 0.1
+    depth_edge_rtol: float = 0.03
+
+
+@dataclass
+class ReconstructorConfig:
+    chunk_dir: str = "output_chunks"
+    output_dir: Optional[str] = None
+    chunk_length: Optional[int] = None  # auto from chunk_metadata.json
+    overlap: Optional[int] = None
+    max_observations_per_track: int = 10
+    use_inverse_depth: bool = False
+    ba_iterations: int = 10
+    save_debug: bool = False
+
+
+@dataclass
+class OnlineConfig:
+    chunk_length: int = 30
+    overlap: int = 5
+    pixel_limit: int = 255000 // 2
+    checkpoint_path: Optional[str] = None
+    compute_dtype: str = "bfloat16"
+    use_metric_depth: bool = True
+    moge_checkpoint_path: Optional[str] = None
+    keypoint_type: str = "grid"
+    max_keypoints: int = 1000
+    estimate_camera_params: bool = True
+    cam_dist_path: Optional[str] = None
+    max_observations_per_track: int = 10
+    num_loader_workers: int = 2
+    visualize: bool = False
+    viz_port: int = 8080
+    output_dir: str = "online_output"

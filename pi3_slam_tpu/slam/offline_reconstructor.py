@@ -1,0 +1,132 @@
+"""Offline reconstruction: load chunk files, per-chunk BA, chain Sim3
+alignment, export merged PLY / camera PLY / TUM trajectory.
+
+Replaces OfflineReconstructor (slam/offline_reconstructor.py:24-257): same
+artifacts (final_points.ply, final_camera_poses.ply, trajectory_tum.txt with
+integer timestamps, dedup by view name) with .npz chunk files instead of
+torch pickles.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.ply import write_ply
+from ..io.tum import write_tum_trajectory
+from ..sfm.alignment import align_chunks
+from ..sfm.reconstruction import ChunkReconstruction, build_chunk_reconstruction
+from .config import ReconstructorConfig
+
+
+def load_chunk_npz(path: str) -> Dict:
+    """Load a chunk .npz into the dict format build_chunk_reconstruction
+    expects (fp16 storage upcast to fp32)."""
+    z = np.load(path, allow_pickle=False)
+    chunk = {
+        "keypoints": z["keypoints"].astype(np.float32),
+        "points": z["points"].astype(np.float32),
+        "colors": z["colors"].astype(np.float32) / 255.0,
+        "camera_poses": z["camera_poses"].astype(np.float64),
+        "image_paths": [str(p) for p in z["image_paths"]],
+        "original_width": int(z["original_width"]),
+        "original_height": int(z["original_height"]),
+    }
+    for opt in ("intrinsics", "masks", "conf", "metric_scale", "start_idx", "end_idx"):
+        if opt in z.files:
+            chunk[opt] = z[opt]
+    return chunk
+
+
+class OfflineReconstructor:
+    def __init__(self, config: ReconstructorConfig):
+        self.config = config
+        self.output_dir = config.output_dir or config.chunk_dir
+        os.makedirs(self.output_dir, exist_ok=True)
+        # auto-load chunk metadata (slam/offline_reconstructor.py:31-46)
+        meta_path = os.path.join(config.chunk_dir, "chunk_metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if config.chunk_length is None:
+                config.chunk_length = meta.get("chunk_length")
+            if config.overlap is None:
+                config.overlap = meta.get("overlap")
+            print(f"chunk metadata: length={config.chunk_length} overlap={config.overlap}")
+
+    def _chunk_files(self) -> List[str]:
+        files = sorted(glob.glob(os.path.join(self.config.chunk_dir, "chunks", "chunk_*.npz")))
+        if not files:
+            files = sorted(glob.glob(os.path.join(self.config.chunk_dir, "chunk_*.npz")))
+        return files
+
+    def run(self) -> Dict:
+        files = self._chunk_files()
+        if not files:
+            raise FileNotFoundError(f"no chunk files under {self.config.chunk_dir}")
+        print(f"Reconstructing from {len(files)} chunks")
+
+        recons: List[ChunkReconstruction] = []
+        align_stats = []
+        for i, path in enumerate(files):
+            chunk = load_chunk_npz(path)
+            t0 = time.time()
+            recon = build_chunk_reconstruction(
+                chunk,
+                max_observations_per_track=self.config.max_observations_per_track,
+                ba_iterations=self.config.ba_iterations,
+            )
+            dt = time.time() - t0
+            n = recon.num_frames
+            print(f"  chunk {i}: recon {n} frames in {dt:.2f}s ({n/dt:.1f} FPS)")
+            if recons:
+                res = align_chunks(recons[-1], recon)
+                align_stats.append(res)
+                status = "ok" if res.success else "FAILED"
+                print(
+                    f"    align -> {status} (common {res.num_common_tracks}, "
+                    f"scale {float(res.sim3.scale):.4f})"
+                )
+            recons.append(recon)
+
+        artifacts = self.export(recons)
+        return {"reconstructions": recons, "alignment": align_stats, "artifacts": artifacts}
+
+    def export(self, recons: List[ChunkReconstruction]) -> Dict[str, str]:
+        """Merged exports with view dedup by name (first occurrence wins)."""
+        seen = set()
+        centers, rotations = [], []
+        for r in recons:
+            for j, nm in enumerate(r.frame_names):
+                if nm in seen:
+                    continue
+                seen.add(nm)
+                centers.append(r.centers[j])
+                rotations.append(r.rotations[j].T)  # R_cw -> R_wc (cam-to-world)
+
+        clouds = [r.points[r.track_valid > 0] for r in recons]
+        colors = [r.colors[r.track_valid > 0] for r in recons]
+        cloud = np.concatenate(clouds) if clouds else np.zeros((0, 3))
+        color = np.concatenate(colors) if colors else np.zeros((0, 3))
+
+        ply_path = os.path.join(self.output_dir, "final_points.ply")
+        write_ply(cloud, color, ply_path)
+        cam_ply_path = os.path.join(self.output_dir, "final_camera_poses.ply")
+        write_ply(
+            np.asarray(centers).reshape(-1, 3),
+            np.tile([1.0, 0.0, 0.0], (len(centers), 1)),  # red, like the reference
+            cam_ply_path,
+        )
+        tum_path = os.path.join(self.output_dir, "trajectory_tum.txt")
+        write_tum_trajectory(
+            tum_path, np.asarray(centers), np.asarray(rotations), integer_timestamps=True
+        )
+        print(
+            f"Exported {cloud.shape[0]} points, {len(centers)} poses -> {self.output_dir}"
+        )
+        return {"points": ply_path, "cameras": cam_ply_path, "trajectory": tum_path}

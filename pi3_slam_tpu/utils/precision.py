@@ -22,3 +22,19 @@ def f32_matmul(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+def cast_tree_bf16_host(params):
+    """Cast a parameter pytree to bfloat16 on the HOST (numpy + ml_dtypes).
+
+    jax.tree.map(lambda a: a.astype(jnp.bfloat16)) dispatches one device
+    program per leaf — ~1.5s each through the axon remote tunnel, 5+ minutes
+    for the full Pi3 tree. Host-side casting is one numpy pass; leaves upload
+    in bulk on first jit invocation.
+    """
+    import ml_dtypes
+    import numpy as np
+
+    return jax.tree.map(
+        lambda a: np.asarray(a).astype(ml_dtypes.bfloat16), params
+    )

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""CLI: reconstruct from saved chunks (per-chunk BA + Sim3 chaining + export).
+
+Drop-in equivalent of the reference reconstruct_offline.py.
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--chunks", required=True, help="Directory containing chunk_*.npz files")
+    parser.add_argument("--output", default=None, help="Directory to write reconstruction outputs")
+    parser.add_argument("--chunk-length", type=int, default=None)
+    parser.add_argument("--overlap", type=int, default=None)
+    parser.add_argument("--max-observations-per-track", type=int, default=5)
+    parser.add_argument("--use-inverse-depth", action="store_true")
+    parser.add_argument("--ba-iterations", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    from pi3_slam_tpu.slam import OfflineReconstructor, ReconstructorConfig
+
+    config = ReconstructorConfig(
+        chunk_dir=args.chunks,
+        output_dir=args.output,
+        chunk_length=args.chunk_length,
+        overlap=args.overlap,
+        max_observations_per_track=args.max_observations_per_track,
+        use_inverse_depth=args.use_inverse_depth,
+        ba_iterations=args.ba_iterations,
+    )
+    OfflineReconstructor(config).run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,6 +7,9 @@ overrides JAX_PLATFORMS, so we must force CPU via jax.config *after* import
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,134 @@
+"""End-to-end pipeline tests: chunk creation -> reconstruction -> exports,
+and the online streaming mode — tiny model, synthetic images."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pi3_slam_tpu.models import Pi3Config
+from pi3_slam_tpu.slam import (
+    OfflineChunkCreator,
+    OfflineCreatorConfig,
+    OfflineReconstructor,
+    ReconstructorConfig,
+    Pi3SLAMOnline,
+    OnlineConfig,
+)
+from test_pi3_model import TINY, make_tiny_params
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(5)
+    base = rng.integers(30, 220, (64, 84, 3)).astype(np.uint8)
+    for i in range(8):
+        img = np.roll(base, shift=3 * i, axis=1)  # simple horizontal motion
+        Image.fromarray(img).save(d / f"frame_{i:04d}.png")
+    return str(d)
+
+
+def _tiny_creator(output_dir) -> OfflineChunkCreator:
+    cfg = OfflineCreatorConfig(
+        output_dir=output_dir,
+        chunk_length=4,
+        overlap=2,
+        pixel_limit=4000,
+        use_metric_depth=False,
+        max_keypoints=40,
+        compute_dtype="float32",
+        num_loader_workers=2,
+    )
+    creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+    creator.params = make_tiny_params()
+    return creator
+
+
+def test_offline_chunks_then_reconstruct(image_dir, tmp_path):
+    out = str(tmp_path / "chunks_out")
+    creator = _tiny_creator(out)
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    saved = creator.process_and_save(paths)
+    assert len(saved) == 4  # windows (0,4),(2,6),(4,8),(6,8)
+
+    # artifact contract
+    assert os.path.exists(os.path.join(out, "chunks_manifest.json"))
+    meta = json.load(open(os.path.join(out, "chunk_metadata.json")))
+    assert meta["chunk_length"] == 4 and meta["overlap"] == 2
+    z = np.load(saved[0], allow_pickle=False)
+    for key in ["points", "local_points", "conf", "masks", "keypoints", "colors",
+                "camera_poses", "camera_poses_cw", "intrinsics", "image_paths"]:
+        assert key in z.files, key
+    assert z["points"].dtype == np.float16
+    n, k = z["keypoints"].shape[:2]
+    assert n == 4 and k <= 40
+    assert z["camera_poses"].shape == (4, 4, 4)
+
+    # reconstruct
+    recon_out = str(tmp_path / "recon_out")
+    rec = OfflineReconstructor(
+        ReconstructorConfig(chunk_dir=out, output_dir=recon_out, ba_iterations=3)
+    )
+    result = rec.run()
+    assert len(result["reconstructions"]) == 4
+    for art in result["artifacts"].values():
+        assert os.path.exists(art)
+
+    # trajectory: 8 unique frames after dedup
+    from pi3_slam_tpu.io import read_tum_trajectory
+
+    traj = read_tum_trajectory(result["artifacts"]["trajectory"])
+    assert traj["positions"].shape == (8, 3)
+
+    # point cloud non-empty and finite
+    from pi3_slam_tpu.io import read_ply
+
+    cloud = read_ply(result["artifacts"]["points"])
+    assert np.isfinite(cloud["xyz"]).all()
+
+
+def test_online_mode(image_dir, tmp_path):
+    cfg = OnlineConfig(
+        chunk_length=4,
+        overlap=2,
+        pixel_limit=4000,
+        use_metric_depth=False,
+        max_keypoints=30,
+        compute_dtype="float32",
+        output_dir=str(tmp_path / "online"),
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    result = slam.process_image_paths(paths)
+    assert result["num_chunks"] == 4
+    assert result["num_frames"] == 14  # 4+4+4+2 (overlap frames processed twice)
+
+    ply = str(tmp_path / "online" / "final_points.ply")
+    tum = str(tmp_path / "online" / "trajectory_tum.txt")
+    os.makedirs(os.path.dirname(ply), exist_ok=True)
+    slam.save_final_result(ply)
+    slam.save_trajectory_tum(tum)
+    from pi3_slam_tpu.io import read_tum_trajectory
+
+    assert read_tum_trajectory(tum)["positions"].shape == (8, 3)
+
+
+def test_cli_argument_errors(tmp_path):
+    import create_offline_chunks as cli
+
+    rc = cli.main(["--images", str(tmp_path / "nonexistent_dir_xyz"), "--output", str(tmp_path)])
+    assert rc == 2
+
+    import pi3_slam_online as ocli
+
+    rc = ocli.main(["--output", str(tmp_path)])  # neither images nor video
+    assert rc == 2
