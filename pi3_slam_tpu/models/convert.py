@@ -66,12 +66,16 @@ def convert_dinov2(sd: Mapping[str, Any], prefix: str, depth: int) -> Dict[str, 
 
     conv_w = get("patch_embed.proj.weight")  # (C, 3, p, p)
     C = conv_w.shape[0]
+    has_registers = f"{prefix}register_tokens" in sd
     params = {
         "patch_embed_kernel": np.ascontiguousarray(conv_w.reshape(C, -1).T),
         "patch_embed_bias": get("patch_embed.proj.bias"),
         "cls_token": get("cls_token").reshape(1, C),
         "pos_embed": get("pos_embed").reshape(-1, C),
-        "register_tokens": get("register_tokens").reshape(-1, C),
+        # plain (non-reg) dinov2 backbones have no register tokens
+        "register_tokens": (
+            get("register_tokens").reshape(-1, C) if has_registers else np.zeros((0, C), np.float32)
+        ),
         "blocks": _stack_block_params(
             get, [f"blocks.{i}" for i in range(depth)], qk_norm=False, layerscale=True
         ),
@@ -166,14 +170,158 @@ def convert_pi3_state_dict(
     }
 
 
+def _conv(w: np.ndarray) -> np.ndarray:
+    """torch conv weight (out, in, kh, kw) -> HWIO (kh, kw, in, out)."""
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))
+
+
+def moge_config_from_model_config(model_config: Dict[str, Any]):
+    """Checkpoint 'model_config' dict (moge/model/v2.py:91) -> MoGeConfig."""
+    from .moge_model import ConvStackConfig, MoGeConfig
+
+    def cs(d):
+        if d is None:
+            return None
+        return ConvStackConfig(
+            dim_in=tuple(d["dim_in"]),
+            dim_res_blocks=tuple(d["dim_res_blocks"]),
+            dim_out=tuple(d["dim_out"]) if isinstance(d["dim_out"], (list, tuple)) else (d["dim_out"],) * len(d["dim_res_blocks"]),
+            resamplers=tuple(d["resamplers"]) if isinstance(d.get("resamplers", "pixel_shuffle"), (list, tuple)) else d.get("resamplers", "pixel_shuffle"),
+            dim_times_res_block_hidden=d.get("dim_times_res_block_hidden", 1),
+            num_res_blocks=d.get("num_res_blocks", 1),
+            res_block_in_norm=d.get("res_block_in_norm", "layer_norm"),
+            res_block_hidden_norm=d.get("res_block_hidden_norm", "group_norm"),
+        )
+
+    enc = model_config["encoder"]
+    scale_head = model_config.get("scale_head")
+    return MoGeConfig(
+        backbone=enc["backbone"],
+        intermediate_layers=enc["intermediate_layers"],
+        encoder_dim_out=enc["dim_out"],
+        neck=cs(model_config["neck"]),
+        points_head=cs(model_config.get("points_head")),
+        mask_head=cs(model_config.get("mask_head")),
+        normal_head=cs(model_config.get("normal_head")),
+        scale_head_dims=tuple(scale_head["dims"]) if scale_head else None,
+        remap_output=model_config.get("remap_output", "linear"),
+        num_tokens_range=tuple(model_config.get("num_tokens_range", (1200, 3600))),
+    )
+
+
+def _convert_conv_stack(sd: Mapping[str, Any], prefix: str, cfg) -> Dict[str, Any]:
+    """ConvStack (moge/model/modules.py:195-254) -> params dict with
+    input_blocks / res_blocks / resamplers / output_blocks lists."""
+    n = len(cfg.dim_res_blocks)
+
+    def maybe_conv(name):
+        wkey = f"{prefix}{name}.weight"
+        if wkey not in sd:
+            return None
+        return {"kernel": _conv(sd[wkey]), "bias": np.asarray(sd[f"{prefix}{name}.bias"])}
+
+    input_blocks = [maybe_conv(f"input_blocks.{i}") for i in range(n)]
+    output_blocks = [maybe_conv(f"output_blocks.{i}") for i in range(n)]
+
+    res_blocks = []
+    for i in range(n):
+        level = []
+        for j in range(cfg.num_blocks_at(i)):
+            base = f"{prefix}res_blocks.{i}.{j}."
+            blk: Dict[str, Any] = {
+                "conv1_kernel": _conv(sd[base + "layers.2.weight"]),
+                "conv1_bias": np.asarray(sd[base + "layers.2.bias"]),
+                "conv2_kernel": _conv(sd[base + "layers.5.weight"]),
+                "conv2_bias": np.asarray(sd[base + "layers.5.bias"]),
+            }
+            if base + "layers.0.weight" in sd:  # in-norm present (not 'none')
+                blk["norm1_scale"] = np.asarray(sd[base + "layers.0.weight"])
+                blk["norm1_bias"] = np.asarray(sd[base + "layers.0.bias"])
+            if base + "layers.3.weight" in sd:
+                blk["norm2_scale"] = np.asarray(sd[base + "layers.3.weight"])
+                blk["norm2_bias"] = np.asarray(sd[base + "layers.3.bias"])
+            if base + "skip_connection.weight" in sd:
+                blk["skip_kernel"] = _conv(sd[base + "skip_connection.weight"])
+                blk["skip_bias"] = np.asarray(sd[base + "skip_connection.bias"])
+            level.append(blk)
+        res_blocks.append(level)
+
+    resamplers = []
+    for i in range(n - 1):
+        base = f"{prefix}resamplers.{i}."
+        resamplers.append(
+            {
+                "conv1_kernel": _conv(sd[base + "0.weight"]),
+                "conv1_bias": np.asarray(sd[base + "0.bias"]),
+                "conv2_kernel": _conv(sd[base + "2.weight"]),
+                "conv2_bias": np.asarray(sd[base + "2.bias"]),
+            }
+        )
+    return {
+        "input_blocks": input_blocks,
+        "res_blocks": res_blocks,
+        "resamplers": resamplers,
+        "output_blocks": output_blocks,
+    }
+
+
+def convert_moge_state_dict(sd: Mapping[str, Any], model_config: Dict[str, Any]) -> Dict[str, Any]:
+    """MoGe-2 torch checkpoint ('model' state dict + 'model_config') ->
+    functional param pytree with the config embedded as _config_json."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    cfg = moge_config_from_model_config(model_config)
+    enc_depth = cfg.encoder_cfg.depth
+
+    n_proj = (
+        cfg.intermediate_layers
+        if isinstance(cfg.intermediate_layers, int)
+        else len(cfg.intermediate_layers)
+    )
+    params: Dict[str, Any] = {
+        "backbone": convert_dinov2(sd, "encoder.backbone.", enc_depth),
+        "output_projections": [
+            {
+                "kernel": _conv(sd[f"encoder.output_projections.{i}.weight"]),
+                "bias": np.asarray(sd[f"encoder.output_projections.{i}.bias"]),
+            }
+            for i in range(n_proj)
+        ],
+        "neck": _convert_conv_stack(sd, "neck.", cfg.neck),
+        "_config_json": np.asarray(cfg.to_json()),
+    }
+    for head in ("points_head", "mask_head", "normal_head"):
+        head_cfg = getattr(cfg, head)
+        if head_cfg is not None:
+            params[head] = _convert_conv_stack(sd, f"{head}.", head_cfg)
+    if cfg.scale_head_dims is not None:
+        mls = []
+        i = 0
+        while f"scale_head.{i}.weight" in sd:
+            mls.append(
+                {"kernel": _t(sd[f"scale_head.{i}.weight"]), "bias": np.asarray(sd[f"scale_head.{i}.bias"])}
+            )
+            i += 2  # Linear at even indices (ReLU between)
+        params["scale_head"] = mls
+    return params
+
+
 def save_params_npz(path: str, params: Dict[str, Any]) -> None:
-    """Flatten a param pytree to an .npz with '/'-joined keys."""
+    """Flatten a param pytree (dicts, lists, arrays, None) to an .npz.
+
+    Keys are '/'-joined; list elements use '#<i>' segments; None leaves are
+    stored as '__none__' marker arrays so structure round-trips exactly.
+    """
     flat: Dict[str, np.ndarray] = {}
 
     def walk(node, prefix):
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(v, f"{prefix}/{k}" if prefix else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}/#{i}")
+        elif node is None:
+            flat[f"{prefix}/__none__"] = np.int8(1)
         else:
             flat[prefix] = np.asarray(node)
 
@@ -187,8 +335,20 @@ def load_params_npz(path: str) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key in flat.files:
         parts = key.split("/")
+        is_none = parts[-1] == "__none__"
+        if is_none:
+            parts = parts[:-1]
         node = out
         for part in parts[:-1]:
             node = node.setdefault(part, {})
-        node[parts[-1]] = flat[key]
-    return out
+        node[parts[-1]] = None if is_none else flat[key]
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(k.startswith("#") for k in node):
+                items = sorted(node.items(), key=lambda kv: int(kv[0][1:]))
+                return [listify(v) for _, v in items]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(out)

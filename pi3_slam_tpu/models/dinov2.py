@@ -130,6 +130,56 @@ def dinov2_forward(
     }
 
 
+def dinov2_intermediate_layers(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    cfg: DinoV2Config,
+    n,
+    compute_dtype=jnp.float32,
+):
+    """get_intermediate_layers equivalent (vision_transformer.py:283-300):
+    outputs of the selected blocks, each passed through the final norm,
+    returned as [(patch_tokens, cls_token), ...].
+
+    n: int (last n blocks) or explicit list of block indices.
+    """
+    p = cfg.patch_size
+    B, _, H, W = images.shape
+    h, w = H // p, W // p
+
+    tokens = patchify(images.astype(compute_dtype), p)
+    tokens = tokens @ params["patch_embed_kernel"].astype(compute_dtype)
+    tokens = tokens + params["patch_embed_bias"].astype(compute_dtype)
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype), (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, tokens], axis=1)
+    pos = params["pos_embed"].astype(jnp.float32)
+    patch_pos = interpolate_pos_embed(
+        pos[1:], (h, w), cfg.interpolate_offset, cfg.interpolate_antialias
+    )
+    x = x + jnp.concatenate([pos[:1], patch_pos], axis=0).astype(compute_dtype)[None]
+    if cfg.num_register_tokens:
+        reg = jnp.broadcast_to(
+            params["register_tokens"].astype(compute_dtype),
+            (B, cfg.num_register_tokens, cfg.embed_dim),
+        )
+        x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
+
+    indices = list(range(cfg.depth - n, cfg.depth)) if isinstance(n, int) else list(n)
+
+    def body(hx, bp):
+        out = block(hx, bp, num_heads=cfg.num_heads, norm_eps=cfg.norm_eps)
+        return out, out
+
+    _, all_h = jax.lax.scan(body, x, params["blocks"])  # (L, B, T, C)
+
+    r = cfg.num_register_tokens
+    results = []
+    for i in indices:
+        xi = layer_norm(all_h[i], params["norm_scale"], params["norm_bias"], cfg.norm_eps)
+        results.append((xi[:, r + 1 :], xi[:, 0]))
+    return results
+
+
 def init_dinov2_params(key, cfg: DinoV2Config = VIT_LARGE, dtype=jnp.float32) -> Dict[str, Any]:
     """Random init (shapes match the converter's output; values are only for
     tests — real use loads converted pretrained weights).

@@ -31,6 +31,7 @@ class MoGeRunner:
 
         self.params = load_params_npz(checkpoint_path)
         self.cfg = MoGeConfig.from_params(self.params)
+        self.params.pop("_config_json", None)  # string metadata, not a jit arg
         self._infer = jax.jit(
             lambda p, img: moge_infer_depth(p, img, self.cfg)
         )

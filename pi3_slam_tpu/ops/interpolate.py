@@ -106,6 +106,57 @@ def interpolate_pos_embed(
     return out.reshape(h0 * w0, c).astype(pos_embed.dtype)
 
 
+@functools.lru_cache(maxsize=128)
+def _bilinear_matrix(in_size: int, out_size: int, antialias: bool = False) -> np.ndarray:
+    """(out, in) dense bilinear interpolation matrix, torch
+    F.interpolate(mode='bilinear', align_corners=False) semantics.
+
+    antialias=True uses torch's _aa algorithm (triangle kernel stretched by
+    the downscale ratio, taps clipped + renormalized); antialias=False is the
+    standard 2-tap kernel with edge clamping.
+    """
+    ratio = in_size / out_size
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    if antialias:
+        filt = max(ratio, 1.0)
+        support = 1.0 * filt
+        for d in range(out_size):
+            center = ratio * (d + 0.5)
+            xmin = max(0, int(center - support + 0.5))
+            xmax = min(in_size, int(center + support + 0.5))
+            taps = np.arange(xmin, xmax)
+            weights = np.maximum(0.0, 1.0 - np.abs((taps + 0.5 - center) / filt))
+            s = weights.sum()
+            if s > 0:
+                W[d, taps] = weights / s
+            else:
+                W[d, min(max(int(center), 0), in_size - 1)] = 1.0
+    else:
+        for d in range(out_size):
+            src = (d + 0.5) * ratio - 0.5
+            x0 = int(np.floor(src))
+            frac = src - x0
+            for t, wgt in ((x0, 1 - frac), (x0 + 1, frac)):
+                W[d, min(max(t, 0), in_size - 1)] += wgt
+    return W
+
+
+def bilinear_resize_hw(
+    x: jnp.ndarray, out_hw: tuple[int, int], antialias: bool = False
+) -> jnp.ndarray:
+    """Resize (..., H, W, C) maps with torch-bilinear semantics as two small
+    matmuls (static shapes => matrices are trace-time constants on the MXU)."""
+    H, W = x.shape[-3], x.shape[-2]
+    h, w = out_hw
+    if (H, W) == (h, w):
+        return x
+    Wy = jnp.asarray(_bilinear_matrix(H, h, antialias), dtype=jnp.float32)
+    Wx = jnp.asarray(_bilinear_matrix(W, w, antialias), dtype=jnp.float32)
+    y = jnp.einsum("ym,...mwc->...ywc", Wy, x.astype(jnp.float32))
+    y = jnp.einsum("xn,...ync->...yxc", Wx, y)
+    return y.astype(x.dtype)
+
+
 def _unnormalize_coord(g: jnp.ndarray, size: int) -> jnp.ndarray:
     """grid_sample align_corners=False: g in [-1,1] -> pixel coord."""
     return ((g + 1.0) * size - 1.0) / 2.0

@@ -156,11 +156,16 @@ class OfflineChunkCreator:
             moge_depth = self.moge.infer_depth(images[0])  # (H, W)
             mask0 = host["mask0"]
             ratio = moge_depth[mask0] / np.maximum(host["depth0"][mask0], 1e-9)
-            if ratio.size:
+            # MoGe returns inf outside its validity mask; median over finite
+            # ratios only, and skip scaling when too few pixels agree
+            ratio = ratio[np.isfinite(ratio)]
+            if ratio.size >= 10:
                 scale_factor = float(np.median(ratio))
                 points_kp *= scale_factor
                 local_kp *= scale_factor
                 poses[:, :3, 3] *= scale_factor
+            else:
+                print("   metric scale skipped: too few valid MoGe/Pi3 depth pairs")
 
         poses_cw = np.asarray(se3_inverse(jnp.asarray(poses))).astype(np.float32)
 

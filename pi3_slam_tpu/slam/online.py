@@ -98,7 +98,8 @@ class Pi3SLAMOnline:
                 depth = self.moge.infer_depth(batch["images"][0])
                 mask0 = host["mask0"]
                 ratio = depth[mask0] / np.maximum(host["depth0"][mask0], 1e-9)
-                if ratio.size:
+                ratio = ratio[np.isfinite(ratio)]
+                if ratio.size >= 10:
                     s = float(np.median(ratio))
                     points_kp *= s
                     poses[:, :3, 3] *= s
