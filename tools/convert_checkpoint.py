@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Convert reference torch checkpoints to pi3_slam_tpu .npz parameter files.
+
+Usage (on a machine with network/checkpoint access):
+
+  # Pi3 (HF hub yyfz233/Pi3 or a local safetensors/.pt file)
+  python tools/convert_checkpoint.py --model pi3 --input yyfz233/Pi3 --output pi3.npz
+  python tools/convert_checkpoint.py --model pi3 --input model.safetensors --output pi3.npz
+
+  # MoGe-2 (HF hub Ruicheng/moge-2-vits-normal or a local model.pt)
+  python tools/convert_checkpoint.py --model moge --input Ruicheng/moge-2-vits-normal --output moge.npz
+
+The .npz then feeds --model-path / --moge-path of the pipeline CLIs. Only
+numpy + safetensors/torch are needed for local files; HF hub ids additionally
+need huggingface_hub + network access.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_torch_file(path: str):
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path), None
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(data, dict) and "model" in data and "model_config" in data:
+        sd = {k: v.numpy() for k, v in data["model"].items()}
+        return sd, data["model_config"]
+    sd = data.get("state_dict", data) if isinstance(data, dict) else data
+    return {k: v.numpy() for k, v in sd.items()}, None
+
+
+def _resolve(path_or_repo: str, model: str) -> str:
+    if os.path.exists(path_or_repo):
+        return path_or_repo
+    from huggingface_hub import hf_hub_download
+
+    filename = "model.safetensors" if model == "pi3" else "model.pt"
+    return hf_hub_download(repo_id=path_or_repo, filename=filename)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", choices=["pi3", "moge"], required=True)
+    parser.add_argument("--input", required=True, help="Local checkpoint file or HF repo id")
+    parser.add_argument("--output", required=True, help="Output .npz path")
+    args = parser.parse_args(argv)
+
+    from pi3_slam_tpu.models.convert import (
+        convert_pi3_state_dict,
+        convert_moge_state_dict,
+        save_params_npz,
+    )
+
+    path = _resolve(args.input, args.model)
+    sd, model_config = _load_torch_file(path)
+    print(f"loaded {len(sd)} tensors from {path}")
+
+    if args.model == "pi3":
+        params = convert_pi3_state_dict(sd)
+    else:
+        if model_config is None:
+            raise SystemExit("MoGe checkpoint must carry model_config (expected model.pt format)")
+        params = convert_moge_state_dict(sd, model_config)
+
+    save_params_npz(args.output, params)
+    n = sum(
+        int(np.asarray(a).size)
+        for a in _iter_arrays(params)
+    )
+    print(f"wrote {args.output} ({n/1e6:.1f}M params)")
+    return 0
+
+
+def _iter_arrays(node):
+    if isinstance(node, dict):
+        for v in node.values():
+            yield from _iter_arrays(v)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            yield from _iter_arrays(v)
+    elif node is not None and not isinstance(node, str):
+        arr = np.asarray(node)
+        if arr.dtype.kind in "fiu":
+            yield arr
+
+
+if __name__ == "__main__":
+    sys.exit(main())
