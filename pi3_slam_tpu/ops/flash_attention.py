@@ -51,24 +51,28 @@ def blockwise_attention(
     vb = v.reshape(B, nb, block_size, H, D).transpose(1, 0, 2, 3, 4)
     kv_valid = (jnp.arange(Tp).reshape(nb, block_size) < T)
 
-    q32 = q.astype(jnp.float32) * scale
+    # keep matmul inputs in the compute dtype (bf16 hits the full MXU rate);
+    # accumulate in fp32 via preferred_element_type
+    q_scaled = q * jnp.asarray(scale, q.dtype)
 
     def body(carry, blk):
         acc, row_max, row_sum = carry
         kblk, vblk, valid = blk
         logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q32, kblk.astype(jnp.float32)
-        )  # (B, H, Tq, bs)
+            "bqhd,bkhd->bhqk", q_scaled, kblk, preferred_element_type=jnp.float32
+        )  # (B, H, Tq, bs) fp32
         logits = jnp.where(valid[None, None, None, :], logits, -jnp.inf)
         blk_max = jnp.max(logits, axis=-1)  # (B, H, Tq)
         new_max = jnp.maximum(row_max, blk_max)
         # guard fully-masked rows (all -inf)
         new_max_safe = jnp.where(jnp.isfinite(new_max), new_max, 0.0)
         correction = jnp.exp(row_max - new_max_safe)
-        p = jnp.exp(logits - new_max_safe[..., None])  # (B, H, Tq, bs)
+        p = jnp.exp(logits - new_max_safe[..., None])  # (B, H, Tq, bs) fp32
         blk_sum = jnp.sum(p, axis=-1)
         new_sum = row_sum * correction + blk_sum
-        pv = jnp.einsum("bhqk,bkhd->bqhd", p, vblk.astype(jnp.float32))
+        pv = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(q.dtype), vblk, preferred_element_type=jnp.float32
+        )
         new_acc = acc * correction.transpose(0, 2, 1)[..., None] + pv
         return (new_acc, new_max, new_sum), None
 
