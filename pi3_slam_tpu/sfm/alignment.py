@@ -51,31 +51,29 @@ def find_common_tracks(
     quantize_px: float = 0.25,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Match tracks owned by shared (same-named) frames at the same keypoint
-    position. Returns (ref_track_idx, query_track_idx) arrays."""
-    name_to_ref_frame = {n: i for i, n in enumerate(ref.frame_names)}
-    shared = [
-        (name_to_ref_frame[n], j)
-        for j, n in enumerate(query.frame_names)
-        if n in name_to_ref_frame
-    ]
-    if not shared:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    position. Returns (ref_track_idx, query_track_idx) arrays.
 
-    ref_ids: List[int] = []
-    query_ids: List[int] = []
-    for fr, fq in shared:
-        ref_rows = np.nonzero((ref.track_frame == fr) & (ref.track_valid > 0))[0]
-        q_rows = np.nonzero((query.track_frame == fq) & (query.track_valid > 0))[0]
-        key_ref = {
-            (round(float(u) / quantize_px), round(float(v) / quantize_px)): t
-            for t, (u, v) in zip(ref_rows, ref.track_uv[ref_rows])
-        }
-        for t, (u, v) in zip(q_rows, query.track_uv[q_rows]):
-            k = (round(float(u) / quantize_px), round(float(v) / quantize_px))
-            if k in key_ref:
-                ref_ids.append(int(key_ref[k]))
-                query_ids.append(int(t))
-    return np.asarray(ref_ids, np.int64), np.asarray(query_ids, np.int64)
+    Dispatches to the native sfmcore hash join (cpp/sfmcore.cpp) with a
+    numpy fallback.
+    """
+    from .native import match_tracks
+
+    name_to_ref_frame = {n: i for i, n in enumerate(ref.frame_names)}
+    frame_map = np.full(query.num_frames, -1, np.int32)
+    for j, n in enumerate(query.frame_names):
+        frame_map[j] = name_to_ref_frame.get(n, -1)
+    if (frame_map < 0).all():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return match_tracks(
+        ref.track_frame,
+        ref.track_uv,
+        ref.track_valid,
+        query.track_frame,
+        query.track_uv,
+        query.track_valid,
+        frame_map,
+        quantize=quantize_px,
+    )
 
 
 def apply_sim3_to_reconstruction(recon: ChunkReconstruction, s: Sim3) -> None:

@@ -162,24 +162,41 @@ def build_chunk_reconstruction(
     obs_uv[:, 0] = track_uv
     obs_valid[:, 0] = 1.0
 
+    cand_table = np.full((N, M - 1), -1, np.int32)
     for f in range(N):
         cand = _candidate_frames(f, N, M)
-        if cand.size == 0:
-            continue
-        X = pts[f]  # (K, 3) world points of this frame's tracks
-        # project into all candidate frames at once: (C, K, 3)
-        xc = np.einsum("cij,ckj->cki", R_cw[cand], X[None] - centers[cand][:, None])
-        z = xc[..., 2]
-        z_safe = np.where(np.abs(z) < 1e-12, 1e-12, z)
-        u = intr[cand, 0][:, None] * xc[..., 0] / z_safe + intr[cand, 2][:, None]
-        v = intr[cand, 1][:, None] * xc[..., 1] / z_safe + intr[cand, 3][:, None]
-        inb = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-        rows = slice(f * K, (f + 1) * K)
-        c = cand.size
-        obs_frame[rows, 1 : 1 + c] = cand[None, :]
-        obs_uv[rows, 1 : 1 + c, 0] = u.T
-        obs_uv[rows, 1 : 1 + c, 1] = v.T
-        obs_valid[rows, 1 : 1 + c] = inb.T.astype(np.float64)
+        cand_table[f, : cand.size] = cand
+
+    from .native import build_observations as native_build_observations
+
+    obs_uv32 = np.ascontiguousarray(obs_uv, np.float32)
+    obs_valid32 = np.ascontiguousarray(obs_valid, np.float32)
+    used_native = native_build_observations(
+        pts.reshape(T, 3), R_cw, centers, intr, cand_table, K,
+        width, height, obs_frame, obs_uv32, obs_valid32,
+    )
+    if used_native:
+        obs_uv = obs_uv32.astype(np.float64)
+        obs_valid = obs_valid32.astype(np.float64)
+    else:
+        for f in range(N):
+            cand = cand_table[f][cand_table[f] >= 0]
+            if cand.size == 0:
+                continue
+            X = pts[f]  # (K, 3) world points of this frame's tracks
+            # project into all candidate frames at once: (C, K, 3)
+            xc = np.einsum("cij,ckj->cki", R_cw[cand], X[None] - centers[cand][:, None])
+            z = xc[..., 2]
+            z_safe = np.where(np.abs(z) < 1e-12, 1e-12, z)
+            u = intr[cand, 0][:, None] * xc[..., 0] / z_safe + intr[cand, 2][:, None]
+            v = intr[cand, 1][:, None] * xc[..., 1] / z_safe + intr[cand, 3][:, None]
+            inb = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+            rows = slice(f * K, (f + 1) * K)
+            c = cand.size
+            obs_frame[rows, 1 : 1 + c] = cand[None, :]
+            obs_uv[rows, 1 : 1 + c, 0] = u.T
+            obs_uv[rows, 1 : 1 + c, 1] = v.T
+            obs_valid[rows, 1 : 1 + c] = inb.T.astype(np.float64)
 
     recon = ChunkReconstruction(
         frame_names=names,
