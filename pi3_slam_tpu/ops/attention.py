@@ -46,3 +46,16 @@ def sdpa_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def attention_score_matrix(
+    q: jnp.ndarray, k: jnp.ndarray, frame_num: int, token_length: int
+) -> jnp.ndarray:
+    """Frame-to-frame attention score diagnostic (get_attn_score,
+    pi3/models/layers/attention.py:349-368): head-summed raw scores averaged
+    over token blocks -> (B, frame_num, frame_num) frame affinity."""
+    d = q.shape[-1]
+    score = jnp.einsum("bqhd,bkhd->bqk", q * (d**-0.5), k)  # sum over heads
+    b = q.shape[0]
+    score = score.reshape(b, frame_num, token_length, frame_num, token_length)
+    return jnp.mean(score, axis=(2, 4))

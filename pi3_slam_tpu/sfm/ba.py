@@ -151,11 +151,56 @@ def _cost(p: BAProblem, huber_delta: float) -> jnp.ndarray:
     return cost
 
 
+def _anchor_rays(p: BAProblem):
+    """Per-track anchor ray from the owner-frame keypoint observation.
+
+    Returns (u_dir (T,3) world-frame unit bearing, rho (T,) current inverse
+    depth along the ray, c_a (T,3) anchor centers).
+    """
+    anchor = p.obs_frame[:, 0]
+    c_a = p.centers[anchor]
+    R_a = p.rotations[anchor]  # (T, 3, 3) world->camera
+    intr_a = p.intrinsics[anchor]
+    uv0 = p.obs_uv[:, 0]
+    bx = (uv0[:, 0] - intr_a[:, 2]) / intr_a[:, 0]
+    by = (uv0[:, 1] - intr_a[:, 3]) / intr_a[:, 1]
+    bearing_cam = jnp.stack([bx, by, jnp.ones_like(bx)], axis=-1)
+    bearing_cam = bearing_cam / jnp.linalg.norm(bearing_cam, axis=-1, keepdims=True)
+    u_dir = jnp.einsum("tji,tj->ti", R_a, bearing_cam)  # R_cw^T @ b
+    d = jnp.maximum(jnp.sum((p.points - c_a) * u_dir, axis=-1), 1e-9)
+    return u_dir, 1.0 / d, c_a
+
+
+def snap_points_to_anchor_rays(p: BAProblem) -> BAProblem:
+    """InitializeInverseDepth analog: re-seat every track point on the ray
+    through its detected keypoint at the current depth along that ray."""
+    u_dir, rho, c_a = _anchor_rays(p)
+    return p._replace(points=c_a + u_dir / rho[:, None])
+
+
 @f32_matmul
-def _gn_step(p: BAProblem, huber_delta: float, lm_lambda: jnp.ndarray, fixed_cameras: jnp.ndarray):
-    """One damped GN step. Returns (new_rotations, new_centers, new_points)."""
+def _gn_step(
+    p: BAProblem,
+    huber_delta: float,
+    lm_lambda: jnp.ndarray,
+    fixed_cameras: jnp.ndarray,
+    optimize_focal: bool = False,
+    inverse_depth: bool = False,
+):
+    """One damped GN step.
+
+    Camera dof: 6 (rotation, center) or 7 (+ shared log-focal scale when
+    optimize_focal — PyTheia's OptimizeIntrinsicsType::FOCAL_LENGTH analog).
+    Point dof: 3 (euclidean) or 1 (inverse depth rho along the bearing from
+    the track's owner frame, re-anchored at the current camera each
+    iteration — the fixed-shape analog of use_inverse_depth_parametrization).
+
+    Returns (new_rotations, new_centers, new_points, new_intrinsics).
+    """
     N = p.rotations.shape[0]
     T, M = p.obs_frame.shape
+    DC = 7 if optimize_focal else 6
+    DP = 1 if inverse_depth else 3
 
     rot = p.rotations[p.obs_frame]  # (T, M, 3, 3)
     cen = p.centers[p.obs_frame]  # (T, M, 3)
@@ -185,25 +230,40 @@ def _gn_step(p: BAProblem, huber_delta: float, lm_lambda: jnp.ndarray, fixed_cam
         axis=-2,
     )
 
-    # d x_cam / d (w, dc, dX):  -[x_cam]x | -R | R
+    # d x_cam / d (w, dc):  -[x_cam]x | -R
     Jw = -skew(x_cam)  # (T, M, 3, 3)
     Jc = jnp.concatenate([Jpi @ Jw, Jpi @ (-rot)], axis=-1)  # (T, M, 2, 6)
-    Jp = Jpi @ rot  # (T, M, 2, 3)
+    if optimize_focal:
+        # focal parametrized multiplicatively: f' = f exp(s); d u/d s = fx x/z
+        Jf = jnp.stack([fx * x_cam[..., 0] / z, fy * x_cam[..., 1] / z], axis=-1)
+        Jc = jnp.concatenate([Jc, Jf[..., None]], axis=-1)  # (T, M, 2, 7)
+
+    JpX = Jpi @ rot  # (T, M, 2, 3) d uv / d X
+    if inverse_depth:
+        # bearing anchored on the OBSERVED feature in the owner frame (slot 0),
+        # like PyTheia's inverse-depth parametrization: the ray direction comes
+        # from unprojecting the detected keypoint, so points move with their
+        # anchor camera and only the depth along the ray is optimized.
+        u_dir, rho, c_a = _anchor_rays(p)
+        dX_drho = (-u_dir / (rho**2)[:, None])  # (T, 3)
+        Jp = jnp.einsum("tmij,tj->tmi", JpX, dX_drho)[..., None]  # (T, M, 2, 1)
+    else:
+        Jp = JpX  # (T, M, 2, 3)
 
     wJc = w[..., None, None] * Jc
     # camera blocks, accumulated per frame
-    Hcc_obs = jnp.einsum("tmki,tmkj->tmij", wJc, Jc)  # (T, M, 6, 6)
-    bc_obs = -jnp.einsum("tmki,tmk->tmi", wJc, r)  # (T, M, 6)
+    Hcc_obs = jnp.einsum("tmki,tmkj->tmij", wJc, Jc)  # (T, M, DC, DC)
+    bc_obs = -jnp.einsum("tmki,tmk->tmi", wJc, r)  # (T, M, DC)
     flat_f = p.obs_frame.reshape(-1)
-    Hcc = jax.ops.segment_sum(Hcc_obs.reshape(-1, 6, 6), flat_f, num_segments=N)
-    bc = jax.ops.segment_sum(bc_obs.reshape(-1, 6), flat_f, num_segments=N)
+    Hcc = jax.ops.segment_sum(Hcc_obs.reshape(-1, DC, DC), flat_f, num_segments=N)
+    bc = jax.ops.segment_sum(bc_obs.reshape(-1, DC), flat_f, num_segments=N)
 
     # point blocks per track
     wJp = w[..., None, None] * Jp
-    Hpp = jnp.einsum("tmki,tmkj->tij", wJp, Jp)  # (T, 3, 3)
-    bp = -jnp.einsum("tmki,tmk->ti", wJp, r)  # (T, 3)
+    Hpp = jnp.einsum("tmki,tmkj->tij", wJp, Jp)  # (T, DP, DP)
+    bp = -jnp.einsum("tmki,tmk->ti", wJp, r)  # (T, DP)
 
-    # camera-point coupling per observation: (T, M, 6, 3)
+    # camera-point coupling per observation: (T, M, DC, DP)
     Hcp = jnp.einsum("tmki,tmkj->tmij", wJc, Jp)
 
     # pose priors -> camera diagonal blocks
@@ -211,9 +271,9 @@ def _gn_step(p: BAProblem, huber_delta: float, lm_lambda: jnp.ndarray, fixed_cam
     dc_prior = p.centers - p.prior_centers
     eye3 = jnp.eye(3)
     Hcc = Hcc.at[:, :3, :3].add(p.prior_rot_weight[:, None, None] * eye3)
-    Hcc = Hcc.at[:, 3:, 3:].add(p.prior_pos_weight[:, None, None] * eye3)
+    Hcc = Hcc.at[:, 3:6, 3:6].add(p.prior_pos_weight[:, None, None] * eye3)
     bc = bc.at[:, :3].add(-p.prior_rot_weight[:, None] * dr_prior)
-    bc = bc.at[:, 3:].add(-p.prior_pos_weight[:, None] * dc_prior)
+    bc = bc.at[:, 3:6].add(-p.prior_pos_weight[:, None] * dc_prior)
 
     # Levenberg-Marquardt damping (additive, scaled by diagonal magnitude)
     diag_c = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
@@ -223,57 +283,66 @@ def _gn_step(p: BAProblem, huber_delta: float, lm_lambda: jnp.ndarray, fixed_cam
 
     # guard: tracks with no valid observations get identity Hpp (delta stays 0)
     track_has_obs = jnp.sum(w, axis=1) > 0
-    Hpp = jnp.where(track_has_obs[:, None, None], Hpp, jnp.eye(3))
-    Hpp_inv = jnp.linalg.inv(Hpp)  # (T, 3, 3)
+    Hpp = jnp.where(track_has_obs[:, None, None], Hpp, jnp.eye(DP))
+    Hpp_inv = jnp.linalg.inv(Hpp)  # (T, DP, DP)
 
     # Schur complement on cameras: S = Hcc - sum_t Hcp Hpp^-1 Hpc.
     # Accumulated with a scan over the first observation slot so the pairwise
-    # coupling tensor is never materialized at (T, M, M, 6, 6).
-    Y = jnp.einsum("tmij,tjk->tmik", Hcp, Hpp_inv)  # (T, M, 6, 3)
+    # coupling tensor is never materialized at (T, M, M, DC, DC).
+    Y = jnp.einsum("tmij,tjk->tmik", Hcp, Hpp_inv)  # (T, M, DC, DP)
 
     def schur_slot(S_acc, slot):
-        Ym1, f1 = slot  # (T, 6, 3), (T,)
-        contrib = jnp.einsum("tij,tmkj->tmik", Ym1, Hcp)  # (T, M, 6, 6)
+        Ym1, f1 = slot  # (T, DC, DP), (T,)
+        contrib = jnp.einsum("tij,tmkj->tmik", Ym1, Hcp)  # (T, M, DC, DC)
         pair_idx = (f1[:, None] * N + p.obs_frame).reshape(-1)
         S_acc = S_acc + jax.ops.segment_sum(
-            contrib.reshape(-1, 6, 6), pair_idx, num_segments=N * N
+            contrib.reshape(-1, DC, DC), pair_idx, num_segments=N * N
         )
         return S_acc, None
 
     S_flat, _ = jax.lax.scan(
         schur_slot,
-        jnp.zeros((N * N, 6, 6)),
+        jnp.zeros((N * N, DC, DC)),
         (Y.transpose(1, 0, 2, 3), p.obs_frame.T),
     )
-    S = -S_flat.reshape(N, N, 6, 6)
+    S = -S_flat.reshape(N, N, DC, DC)
     S = S.at[jnp.arange(N), jnp.arange(N)].add(Hcc)
 
-    yb = jnp.einsum("tmij,tj->tmi", Y, bp)  # (T, M, 6)
-    b_schur = bc - jax.ops.segment_sum(yb.reshape(-1, 6), flat_f, num_segments=N)
+    yb = jnp.einsum("tmij,tj->tmi", Y, bp)  # (T, M, DC)
+    b_schur = bc - jax.ops.segment_sum(yb.reshape(-1, DC), flat_f, num_segments=N)
 
     # fixed cameras: identity rows/cols, zero rhs
     fixc = fixed_cameras  # (N,) float 1 = fixed
     keep = (1.0 - fixc)[:, None]
     b_schur = b_schur * keep
-    mask_rc = keep[:, None, :, None] * keep[None, :, None, :]  # (N, N, 6, 6) via broadcast
+    mask_rc = keep[:, None, :, None] * keep[None, :, None, :]
     S = S * mask_rc
-    S = S.at[jnp.arange(N), jnp.arange(N)].add(jnp.eye(6) * fixc[:, None, None])
+    S = S.at[jnp.arange(N), jnp.arange(N)].add(jnp.eye(DC) * fixc[:, None, None])
 
-    # dense solve on the (6N, 6N) system
-    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
-    delta_c = jnp.linalg.solve(S_dense, b_schur.reshape(-1)).reshape(N, 6)
+    # dense solve on the (DC*N, DC*N) system
+    S_dense = S.transpose(0, 2, 1, 3).reshape(DC * N, DC * N)
+    delta_c = jnp.linalg.solve(S_dense, b_schur.reshape(-1)).reshape(N, DC)
     delta_c = jnp.nan_to_num(delta_c)
 
     # back-substitute points: dX = Hpp^-1 (bp - Hpc dc)
-    dc_per_obs = delta_c[p.obs_frame]  # (T, M, 6)
-    hpc_dc = jnp.einsum("tmij,tmi->tj", Hcp, dc_per_obs)  # (T, 3) sum over obs
+    dc_per_obs = delta_c[p.obs_frame]  # (T, M, DC)
+    hpc_dc = jnp.einsum("tmij,tmi->tj", Hcp, dc_per_obs)  # (T, DP)
     delta_p = jnp.einsum("tij,tj->ti", Hpp_inv, bp - hpc_dc)
     delta_p = jnp.nan_to_num(delta_p) * track_has_obs[:, None]
 
     new_rot = jax.vmap(lambda wv, Rv: so3_exp(wv) @ Rv)(delta_c[:, :3], p.rotations)
-    new_cen = p.centers + delta_c[:, 3:]
-    new_pts = p.points + delta_p
-    return new_rot, new_cen, new_pts
+    new_cen = p.centers + delta_c[:, 3:6]
+    if inverse_depth:
+        rho_new = jnp.maximum(rho + delta_p[:, 0], 1e-9)
+        new_pts = c_a + u_dir / rho_new[:, None]
+    else:
+        new_pts = p.points + delta_p
+    if optimize_focal:
+        scale = jnp.exp(jnp.clip(delta_c[:, 6], -0.2, 0.2))
+        new_intr = p.intrinsics.at[:, 0].mul(scale).at[:, 1].mul(scale)
+    else:
+        new_intr = p.intrinsics
+    return new_rot, new_cen, new_pts, new_intr
 
 
 def bundle_adjust(
@@ -282,19 +351,28 @@ def bundle_adjust(
     huber_delta: float = 2.0,
     init_lambda: float = 1e-4,
     fixed_cameras: jnp.ndarray | None = None,
+    optimize_focal: bool = False,
+    use_inverse_depth: bool = False,
 ) -> BAProblem:
     """Run LM-damped Gauss-Newton BA; returns the problem with updated
-    rotations/centers/points. Jit-friendly (fixed iteration count; step
-    acceptance via jnp.where)."""
+    rotations/centers/points (and intrinsics when optimize_focal). Jit-friendly
+    (fixed iteration count; step acceptance via jnp.where)."""
     N = problem.rotations.shape[0]
     fixc = (
         jnp.zeros((N,), jnp.float32) if fixed_cameras is None else jnp.asarray(fixed_cameras, jnp.float32)
     )
+    if use_inverse_depth:
+        problem = snap_points_to_anchor_rays(problem)
 
     def body(carry, _):
         prob, lam, cost = carry
-        new_rot, new_cen, new_pts = _gn_step(prob, huber_delta, lam, fixc)
-        cand = prob._replace(rotations=new_rot, centers=new_cen, points=new_pts)
+        new_rot, new_cen, new_pts, new_intr = _gn_step(
+            prob, huber_delta, lam, fixc,
+            optimize_focal=optimize_focal, inverse_depth=use_inverse_depth,
+        )
+        cand = prob._replace(
+            rotations=new_rot, centers=new_cen, points=new_pts, intrinsics=new_intr
+        )
         new_cost = _cost(cand, huber_delta)
         accept = new_cost < cost
         prob = jax.tree.map(

@@ -80,6 +80,7 @@ class ChunkReconstruction:
         self.centers = np.asarray(p.centers)
         self.points = np.asarray(p.points)
         self.track_valid = np.asarray(p.track_valid)
+        self.intrinsics = np.asarray(p.intrinsics)
 
 
 def _intrinsics_to_fxfycxcy(K: np.ndarray) -> np.ndarray:
@@ -113,6 +114,8 @@ def build_chunk_reconstruction(
     huber_delta: float = 2.0,
     prune_max_reproj_px: float = 2.0,
     prune_min_tri_angle_deg: float = 0.25,
+    use_inverse_depth: bool = False,
+    optimize_focal: bool = False,
 ) -> ChunkReconstruction:
     """Build (and optionally bundle-adjust) a reconstruction from chunk data.
 
@@ -218,7 +221,10 @@ def build_chunk_reconstruction(
 
     if run_ba:
         prob = recon.to_problem()
-        prob = _jit_bundle_adjust(prob, ba_iterations, huber_delta)
+        prob = _jit_bundle_adjust(
+            prob, ba_iterations, huber_delta,
+            optimize_focal=optimize_focal, use_inverse_depth=use_inverse_depth,
+        )
         new_valid = prune_outlier_tracks(prob, prune_max_reproj_px, prune_min_tri_angle_deg)
         prob = prob._replace(track_valid=new_valid)
         recon.update_from_problem(prob)
@@ -228,12 +234,24 @@ def build_chunk_reconstruction(
 _BA_CACHE: dict = {}
 
 
-def _jit_bundle_adjust(prob: BAProblem, iterations: int, huber_delta: float) -> BAProblem:
-    """Dispatch to a cached jitted BA for the (iterations, huber) config."""
-    key = (iterations, float(huber_delta))
+def _jit_bundle_adjust(
+    prob: BAProblem,
+    iterations: int,
+    huber_delta: float,
+    optimize_focal: bool = False,
+    use_inverse_depth: bool = False,
+) -> BAProblem:
+    """Dispatch to a cached jitted BA for the solver configuration."""
+    key = (iterations, float(huber_delta), optimize_focal, use_inverse_depth)
     if key not in _BA_CACHE:
         _BA_CACHE[key] = jax.jit(
-            lambda p: bundle_adjust(p, iterations=iterations, huber_delta=huber_delta)
+            lambda p: bundle_adjust(
+                p,
+                iterations=iterations,
+                huber_delta=huber_delta,
+                optimize_focal=optimize_focal,
+                use_inverse_depth=use_inverse_depth,
+            )
         )
     return _BA_CACHE[key](prob)
 

@@ -45,8 +45,9 @@ class ReconstructorConfig:
     overlap: Optional[int] = None
     max_observations_per_track: int = 10
     use_inverse_depth: bool = False
+    optimize_focal: bool = False
     ba_iterations: int = 10
-    save_debug: bool = False
+    save_debug: bool = False  # also saves per-chunk recon_XXXXXX.npz (.sfm analog)
 
 
 @dataclass

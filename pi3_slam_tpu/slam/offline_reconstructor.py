@@ -80,10 +80,17 @@ class OfflineReconstructor:
                 chunk,
                 max_observations_per_track=self.config.max_observations_per_track,
                 ba_iterations=self.config.ba_iterations,
+                use_inverse_depth=self.config.use_inverse_depth,
             )
             dt = time.time() - t0
             n = recon.num_frames
             print(f"  chunk {i}: recon {n} frames in {dt:.2f}s ({n/dt:.1f} FPS)")
+            if self.config.save_debug:
+                from ..sfm.serialization import save_reconstruction
+
+                save_reconstruction(
+                    recon, os.path.join(self.output_dir, f"recon_{i:06d}.npz")
+                )
             if recons:
                 res = align_chunks(recons[-1], recon)
                 align_stats.append(res)

@@ -17,6 +17,8 @@ def main(argv=None):
     parser.add_argument("--max-observations-per-track", type=int, default=5)
     parser.add_argument("--use-inverse-depth", action="store_true")
     parser.add_argument("--ba-iterations", type=int, default=10)
+    parser.add_argument("--save-per-chunk", action="store_true",
+                        help="Save per-chunk reconstruction .npz files (.sfm analog)")
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.slam import OfflineReconstructor, ReconstructorConfig
@@ -29,6 +31,7 @@ def main(argv=None):
         max_observations_per_track=args.max_observations_per_track,
         use_inverse_depth=args.use_inverse_depth,
         ba_iterations=args.ba_iterations,
+        save_debug=args.save_per_chunk,
     )
     OfflineReconstructor(config).run()
     return 0
