@@ -36,11 +36,16 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
                     estimate_intrinsics: bool):
     """Build the jitted per-chunk device step.
 
-    step(params, images (1,N,3,H,W), keypoints (N,K,2)) -> compact outputs.
+    step(params, images (B,N,3,H,W), keypoints (B,N,K,2)) -> compact outputs
+    with a leading chunk-batch dim B. B > 1 is the chunk-data-parallel path:
+    shard B over the mesh's dp axis and every chunk runs on its own devices.
+    For the common single-chunk call, pass keypoints as (N,K,2) and outputs
+    drop the batch dim.
     """
 
-    def step(params, images, keypoints):
-        out = pi3_forward(params, images, cfg, compute_dtype=compute_dtype)
+    def single(params, images, keypoints):
+        # images (N, 3, H, W); keypoints (N, K, 2)
+        out = pi3_forward(params, images[None], cfg, compute_dtype=compute_dtype)
         local = out["local_points"][0]  # (N, H, W, 3)
         world = out["points"][0]
         conf = out["conf"][0]  # (N, H, W, 1)
@@ -59,7 +64,7 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             masks[..., None].astype(jnp.float32), keypoints, mode="nearest"
         )[..., 0] > 0.5
         colors_kp = grid_sample_frames(
-            images[0].transpose(0, 2, 3, 1), keypoints, mode="bilinear"
+            images.transpose(0, 2, 3, 1), keypoints, mode="bilinear"
         )
 
         result = {
@@ -79,7 +84,39 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             result["shift"] = cam["shift"]
         return result
 
+    def step(params, images, keypoints):
+        if images.ndim == 5 and keypoints.ndim == 3:
+            # legacy single-chunk call: (1, N, 3, H, W) + (N, K, 2)
+            return single(params, images[0], keypoints)
+        return jax.vmap(single, in_axes=(None, 0, 0))(params, images, keypoints)
+
     return jax.jit(step)
+
+
+def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float,
+                            edge_rtol: float, estimate_intrinsics: bool, mesh):
+    """Chunk-data-parallel step over a device mesh: the (B, ...) chunk batch
+    is sharded on the mesh's dp axis, parameters on tp (see parallel/mesh.py).
+
+    Returns (step_fn, shard_params_fn).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import pi3_param_shardings
+
+    base = make_chunk_step(cfg, compute_dtype, conf_threshold, edge_rtol, estimate_intrinsics)
+
+    def shard_params(params):
+        return jax.device_put(params, pi3_param_shardings(params, mesh))
+
+    dp = NamedSharding(mesh, P("dp"))
+
+    def step(params, images, keypoints):
+        images = jax.device_put(images, dp)
+        keypoints = jax.device_put(keypoints, dp)
+        return base(params, images, keypoints)
+
+    return step, shard_params
 
 
 class OfflineChunkCreator:

@@ -1,0 +1,53 @@
+"""Chunk-data-parallel step on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pi3_slam_tpu.parallel import make_mesh
+from pi3_slam_tpu.slam.chunk_creator import make_chunk_step, make_sharded_chunk_step
+from test_pi3_model import TINY, make_tiny_params
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_chunk_step_matches_single(rng):
+    params = make_tiny_params()
+    B, N, H, W, K = 4, 2, 28, 28, 12
+    images = rng.uniform(size=(B, N, 3, H, W)).astype(np.float32)
+    kps = rng.uniform(3, 24, size=(B, N, K, 2)).astype(np.float32)
+
+    step = make_chunk_step(TINY, jnp.float32, 0.1, 0.03, False)
+    ref = step(params, jnp.asarray(images), jnp.asarray(kps))
+
+    mesh = make_mesh(4, 2)
+    sstep, shard_params = make_sharded_chunk_step(TINY, jnp.float32, 0.1, 0.03, False, mesh)
+    sp = shard_params(params)
+    out = sstep(sp, jnp.asarray(images), jnp.asarray(kps))
+
+    np.testing.assert_allclose(
+        np.asarray(out["points_kp"]), np.asarray(ref["points_kp"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["camera_poses"]), np.asarray(ref["camera_poses"]), atol=2e-4
+    )
+    assert out["points_kp"].shape == (B, N, K, 3)
+
+
+def test_batched_chunk_step_consistent_with_single(rng):
+    """(B, ...) batched call agrees with per-chunk single calls."""
+    params = make_tiny_params()
+    B, N, H, W, K = 2, 2, 28, 28, 9
+    images = rng.uniform(size=(B, N, 3, H, W)).astype(np.float32)
+    kps = rng.uniform(3, 24, size=(B, N, K, 2)).astype(np.float32)
+    step = make_chunk_step(TINY, jnp.float32, 0.1, 0.03, True)
+
+    batched = step(params, jnp.asarray(images), jnp.asarray(kps))
+    for b in range(B):
+        one = step(params, jnp.asarray(images[b : b + 1]), jnp.asarray(kps[b]))
+        np.testing.assert_allclose(
+            np.asarray(batched["points_kp"][b]), np.asarray(one["points_kp"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["intrinsics"][b]), np.asarray(one["intrinsics"]), atol=1e-3
+        )
