@@ -33,7 +33,7 @@ from .config import OfflineCreatorConfig
 
 
 def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_rtol: float,
-                    estimate_intrinsics: bool):
+                    estimate_intrinsics: bool, return_dense: bool = False):
     """Build the jitted per-chunk device step.
 
     step(params, images (B,N,3,H,W), keypoints (B,N,K,2)) -> compact outputs
@@ -82,6 +82,11 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             result["intrinsics"] = cam["intrinsics"]
             result["focal"] = cam["focal"]
             result["shift"] = cam["shift"]
+        if return_dense:
+            result["points_dense"] = world.astype(jnp.float16)
+            result["local_points_dense"] = local.astype(jnp.float16)
+            result["conf_dense"] = conf.astype(jnp.float16)
+            result["masks_dense"] = masks
         return result
 
     def step(params, images, keypoints):
@@ -159,7 +164,8 @@ class OfflineChunkCreator:
         self._step_cache: Dict[tuple, callable] = {}
 
     def _get_step(self):
-        key = (self.config.conf_threshold, self.config.depth_edge_rtol)
+        dense = self.config.keypoint_type == "none"
+        key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense)
         if key not in self._step_cache:
             self._step_cache[key] = make_chunk_step(
                 self.pi3_config,
@@ -167,13 +173,24 @@ class OfflineChunkCreator:
                 self.config.conf_threshold,
                 self.config.depth_edge_rtol,
                 self.config.estimate_camera_params,
+                return_dense=dense,
             )
         return self._step_cache[key]
 
     def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
-        """One chunk: device step + metric scale + fp16 compaction."""
+        """One chunk: device step + metric scale + fp16 compaction.
+
+        keypoint_type 'none' stores dense fp16 maps instead of keypoint-sparse
+        arrays (the reference's no-extractor path,
+        slam/offline_chunk_creator.py:223-243 falls through to dense).
+        """
         N, _, H, W = images.shape
-        kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
+        if self.config.keypoint_type == "none":
+            # a minimal single-point 'grid' keeps the device step shape-stable;
+            # dense maps are exported instead of the sparse arrays below
+            kp = np.array([[W / 2.0, H / 2.0]], dtype=np.float32)
+        else:
+            kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
         kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
 
         step = self._get_step()
@@ -224,6 +241,21 @@ class OfflineChunkCreator:
             result["metric_scale"] = np.float32(scale_factor)
         if "intrinsics" in host:
             result["intrinsics"] = host["intrinsics"].astype(np.float32)
+        for dense_key in ("points_dense", "local_points_dense", "conf_dense", "masks_dense"):
+            if dense_key in host:
+                arr = host[dense_key]
+                if scale_factor is not None and dense_key in ("points_dense", "local_points_dense"):
+                    arr = (arr.astype(np.float32) * scale_factor).astype(np.float16)
+                result[dense_key] = arr
+        return result
+
+    def _process_dense_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
+        """keypoints='none': store dense per-pixel maps (no tracks — the
+        reference's no-extractor path keeps dense maps in the chunk)."""
+        result = self._process_single_chunk(images, paths)
+        for key in ("points", "local_points", "conf", "masks", "keypoints", "colors"):
+            result.pop(key, None)
+        result["dense"] = np.bool_(True)
         return result
 
     def process_and_save(self, image_paths: List) -> List[str]:
@@ -246,7 +278,10 @@ class OfflineChunkCreator:
         print(f"Processing {len(dataset)} chunks...")
         for batch in loader:
             chunk_idx = batch["chunk_idx"]
-            result = self._process_single_chunk(batch["images"], batch["paths"])
+            if self.config.keypoint_type == "none":
+                result = self._process_dense_chunk(batch["images"], batch["paths"])
+            else:
+                result = self._process_single_chunk(batch["images"], batch["paths"])
             m = result.pop("_metrics")
             infer_times.append(m["infer_s"])
             infer_frames.append(m["num_frames"])

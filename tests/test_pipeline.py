@@ -132,3 +132,28 @@ def test_cli_argument_errors(tmp_path):
 
     rc = ocli.main(["--output", str(tmp_path)])  # neither images nor video
     assert rc == 2
+
+
+def test_dense_chunks_keypoints_none(image_dir, tmp_path):
+    out = str(tmp_path / "dense_out")
+    cfg = OfflineCreatorConfig(
+        output_dir=out,
+        chunk_length=4,
+        overlap=2,
+        pixel_limit=4000,
+        use_metric_depth=False,
+        keypoint_type="none",
+        compute_dtype="float32",
+    )
+    creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+    creator.params = make_tiny_params()
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:4]
+    saved = creator.process_and_save(paths)
+    z = np.load(saved[0])
+    assert bool(z["dense"])
+    assert "points_dense" in z.files and z["points_dense"].dtype == np.float16
+    assert z["points_dense"].shape[0] == 4  # N frames, dense H x W x 3
+    assert z["points_dense"].ndim == 4
+    assert "keypoints" not in z.files
