@@ -56,6 +56,7 @@ def main(argv=None):
     parser.add_argument("--skip-end", type=int, default=0)
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--resume", action="store_true", help="Skip chunks already on disk")
     args = parser.parse_args(argv)
 
     paths = collect_image_paths(args.images, args.skip_start, args.skip_end)
@@ -80,6 +81,7 @@ def main(argv=None):
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,
         num_loader_workers=args.num_workers,
+        resume=args.resume,
     )
     creator = OfflineChunkCreator(config)
     creator.process_and_save(paths)

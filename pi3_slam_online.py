@@ -92,7 +92,16 @@ def main(argv=None):
     slam.process_image_paths(paths)
     os.makedirs(args.output, exist_ok=True)
     slam.save_final_result(os.path.join(args.output, "final_points.ply"))
-    slam.save_trajectory_tum(os.path.join(args.output, "trajectory_tum.txt"))
+    from pi3_slam_tpu.utils.timestamps import extract_timestamps_from_paths
+
+    ts_ns = extract_timestamps_from_paths(paths)
+    name_to_ts = {}
+    for pth, t in zip(paths, ts_ns):
+        nm = f"{pth[0]}#{pth[1]}" if isinstance(pth, tuple) else str(pth)
+        name_to_ts[nm.split("/")[-1]] = t / 1e9
+    slam.save_trajectory_tum(
+        os.path.join(args.output, "trajectory_tum.txt"), name_to_timestamp=name_to_ts
+    )
     return 0
 
 

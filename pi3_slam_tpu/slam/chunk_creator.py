@@ -278,10 +278,30 @@ class OfflineChunkCreator:
         print(f"Processing {len(dataset)} chunks...")
         for batch in loader:
             chunk_idx = batch["chunk_idx"]
-            if self.config.keypoint_type == "none":
-                result = self._process_dense_chunk(batch["images"], batch["paths"])
-            else:
-                result = self._process_single_chunk(batch["images"], batch["paths"])
+            out_name = f"chunk_{chunk_idx:06d}.npz"
+            out_path = os.path.join(self.chunks_dir, out_name)
+            if self.config.resume and os.path.exists(out_path):
+                print(f"   resume: {out_path} exists, skipping")
+                saved.append(out_path)
+                manifest.append(
+                    {
+                        "chunk_index": chunk_idx,
+                        "file": out_name,
+                        "start_idx": batch["start"],
+                        "end_idx": batch["end"],
+                        "num_frames": batch["images"].shape[0],
+                        "image_paths": list(batch["paths"]),
+                    }
+                )
+                continue
+            try:
+                if self.config.keypoint_type == "none":
+                    result = self._process_dense_chunk(batch["images"], batch["paths"])
+                else:
+                    result = self._process_single_chunk(batch["images"], batch["paths"])
+            except Exception as e:  # degrade like the reference: report + skip
+                print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
+                continue
             m = result.pop("_metrics")
             infer_times.append(m["infer_s"])
             infer_frames.append(m["num_frames"])
@@ -290,8 +310,6 @@ class OfflineChunkCreator:
             result["chunk_index"] = chunk_idx
             result["start_idx"] = batch["start"]
             result["end_idx"] = batch["end"]
-            out_name = f"chunk_{chunk_idx:06d}.npz"
-            out_path = os.path.join(self.chunks_dir, out_name)
             np.savez_compressed(out_path, **result)
             saved.append(out_path)
             manifest.append(

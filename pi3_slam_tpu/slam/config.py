@@ -35,6 +35,7 @@ class OfflineCreatorConfig:
     num_loader_workers: int = 2
     conf_threshold: float = 0.1
     depth_edge_rtol: float = 0.03
+    resume: bool = False  # skip chunks whose files already exist
 
 
 @dataclass

@@ -171,9 +171,9 @@ class Pi3SLAMOnline:
 
     # ----- exports (same artifacts as the reference) -----
 
-    def _merged_trajectory(self):
+    def _merged_trajectory(self, return_names: bool = False):
         seen = set()
-        centers, rotations = [], []
+        centers, rotations, names = [], [], []
         for r in self.reconstructions:
             for j, nm in enumerate(r.frame_names):
                 if nm in seen:
@@ -181,6 +181,9 @@ class Pi3SLAMOnline:
                 seen.add(nm)
                 centers.append(r.centers[j])
                 rotations.append(r.rotations[j].T)
+                names.append(nm)
+        if return_names:
+            return np.asarray(centers), np.asarray(rotations), names
         return np.asarray(centers), np.asarray(rotations)
 
     def save_final_result(self, path: str, max_points: Optional[int] = None) -> None:
@@ -191,7 +194,9 @@ class Pi3SLAMOnline:
         write_ply(cloud, color, path, max_points=max_points)
         print(f"Saved {cloud.shape[0]} points -> {path}")
 
-    def save_trajectory_tum(self, path: str, timestamps=None) -> None:
-        centers, rotations = self._merged_trajectory()
+    def save_trajectory_tum(self, path: str, timestamps=None, name_to_timestamp=None) -> None:
+        centers, rotations, names = self._merged_trajectory(return_names=True)
+        if timestamps is None and name_to_timestamp:
+            timestamps = [name_to_timestamp.get(nm, i) for i, nm in enumerate(names)]
         write_tum_trajectory(path, centers, rotations, timestamps=timestamps)
         print(f"Saved trajectory ({len(centers)} poses) -> {path}")
