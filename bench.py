@@ -26,6 +26,10 @@ REFERENCE_FPS = 15.0
 
 def main():
     import jax
+
+    from pi3_slam_tpu.utils.precision import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params

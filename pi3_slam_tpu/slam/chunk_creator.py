@@ -127,6 +127,9 @@ def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float
 class OfflineChunkCreator:
     def __init__(self, config: OfflineCreatorConfig, pi3_config: Pi3Config | None = None):
         self.config = config
+        from ..utils.precision import enable_compilation_cache
+
+        enable_compilation_cache()
         self.pi3_config = pi3_config or Pi3Config()
         self.target_size = None
         self.chunks_dir = os.path.join(config.output_dir, "chunks")

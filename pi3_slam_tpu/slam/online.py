@@ -36,6 +36,9 @@ from .config import OnlineConfig
 class Pi3SLAMOnline:
     def __init__(self, config: OnlineConfig, pi3_config: Pi3Config | None = None):
         self.config = config
+        from ..utils.precision import enable_compilation_cache
+
+        enable_compilation_cache()
         self.pi3_config = pi3_config or Pi3Config()
         dtype_map = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
         self.compute_dtype = dtype_map[config.compute_dtype]

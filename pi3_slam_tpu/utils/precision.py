@@ -38,3 +38,23 @@ def cast_tree_bf16_host(params):
     return jax.tree.map(
         lambda a: np.asarray(a).astype(ml_dtypes.bfloat16), params
     )
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (fresh full-model compiles
+    take minutes through this environment's remote-compile tunnel; cached
+    reloads take seconds)."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "PI3_SLAM_JAX_CACHE", os.path.expanduser("~/.cache/pi3_slam_tpu_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
