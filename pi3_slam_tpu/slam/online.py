@@ -134,9 +134,28 @@ class Pi3SLAMOnline:
 
     # ----- drive loops -----
 
-    def process_image_paths(self, image_paths: List) -> Dict:
+    def process_image_paths_sync(self, image_paths: List) -> Dict:
+        """Synchronous drive mode (the reference's
+        process_chunks_with_background_loader): each chunk is fully processed
+        before the next is dispatched. Simpler; no device/host overlap."""
+        return self.process_image_paths(image_paths, pipelined=False)
+
+    def queue_status(self) -> Dict:
+        """Telemetry snapshot (the reference's queue-status dict,
+        slam/online_reconstructor.py:922-954)."""
+        return {
+            "chunks_consumed": len(self.reconstructions),
+            "alignments": len(self.alignment_results),
+            "alignment_failures": sum(
+                1 for r in self.alignment_results if not r.success
+            ),
+            "timing": self.timing.statistics(),
+        }
+
+    def process_image_paths(self, image_paths: List, pipelined: bool = True) -> Dict:
         """Pipelined streaming: device step k+1 in flight while host finishes
-        chunk k (the reference's producer/consumer overlap, without IPC)."""
+        chunk k (the reference's producer/consumer overlap, without IPC).
+        pipelined=False processes strictly one chunk at a time."""
         target = calculate_target_size(image_paths[0], self.config.pixel_limit)
         print(f"Target size: {target}")
         dataset = ChunkDataset(
@@ -154,6 +173,10 @@ class Pi3SLAMOnline:
         for batch in loader:
             with self.timing.track("dispatch"):
                 nxt = self._dispatch_device(batch)
+            if not pipelined:
+                self._consume(nxt)
+                frames_done += nxt["batch"]["images"].shape[0]
+                continue
             if pending is not None:
                 self._consume(pending)
                 frames_done += pending["batch"]["images"].shape[0]

@@ -157,3 +157,27 @@ def test_dense_chunks_keypoints_none(image_dir, tmp_path):
     assert z["points_dense"].shape[0] == 4  # N frames, dense H x W x 3
     assert z["points_dense"].ndim == 4
     assert "keypoints" not in z.files
+
+
+def test_online_sync_mode_matches_pipelined(image_dir, tmp_path):
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:6]
+    results = []
+    for pipelined in (True, False):
+        cfg = OnlineConfig(
+            chunk_length=3, overlap=1, pixel_limit=4000, use_metric_depth=False,
+            max_keypoints=20, compute_dtype="float32",
+            output_dir=str(tmp_path / f"m{pipelined}"),
+        )
+        slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+        slam.params = make_tiny_params()
+        r = slam.process_image_paths(paths, pipelined=pipelined)
+        results.append((r, slam))
+    assert results[0][0]["num_chunks"] == results[1][0]["num_chunks"]
+    # identical trajectories regardless of drive mode
+    t_a = results[0][1]._merged_trajectory()[0]
+    t_b = results[1][1]._merged_trajectory()[0]
+    np.testing.assert_allclose(t_a, t_b, atol=1e-5)
+    status = results[0][1].queue_status()
+    assert status["chunks_consumed"] == results[0][0]["num_chunks"]
