@@ -11,7 +11,7 @@ Mirrors utils/image_utils.py and pi3/utils/basic.py of the reference:
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

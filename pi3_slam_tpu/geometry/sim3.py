@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from ..utils.precision import f32_matmul
 
-from .transforms import rotation_matrix_to_quaternion, quaternion_to_rotation_matrix
 
 
 class Sim3(NamedTuple):

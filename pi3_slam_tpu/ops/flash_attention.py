@@ -16,8 +16,6 @@ Replaces the reference's torch SDPA flash backend
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ Replaces align_and_refine_reconstructions
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ..data import ChunkDataset, PrefetchLoader, calculate_target_size
 from ..data.undistortion import create_undistorter
-from ..geometry.transforms import se3_inverse
 from ..io.ply import write_ply
 from ..io.tum import write_tum_trajectory
 from ..models import Pi3Config, init_pi3_params

@@ -16,7 +16,6 @@ import csv
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
 
 import numpy as np
 

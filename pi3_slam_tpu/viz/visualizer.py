@@ -9,7 +9,6 @@ interface and activates when the package is importable.
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import numpy as np
