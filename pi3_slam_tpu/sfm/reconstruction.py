@@ -146,6 +146,11 @@ def build_chunk_reconstruction(
     centers = poses[:, :3, 3].copy()
     if "intrinsics" in chunk and chunk["intrinsics"] is not None:
         intr = _intrinsics_to_fxfycxcy(np.asarray(chunk["intrinsics"], np.float64))
+        # the closed-form focal estimator can return negative/degenerate focal
+        # on low-confidence pointmaps; fall back to the default prior per frame
+        bad = (intr[:, 0] <= 1.0) | (intr[:, 1] <= 1.0) | ~np.isfinite(intr[:, :2]).all(1)
+        if bad.any():
+            intr[bad] = _default_intrinsics(int(bad.sum()), width, height)
     else:
         intr = _default_intrinsics(N, width, height)
 

@@ -1,0 +1,49 @@
+"""tools/convert_checkpoint.py CLI flow on a local MoGe model.pt."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_convert_tool_moge_local_file(tmp_path, reference_moge_checkpoint):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
+    import convert_checkpoint
+
+    out = str(tmp_path / "moge.npz")
+    rc = convert_checkpoint.main(
+        ["--model", "moge", "--input", reference_moge_checkpoint, "--output", out]
+    )
+    assert rc == 0
+    from pi3_slam_tpu.models.convert import load_params_npz
+    from pi3_slam_tpu.models.moge_model import MoGeConfig
+
+    params = load_params_npz(out)
+    cfg = MoGeConfig.from_params(params)
+    assert cfg.backbone == "dinov2_vits14"
+
+
+@pytest.fixture(scope="module")
+def reference_moge_checkpoint(tmp_path_factory):
+    """Write a reference-format MoGe model.pt (model + model_config)."""
+    import types
+
+    import torch
+
+    from test_moge_parity import MODEL_CONFIG, REFERENCE_PATH
+
+    if "utils3d" not in sys.modules:
+        stub = types.ModuleType("utils3d")
+        stub.torch = types.SimpleNamespace()
+        sys.modules["utils3d"] = stub
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        from moge.model.v2 import MoGeModel as TorchMoGe
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+    torch.manual_seed(0)
+    m = TorchMoGe(**MODEL_CONFIG)
+    path = str(tmp_path_factory.mktemp("ckpt") / "model.pt")
+    torch.save({"model": m.state_dict(), "model_config": MODEL_CONFIG}, path)
+    return path
