@@ -24,12 +24,18 @@ except ImportError:
 class OnlineVisualizer:
     """Incremental point-cloud/trajectory visualizer.
 
-    update(recon) after each chunk; split current/history layers with
-    subsample caps like the reference (slam/online_reconstructor.py:1490-1625).
+    update(recon) after each chunk is a NON-BLOCKING queue put; a consumer
+    thread drains the queue at ~10 Hz — mirroring the reference's separate
+    visualization process + throttled queue (visualization/visualizer.py:
+    220-242, slam/online_reconstructor.py:1618-1622) without IPC. Split
+    current/history layers with subsample caps (:1490-1625).
     """
 
     def __init__(self, port: int = 8080, max_current_points: int = 200_000,
-                 max_history_points: int = 1_000_000):
+                 max_history_points: int = 1_000_000, threaded: bool = True):
+        import queue
+        import threading
+
         self.port = port
         self.max_current = max_current_points
         self.max_history = max_history_points
@@ -42,6 +48,24 @@ class OnlineVisualizer:
             self._start_server()
         else:
             print(f"viser not available - console visualizer active (port {port} unused)")
+        self._queue = queue.Queue(maxsize=4) if threaded else None
+        self._stop = threading.Event()
+        self._thread = None
+        if threaded:
+            self._thread = threading.Thread(target=self._consume_loop, daemon=True)
+            self._thread.start()
+
+    def _consume_loop(self):
+        import queue as _q
+        import time as _t
+
+        while not self._stop.is_set():
+            try:
+                payload = self._queue.get(timeout=0.1)
+            except _q.Empty:
+                continue
+            self._apply_update(*payload)
+            _t.sleep(0.1)  # ~10 Hz throttle like the reference consumer
 
     def _start_server(self):
         import viser
@@ -56,9 +80,21 @@ class OnlineVisualizer:
         return pts[idx], cols[idx]
 
     def update(self, recon) -> None:
-        pts = recon.points[recon.track_valid > 0]
-        cols = recon.colors[recon.track_valid > 0]
-        self._trajectory.extend(list(recon.centers))
+        """Non-blocking: drop the update if the consumer is backed up
+        (reference put_nowait semantics)."""
+        pts = recon.points[recon.track_valid > 0].copy()
+        cols = recon.colors[recon.track_valid > 0].copy()
+        centers = recon.centers.copy()
+        if self._queue is not None:
+            try:
+                self._queue.put_nowait((pts, cols, centers))
+            except Exception:
+                pass  # queue full: drop, never stall the SLAM loop
+            return
+        self._apply_update(pts, cols, centers)
+
+    def _apply_update(self, pts, cols, centers) -> None:
+        self._trajectory.extend(list(centers))
         self._n_updates += 1
 
         cur_pts, cur_cols = self._subsample(pts, cols, self.max_current)
@@ -92,6 +128,20 @@ class OnlineVisualizer:
                 f"trajectory {len(self._trajectory)} poses"
             )
 
+    def flush(self, timeout: float = 5.0) -> None:
+        """Block until queued updates are applied (for tests/shutdown)."""
+        import time as _t
+
+        if self._queue is None:
+            return
+        t0 = _t.time()
+        while not self._queue.empty() and _t.time() - t0 < timeout:
+            _t.sleep(0.05)
+        _t.sleep(0.15)  # let the in-flight item finish
+
     def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
         if self._server is not None:
             self._server.stop()
