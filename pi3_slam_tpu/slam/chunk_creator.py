@@ -165,20 +165,100 @@ class OfflineChunkCreator:
             self.undistorter = create_undistorter(config.cam_dist_path)
 
         self._step_cache: Dict[tuple, callable] = {}
+        self.mesh = None
+        if config.data_parallel_chunks > 1:
+            n_dev = len(jax.devices())
+            dp = min(config.data_parallel_chunks, n_dev)
+            if dp > 1:
+                from ..parallel import make_mesh
+
+                tp = 1
+                self.mesh = make_mesh(dp, tp)
+                config.data_parallel_chunks = dp
+                print(f"chunk data parallelism: dp={dp} over {n_dev} devices")
+            else:
+                config.data_parallel_chunks = 1
 
     def _get_step(self):
         dense = self.config.keypoint_type == "none"
         key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense)
         if key not in self._step_cache:
-            self._step_cache[key] = make_chunk_step(
-                self.pi3_config,
-                self.compute_dtype,
-                self.config.conf_threshold,
-                self.config.depth_edge_rtol,
-                self.config.estimate_camera_params,
-                return_dense=dense,
-            )
+            if self.mesh is not None:
+                step, shard_params = make_sharded_chunk_step(
+                    self.pi3_config,
+                    self.compute_dtype,
+                    self.config.conf_threshold,
+                    self.config.depth_edge_rtol,
+                    self.config.estimate_camera_params,
+                    self.mesh,
+                )
+                self.params = shard_params(self.params)
+                self._step_cache[key] = step
+            else:
+                self._step_cache[key] = make_chunk_step(
+                    self.pi3_config,
+                    self.compute_dtype,
+                    self.config.conf_threshold,
+                    self.config.depth_edge_rtol,
+                    self.config.estimate_camera_params,
+                    return_dense=dense,
+                )
         return self._step_cache[key]
+
+    def _process_chunk_group(self, batches: List[Dict]) -> List[Dict]:
+        """Chunk-data-parallel group: stack B same-shape chunks, one sharded
+        device step, then per-chunk host post-processing."""
+        B = len(batches)
+        images = np.stack([b["images"] for b in batches])  # (B, N, 3, H, W)
+        N, _, H, W = images.shape[1:]
+        kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
+        kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
+
+        step = self._get_step()
+        t0 = time.time()
+        dev = step(self.params, jnp.asarray(images), jnp.asarray(kps))
+        host = {k: np.asarray(v) for k, v in dev.items()}
+        dt = max(1e-6, time.time() - t0)
+        fps = B * N / dt
+        print(f"   dp-group inference: {dt:.3f}s for {B}x{N} frames -> {fps:.2f} FPS")
+
+        results = []
+        for b, batch in enumerate(batches):
+            poses = host["camera_poses"][b].astype(np.float64)
+            points_kp = host["points_kp"][b].astype(np.float64)
+            local_kp = host["local_points_kp"][b].astype(np.float64)
+            scale_factor = None
+            if self.moge is not None:
+                moge_depth = self.moge.infer_depth(batch["images"][0])
+                mask0 = host["mask0"][b]
+                ratio = moge_depth[mask0] / np.maximum(host["depth0"][b][mask0], 1e-9)
+                ratio = ratio[np.isfinite(ratio)]
+                if ratio.size >= 10:
+                    scale_factor = float(np.median(ratio))
+                    points_kp *= scale_factor
+                    local_kp *= scale_factor
+                    poses[:, :3, 3] *= scale_factor
+            poses_cw = np.asarray(se3_inverse(jnp.asarray(poses))).astype(np.float32)
+            result = {
+                "points": points_kp.astype(np.float16),
+                "local_points": local_kp.astype(np.float16),
+                "conf": host["conf_kp"][b].astype(np.float16),
+                "masks": host["masks_kp"][b],
+                "keypoints": kps[b].astype(np.float16),
+                "colors": (host["colors_kp"][b] * 255).clip(0, 255).astype(np.uint8),
+                "camera_poses": poses.astype(np.float32),
+                "camera_poses_cw": poses_cw,
+                "image_paths": np.asarray(batch["paths"]),
+                "original_height": self.target_size[0],
+                "original_width": self.target_size[1],
+                "_metrics": {"infer_s": dt / B, "num_frames": N, "fps": fps / B},
+            }
+            if scale_factor is not None:
+                result["metric_scale"] = np.float32(scale_factor)
+            if "intrinsics" in host:
+                result["intrinsics"] = host["intrinsics"][b].astype(np.float32)
+            results.append(result)
+        return results
 
     def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
         """One chunk: device step + metric scale + fp16 compaction.
@@ -279,11 +359,53 @@ class OfflineChunkCreator:
         saved, manifest = [], []
         infer_times, infer_frames, per_chunk_fps = [], [], []
         print(f"Processing {len(dataset)} chunks...")
+
+        def emit(chunk_idx, batch, result):
+            out_name = f"chunk_{chunk_idx:06d}.npz"
+            out_path = os.path.join(self.chunks_dir, out_name)
+            m = result.pop("_metrics")
+            infer_times.append(m["infer_s"])
+            infer_frames.append(m["num_frames"])
+            per_chunk_fps.append(m["fps"])
+            result["chunk_index"] = chunk_idx
+            result["start_idx"] = batch["start"]
+            result["end_idx"] = batch["end"]
+            np.savez_compressed(out_path, **result)
+            saved.append(out_path)
+            manifest.append(
+                {
+                    "chunk_index": chunk_idx,
+                    "file": out_name,
+                    "start_idx": batch["start"],
+                    "end_idx": batch["end"],
+                    "num_frames": m["num_frames"],
+                    "image_paths": list(batch["paths"]),
+                }
+            )
+            print(f"   saved {out_path}")
+
+        dp = max(1, self.config.data_parallel_chunks) if self.mesh is not None else 1
+        group: List[Dict] = []
+
+        def flush_group():
+            if not group:
+                return
+            # pad to the dp width by repeating the last chunk: keeps the
+            # sharded step's batch shape static (no recompiles) and the
+            # (1, ...) batch divisible by the mesh's dp axis
+            n_real = len(group)
+            padded = group + [group[-1]] * (dp - n_real)
+            results = self._process_chunk_group(padded)[:n_real]
+            for b, r in zip(group, results):
+                emit(b["chunk_idx"], b, r)
+            group.clear()
+
         for batch in loader:
             chunk_idx = batch["chunk_idx"]
             out_name = f"chunk_{chunk_idx:06d}.npz"
             out_path = os.path.join(self.chunks_dir, out_name)
             if self.config.resume and os.path.exists(out_path):
+                flush_group()
                 print(f"   resume: {out_path} exists, skipping")
                 saved.append(out_path)
                 manifest.append(
@@ -296,6 +418,15 @@ class OfflineChunkCreator:
                         "image_paths": list(batch["paths"]),
                     }
                 )
+                continue
+            if dp > 1 and self.config.keypoint_type != "none":
+                # group same-shape chunks for the sharded step; odd-size
+                # (remainder) chunks flush through the single-chunk path
+                if group and group[0]["images"].shape != batch["images"].shape:
+                    flush_group()
+                group.append(batch)
+                if len(group) == dp:
+                    flush_group()
                 continue
             try:
                 if self.config.keypoint_type == "none":
@@ -326,6 +457,7 @@ class OfflineChunkCreator:
                 }
             )
             print(f"   saved {out_path}")
+        flush_group()
 
         total_t = sum(infer_times)
         total_f = sum(infer_frames)

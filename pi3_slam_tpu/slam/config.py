@@ -36,6 +36,9 @@ class OfflineCreatorConfig:
     conf_threshold: float = 0.1
     depth_edge_rtol: float = 0.03
     resume: bool = False  # skip chunks whose files already exist
+    # chunk-level data parallelism: process this many chunks per device step,
+    # sharded over the mesh's dp axis (1 = single-chip path)
+    data_parallel_chunks: int = 1
 
 
 @dataclass

@@ -181,3 +181,43 @@ def test_online_sync_mode_matches_pipelined(image_dir, tmp_path):
     np.testing.assert_allclose(t_a, t_b, atol=1e-5)
     status = results[0][1].queue_status()
     assert status["chunks_consumed"] == results[0][0]["num_chunks"]
+
+
+def test_offline_creator_chunk_dp(image_dir, tmp_path):
+    """Chunk-data-parallel creator on the virtual CPU mesh matches the
+    single-chip path's chunk artifacts."""
+    import glob
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+
+    outs = {}
+    for dp in (1, 2):
+        out = str(tmp_path / f"dp{dp}")
+        cfg = OfflineCreatorConfig(
+            output_dir=out, chunk_length=4, overlap=2, pixel_limit=4000,
+            use_metric_depth=False, max_keypoints=30, compute_dtype="float32",
+            data_parallel_chunks=dp,
+        )
+        creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+        creator.params = make_tiny_params()
+        if dp > 1 and creator.mesh is None:
+            import pytest
+
+            pytest.skip("mesh unavailable")
+        outs[dp] = creator.process_and_save(paths)
+
+    assert len(outs[1]) == len(outs[2])
+    for p1, p2 in zip(outs[1], outs[2]):
+        z1, z2 = np.load(p1), np.load(p2)
+        np.testing.assert_allclose(
+            z1["camera_poses"], z2["camera_poses"], atol=2e-4
+        )
+        np.testing.assert_allclose(
+            z1["points"].astype(np.float32), z2["points"].astype(np.float32), atol=2e-2
+        )
