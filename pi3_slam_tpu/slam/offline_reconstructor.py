@@ -45,6 +45,9 @@ def load_chunk_npz(path: str) -> Dict:
 
 class OfflineReconstructor:
     def __init__(self, config: ReconstructorConfig):
+        from ..utils.precision import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         self.output_dir = config.output_dir or config.chunk_dir
         os.makedirs(self.output_dir, exist_ok=True)
