@@ -154,7 +154,10 @@ def align_chunks(
                 prior_pos_weight=pos_w,
             )
         )
-        prob = _jit_bundle_adjust(prob, refine_iterations, refine_huber)
+        kpf = query.num_tracks // query.num_frames if query.num_tracks % query.num_frames == 0 else None
+        prob = _jit_bundle_adjust(
+            prob, refine_iterations, refine_huber, tracks_per_frame=kpf
+        )
         prob = prob._replace(
             track_valid=prune_outlier_tracks(prob, prune_max_reproj_px, prune_min_tri_angle_deg)
         )

@@ -186,6 +186,7 @@ def _gn_step(
     fixed_cameras: jnp.ndarray,
     optimize_focal: bool = False,
     inverse_depth: bool = False,
+    tracks_per_frame: int | None = None,
 ):
     """One damped GN step.
 
@@ -250,13 +251,34 @@ def _gn_step(
     else:
         Jp = JpX  # (T, M, 2, 3)
 
+    # owner-grouped accumulation: tracks from build_chunk_reconstruction are
+    # laid out (owner_frame, keypoint) with IDENTICAL obs_frame rows within an
+    # owner group, so contributions can be summed over the K tracks of each
+    # owner BEFORE the scatter — segment_sum item counts drop by K (~400x),
+    # which matters because TPU scatters are sort-based.
+    grouped = tracks_per_frame is not None and T % max(tracks_per_frame, 1) == 0
+    K_g = tracks_per_frame if grouped else 1
+    NG = T // K_g if grouped else T
+
     wJc = w[..., None, None] * Jc
     # camera blocks, accumulated per frame
     Hcc_obs = jnp.einsum("tmki,tmkj->tmij", wJc, Jc)  # (T, M, DC, DC)
     bc_obs = -jnp.einsum("tmki,tmk->tmi", wJc, r)  # (T, M, DC)
-    flat_f = p.obs_frame.reshape(-1)
-    Hcc = jax.ops.segment_sum(Hcc_obs.reshape(-1, DC, DC), flat_f, num_segments=N)
-    bc = jax.ops.segment_sum(bc_obs.reshape(-1, DC), flat_f, num_segments=N)
+    if grouped:
+        group_frames = p.obs_frame.reshape(NG, K_g, M)[:, 0, :]  # (NG, M)
+        flat_f = group_frames.reshape(-1)
+        Hcc = jax.ops.segment_sum(
+            Hcc_obs.reshape(NG, K_g, M, DC, DC).sum(1).reshape(-1, DC, DC),
+            flat_f, num_segments=N,
+        )
+        bc = jax.ops.segment_sum(
+            bc_obs.reshape(NG, K_g, M, DC).sum(1).reshape(-1, DC),
+            flat_f, num_segments=N,
+        )
+    else:
+        flat_f = p.obs_frame.reshape(-1)
+        Hcc = jax.ops.segment_sum(Hcc_obs.reshape(-1, DC, DC), flat_f, num_segments=N)
+        bc = jax.ops.segment_sum(bc_obs.reshape(-1, DC), flat_f, num_segments=N)
 
     # point blocks per track
     wJp = w[..., None, None] * Jp
@@ -287,29 +309,44 @@ def _gn_step(
     Hpp_inv = jnp.linalg.inv(Hpp)  # (T, DP, DP)
 
     # Schur complement on cameras: S = Hcc - sum_t Hcp Hpp^-1 Hpc.
-    # Accumulated with a scan over the first observation slot so the pairwise
-    # coupling tensor is never materialized at (T, M, M, DC, DC).
     Y = jnp.einsum("tmij,tjk->tmik", Hcp, Hpp_inv)  # (T, M, DC, DP)
 
-    def schur_slot(S_acc, slot):
-        Ym1, f1 = slot  # (T, DC, DP), (T,)
-        contrib = jnp.einsum("tij,tmkj->tmik", Ym1, Hcp)  # (T, M, DC, DC)
-        pair_idx = (f1[:, None] * N + p.obs_frame).reshape(-1)
-        S_acc = S_acc + jax.ops.segment_sum(
-            contrib.reshape(-1, DC, DC), pair_idx, num_segments=N * N
+    if grouped:
+        # aggregate the (m1, m2) frame-pair couplings over each owner group:
+        # (NG, M, M, DC, DC) is tiny, and the scatter shrinks to NG*M*M items
+        Yg = Y.reshape(NG, K_g, M, DC, DP)
+        Hcpg = Hcp.reshape(NG, K_g, M, DC, DP)
+        S_contrib = jnp.einsum("nkaij,nkblj->nabil", Yg, Hcpg)  # (NG, M, M, DC, DC)
+        pair_idx = (group_frames[:, :, None] * N + group_frames[:, None, :]).reshape(-1)
+        S_flat = jax.ops.segment_sum(
+            S_contrib.reshape(-1, DC, DC), pair_idx, num_segments=N * N
         )
-        return S_acc, None
+        yb = jnp.einsum("tmij,tj->tmi", Y, bp).reshape(NG, K_g, M, DC).sum(1)
+        b_schur = bc - jax.ops.segment_sum(
+            yb.reshape(-1, DC), group_frames.reshape(-1), num_segments=N
+        )
+    else:
+        # scan over the first observation slot so the pairwise coupling tensor
+        # is never materialized at (T, M, M, DC, DC)
+        def schur_slot(S_acc, slot):
+            Ym1, f1 = slot  # (T, DC, DP), (T,)
+            contrib = jnp.einsum("tij,tmkj->tmik", Ym1, Hcp)  # (T, M, DC, DC)
+            pidx = (f1[:, None] * N + p.obs_frame).reshape(-1)
+            S_acc = S_acc + jax.ops.segment_sum(
+                contrib.reshape(-1, DC, DC), pidx, num_segments=N * N
+            )
+            return S_acc, None
 
-    S_flat, _ = jax.lax.scan(
-        schur_slot,
-        jnp.zeros((N * N, DC, DC)),
-        (Y.transpose(1, 0, 2, 3), p.obs_frame.T),
-    )
+        S_flat, _ = jax.lax.scan(
+            schur_slot,
+            jnp.zeros((N * N, DC, DC)),
+            (Y.transpose(1, 0, 2, 3), p.obs_frame.T),
+        )
+        yb = jnp.einsum("tmij,tj->tmi", Y, bp)  # (T, M, DC)
+        b_schur = bc - jax.ops.segment_sum(yb.reshape(-1, DC), flat_f, num_segments=N)
+
     S = -S_flat.reshape(N, N, DC, DC)
     S = S.at[jnp.arange(N), jnp.arange(N)].add(Hcc)
-
-    yb = jnp.einsum("tmij,tj->tmi", Y, bp)  # (T, M, DC)
-    b_schur = bc - jax.ops.segment_sum(yb.reshape(-1, DC), flat_f, num_segments=N)
 
     # fixed cameras: identity rows/cols, zero rhs
     fixc = fixed_cameras  # (N,) float 1 = fixed
@@ -353,6 +390,7 @@ def bundle_adjust(
     fixed_cameras: jnp.ndarray | None = None,
     optimize_focal: bool = False,
     use_inverse_depth: bool = False,
+    tracks_per_frame: int | None = None,
 ) -> BAProblem:
     """Run LM-damped Gauss-Newton BA; returns the problem with updated
     rotations/centers/points (and intrinsics when optimize_focal). Jit-friendly
@@ -369,6 +407,7 @@ def bundle_adjust(
         new_rot, new_cen, new_pts, new_intr = _gn_step(
             prob, huber_delta, lam, fixc,
             optimize_focal=optimize_focal, inverse_depth=use_inverse_depth,
+            tracks_per_frame=tracks_per_frame,
         )
         cand = prob._replace(
             rotations=new_rot, centers=new_cen, points=new_pts, intrinsics=new_intr

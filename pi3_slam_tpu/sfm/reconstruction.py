@@ -229,6 +229,7 @@ def build_chunk_reconstruction(
         prob = _jit_bundle_adjust(
             prob, ba_iterations, huber_delta,
             optimize_focal=optimize_focal, use_inverse_depth=use_inverse_depth,
+            tracks_per_frame=K,
         )
         new_valid = prune_outlier_tracks(prob, prune_max_reproj_px, prune_min_tri_angle_deg)
         prob = prob._replace(track_valid=new_valid)
@@ -245,9 +246,10 @@ def _jit_bundle_adjust(
     huber_delta: float,
     optimize_focal: bool = False,
     use_inverse_depth: bool = False,
+    tracks_per_frame: int | None = None,
 ) -> BAProblem:
     """Dispatch to a cached jitted BA for the solver configuration."""
-    key = (iterations, float(huber_delta), optimize_focal, use_inverse_depth)
+    key = (iterations, float(huber_delta), optimize_focal, use_inverse_depth, tracks_per_frame)
     if key not in _BA_CACHE:
         _BA_CACHE[key] = jax.jit(
             lambda p: bundle_adjust(
@@ -256,6 +258,7 @@ def _jit_bundle_adjust(
                 huber_delta=huber_delta,
                 optimize_focal=optimize_focal,
                 use_inverse_depth=use_inverse_depth,
+                tracks_per_frame=tracks_per_frame,
             )
         )
     return _BA_CACHE[key](prob)

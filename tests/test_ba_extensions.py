@@ -68,3 +68,34 @@ def test_debug_projection_render(tmp_path, rng):
     out = str(tmp_path / "debug.gif")
     render_debug_projections(recon, images, out, max_tracks=10)
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_grouped_schur_matches_ungrouped(rng):
+    """Owner-grouped Schur accumulation gives the same solution as the
+    per-observation path on a reconstruction-layout problem."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_alignment import make_chunk
+    from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
+
+    chunk, _ = make_chunk(rng, [f"f{i}" for i in range(5)], n_kp=25)
+    chunk["points"] = chunk["points"] + rng.normal(size=chunk["points"].shape) * 0.02
+    recon = build_chunk_reconstruction(chunk, run_ba=False)
+    prob = recon.to_problem()
+    K = 25
+    # single step: identical up to fp32 reduction order
+    g1 = bundle_adjust(prob, iterations=1, huber_delta=2.0, tracks_per_frame=K)
+    u1 = bundle_adjust(prob, iterations=1, huber_delta=2.0)
+    np.testing.assert_allclose(
+        np.asarray(g1.centers), np.asarray(u1.centers), atol=2e-4
+    )
+    # multi-step trajectories diverge chaotically (fp32 order amplified by the
+    # LM accept/reject), but both must reach an equally good optimum
+    out_g = bundle_adjust(prob, iterations=8, huber_delta=2.0, tracks_per_frame=K)
+    out_u = bundle_adjust(prob, iterations=8, huber_delta=2.0)
+    e_g = np.asarray(reprojection_errors(out_g))
+    e_u = np.asarray(reprojection_errors(out_u))
+    med_g = np.median(e_g[np.isfinite(e_g)])
+    med_u = np.median(e_u[np.isfinite(e_u)])
+    assert med_g < 0.1 and med_u < 0.1
+    assert abs(med_g - med_u) < 0.02
