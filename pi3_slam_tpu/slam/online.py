@@ -79,19 +79,28 @@ class Pi3SLAMOnline:
     # ----- per-chunk stages -----
 
     def _dispatch_device(self, batch: Dict):
-        """Enqueue the jitted device step (returns device arrays, not blocked)."""
+        """Run the jitted device step and materialize its (small, keypoint-
+        sparse) outputs.
+
+        The outputs are pulled to host here rather than left in flight: on a
+        single chip the bundle adjustment also runs on the TPU, so a pending
+        second forward only adds HBM pressure (observed: TPU worker crash with
+        model params + two chunk forwards + BA resident). Host-side overlap
+        (image decode, serialization) comes from the prefetch loader.
+        """
         images = batch["images"]
         N, _, H, W = images.shape
         kp = grid_keypoints(H, W, self.config.max_keypoints)
         kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
-        dev = self.step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
-        return {"dev": dev, "kps": kps, "batch": batch}
+        with self.timing.track("inference"):
+            dev = self.step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
+            host = {k: np.asarray(v) for k, v in dev.items()}
+        return {"dev": host, "kps": kps, "batch": batch}
 
     def _consume(self, pending: Dict) -> ChunkReconstruction:
         """Host stage: materialize device results, metric scale, recon, align."""
         batch = pending["batch"]
-        with self.timing.track("device_wait"):
-            host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+        host = pending["dev"]
 
         poses = host["camera_poses"].astype(np.float64)
         points_kp = host["points_kp"].astype(np.float64)
