@@ -148,7 +148,9 @@ class OfflineChunkCreator:
             from ..utils.precision import cast_tree_bf16_host
 
             self.params = cast_tree_bf16_host(self.params)
-        # pin parameters on device once; numpy leaves would re-upload per call
+        # keep a host copy for backend-crash recovery, pin params on device
+        # (numpy leaves would re-upload per call)
+        self._host_params = self.params
         self.params = jax.device_put(self.params)
 
         self.moge = None
@@ -341,6 +343,41 @@ class OfflineChunkCreator:
         result["dense"] = np.bool_(True)
         return result
 
+    def _process_chunk_with_recovery(self, batch: Dict) -> Dict:
+        """Process one chunk; on a device-runtime failure (this environment's
+        TPU worker crashes sporadically under sustained load), reset the
+        backend, re-upload parameters, and retry once."""
+        def run():
+            if self.config.keypoint_type == "none":
+                return self._process_dense_chunk(batch["images"], batch["paths"])
+            return self._process_single_chunk(batch["images"], batch["paths"])
+
+        try:
+            return run()
+        except Exception as e:
+            if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                raise
+            print(f"   device runtime failure ({str(e)[:80]}); resetting backend and retrying")
+            self._recover_backend()
+            return run()
+
+    def _recover_backend(self) -> None:
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
+        for reset in (
+            lambda: jax.extend.backend.clear_backends(),
+            lambda: jax.lib.xla_bridge.get_backend.cache_clear(),
+        ):
+            try:
+                reset()
+                break
+            except Exception:
+                continue
+        self.params = jax.device_put(self._host_params)
+        self._step_cache.clear()
+
     def process_and_save(self, image_paths: List) -> List[str]:
         if not image_paths:
             raise ValueError("image_paths is empty")
@@ -429,10 +466,7 @@ class OfflineChunkCreator:
                     flush_group()
                 continue
             try:
-                if self.config.keypoint_type == "none":
-                    result = self._process_dense_chunk(batch["images"], batch["paths"])
-                else:
-                    result = self._process_single_chunk(batch["images"], batch["paths"])
+                result = self._process_chunk_with_recovery(batch)
             except Exception as e:  # degrade like the reference: report + skip
                 print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
                 continue
