@@ -75,5 +75,24 @@ def main():
     )
 
 
+def _run_with_recovery():
+    try:
+        main()
+    except Exception as e:
+        # the axon TPU worker crashes sporadically under load; reset and retry
+        # once so the driver still records a real measurement
+        import sys
+
+        print(f"bench attempt failed ({str(e)[:120]}); retrying once", file=sys.stderr)
+        import jax
+
+        try:
+            jax.clear_caches()
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_recovery()

@@ -2,10 +2,13 @@
 
 Replaces Pi3SLAMOnline (slam/online_reconstructor.py:230-1809). The reference
 overlaps GPU inference with CPU reconstruction through a spawned process and
-pickled queues; on TPU the same overlap falls out of JAX's async dispatch —
-the host enqueues chunk k+1's device step (prefetch threads already decoded
-its images), then runs chunk k's reconstruction/alignment while the TPU
-crunches. Strict in-order consumption is preserved by construction.
+pickled queues. Here both inference AND bundle adjustment run on the TPU, so
+on a single chip the device work serializes by necessity (two resident
+programs crash the worker with HBM pressure); the overlap that remains
+profitable — image decode and chunk serialization — runs in the prefetch
+loader's threads. On a multi-chip mesh, chunk-level data parallelism
+(slam/chunk_creator.make_sharded_chunk_step) is the scaling path. Strict
+in-order consumption is preserved by construction.
 """
 
 from __future__ import annotations
@@ -51,7 +54,8 @@ class Pi3SLAMOnline:
             from ..utils.precision import cast_tree_bf16_host
 
             self.params = cast_tree_bf16_host(self.params)
-        # pin parameters on device once; numpy leaves would re-upload per call
+        # host copy kept for backend-crash recovery; pin params on device
+        self._host_params = self.params
         self.params = jax.device_put(self.params)
 
         self.moge = None
@@ -140,6 +144,26 @@ class Pi3SLAMOnline:
             self.visualizer.update(recon)
         return recon
 
+    def _recover_backend(self) -> None:
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
+        for reset in (
+            lambda: jax.extend.backend.clear_backends(),
+            lambda: jax.lib.xla_bridge.get_backend.cache_clear(),
+        ):
+            try:
+                reset()
+                break
+            except Exception:
+                continue
+        self.params = jax.device_put(self._host_params)
+        self.step = make_chunk_step(
+            self.pi3_config, self.compute_dtype, 0.1, 0.03,
+            self.config.estimate_camera_params,
+        )
+
     # ----- drive loops -----
 
     def process_image_paths_sync(self, image_paths: List) -> Dict:
@@ -180,7 +204,14 @@ class Pi3SLAMOnline:
         pending = None
         for batch in loader:
             with self.timing.track("dispatch"):
-                nxt = self._dispatch_device(batch)
+                try:
+                    nxt = self._dispatch_device(batch)
+                except Exception as e:
+                    if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                        raise
+                    print(f"device runtime failure ({str(e)[:80]}); resetting backend, retrying chunk")
+                    self._recover_backend()
+                    nxt = self._dispatch_device(batch)
             if not pipelined:
                 self._consume(nxt)
                 frames_done += nxt["batch"]["images"].shape[0]
