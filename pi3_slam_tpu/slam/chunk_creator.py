@@ -470,27 +470,7 @@ class OfflineChunkCreator:
             except Exception as e:  # degrade like the reference: report + skip
                 print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
                 continue
-            m = result.pop("_metrics")
-            infer_times.append(m["infer_s"])
-            infer_frames.append(m["num_frames"])
-            per_chunk_fps.append(m["fps"])
-
-            result["chunk_index"] = chunk_idx
-            result["start_idx"] = batch["start"]
-            result["end_idx"] = batch["end"]
-            np.savez_compressed(out_path, **result)
-            saved.append(out_path)
-            manifest.append(
-                {
-                    "chunk_index": chunk_idx,
-                    "file": out_name,
-                    "start_idx": batch["start"],
-                    "end_idx": batch["end"],
-                    "num_frames": m["num_frames"],
-                    "image_paths": list(batch["paths"]),
-                }
-            )
-            print(f"   saved {out_path}")
+            emit(chunk_idx, batch, result)
         flush_group()
 
         total_t = sum(infer_times)
