@@ -80,6 +80,15 @@ class PrefetchLoader:
         return len(self.dataset)
 
     def __iter__(self) -> Iterator[dict]:
+        import os
+
+        if os.environ.get("PI3_SLAM_SYNC_LOADER") == "1":
+            # escape hatch: decode strictly inline (no threads). Concurrent
+            # host decode during TPU-runtime calls correlates with sporadic
+            # backend crashes on this machine's remote TPU backend.
+            for i in range(len(self.dataset)):
+                yield self.dataset[i]
+            return
         n = len(self.dataset)
         if n == 0:
             return

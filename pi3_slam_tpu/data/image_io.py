@@ -18,6 +18,10 @@ import numpy as np
 try:
     import cv2
 
+    # disable OpenCV's internal thread pool: the prefetch loader already
+    # parallelizes across files, and cv2's own threads running concurrently
+    # with TPU-runtime calls correlate with sporadic backend crashes here
+    cv2.setNumThreads(0)
     _HAS_CV2 = True
 except ImportError:  # pragma: no cover
     _HAS_CV2 = False
