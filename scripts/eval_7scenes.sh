@@ -29,10 +29,10 @@ for scene in $SCENES; do
   seq_dir="$DATA_ROOT/$scene/seq-01"
   out_dir="$OUT/$scene"
   mkdir -p "$out_dir"
-  python "$REPO_ROOT/create_offline_chunks.py" \
+  "$SCRIPT_DIR/run_with_retries.sh" 5 python "$REPO_ROOT/create_offline_chunks.py" \
     --images "$seq_dir/*.color.png" \
     --model-path "$PI3_NPZ" $MOGE_ARGS \
-    --output "$out_dir" \
+    --output "$out_dir" --resume \
     --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
     --keypoints grid --max-kp "$MAX_KP"
   python "$REPO_ROOT/reconstruct_offline.py" \

@@ -39,8 +39,8 @@ for seq in $SEQS; do
   out_dir="$OUT/$seq"
   mkdir -p "$out_dir"
   skip=$(skip_for "$seq")
-  python "$REPO_ROOT/create_offline_chunks.py" \
-    --images "$img_dir" \
+  "$SCRIPT_DIR/run_with_retries.sh" 5 python "$REPO_ROOT/create_offline_chunks.py" \
+    --images "$img_dir" --resume \
     --model-path "$PI3_NPZ" $MOGE_ARGS \
     --cam-dist-path "$CALIB" \
     --skip-start "$skip" \
