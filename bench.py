@@ -52,10 +52,15 @@ def main():
         # scalar device->host transfer to drain the dispatch queue.
         return float(jnp.sum(out["conf"]))
 
-    # warmup / compile
+    # warmup / compile (twice: the first post-compile dispatch on axon can
+    # carry one-time transfer overhead)
+    drain(fwd(params, imgs))
     drain(fwd(params, imgs))
 
-    iters = 2
+    # timing protocol (project memory bench-timing-protocol): >= 3 chained
+    # iterations drained once at the end — 2-iteration timings measured 2x
+    # fast on the axon backend.
+    iters = 4
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):

@@ -65,6 +65,10 @@ def main(argv=None):
         return 2
     print(f"{len(paths)} images")
 
+    from pi3_slam_tpu.utils.precision import select_platform
+
+    select_platform(args.device)
+
     from pi3_slam_tpu.slam import OfflineChunkCreator, OfflineCreatorConfig
 
     config = OfflineCreatorConfig(

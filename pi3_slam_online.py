@@ -23,6 +23,8 @@ def main(argv=None):
     g_model.add_argument("--model-path", default=None, help="Converted Pi3 weights (.npz)")
     g_model.add_argument("--moge-path", default=None)
     g_model.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    g_model.add_argument("--device", default="tpu",
+                         help="'tpu' (default backend) or 'cpu' to force the CPU backend")
 
     g_proc = parser.add_argument_group("processing")
     g_proc.add_argument("--chunk-length", type=int, default=30)
@@ -67,6 +69,10 @@ def main(argv=None):
         print("error: no input frames", file=sys.stderr)
         return 2
     print(f"{len(paths)} frames")
+
+    from pi3_slam_tpu.utils.precision import select_platform
+
+    select_platform(args.device)
 
     from pi3_slam_tpu.slam import OnlineConfig, Pi3SLAMOnline
 

@@ -16,6 +16,11 @@ import jax.numpy as jnp
 # for a 100-frame chunk's global blocks (~65k tokens) would be hundreds of GB.
 LONG_SEQUENCE_THRESHOLD = 4096
 
+# Medium sequences (the ~650-token frame-attention / encoder shapes) route
+# through the single-pass Pallas kernel on TPU: the whole (T, T) logits tile
+# stays in VMEM, ~2.2x faster than XLA SDPA which round-trips logits via HBM.
+MEDIUM_SEQUENCE_THRESHOLD = 256
+
 
 def sdpa(
     q: jnp.ndarray,
@@ -24,8 +29,10 @@ def sdpa(
     implementation: str | None = None,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v over (B, T, H, D) tensors -> (B, T, H, D)."""
-    if q.shape[1] >= LONG_SEQUENCE_THRESHOLD:
-        if jax.default_backend() != "cpu" and q.shape[-1] % 64 == 0:
+    T = q.shape[1]
+    on_tpu = jax.default_backend() != "cpu" and q.shape[-1] % 64 == 0
+    if T >= LONG_SEQUENCE_THRESHOLD:
+        if on_tpu:
             from .pallas_attention import flash_attention_tpu
 
             # custom Pallas flash kernel: ~4.4x the XLA blockwise path at the
@@ -34,6 +41,14 @@ def sdpa(
         from .flash_attention import blockwise_attention
 
         return blockwise_attention(q, k, v)
+    if on_tpu and MEDIUM_SEQUENCE_THRESHOLD <= T:
+        from .pallas_attention import SINGLE_PASS_MAX_T, attention_single_pass_tpu
+
+        if T <= SINGLE_PASS_MAX_T:
+            return attention_single_pass_tpu(q, k, v)
+        from .pallas_attention import flash_attention_tpu
+
+        return flash_attention_tpu(q, k, v)
     try:
         return jax.nn.dot_product_attention(q, k, v, implementation=implementation)
     except Exception:

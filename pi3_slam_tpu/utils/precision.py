@@ -40,6 +40,18 @@ def cast_tree_bf16_host(params):
     )
 
 
+def select_platform(device: str | None) -> None:
+    """Force the JAX backend from a CLI --device flag.
+
+    This machine's sitecustomize registers the remote 'axon' TPU platform and
+    overrides the JAX_PLATFORMS env var, so the only way to force CPU is
+    jax.config.update after import. 'tpu' / None keep the default backend
+    (axon TPU when present). Must run before any computation traces.
+    """
+    if device and device.lower() in ("cpu",):
+        jax.config.update("jax_platforms", "cpu")
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (fresh full-model compiles
     take minutes through this environment's remote-compile tunnel; cached

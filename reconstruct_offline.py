@@ -19,7 +19,13 @@ def main(argv=None):
     parser.add_argument("--ba-iterations", type=int, default=10)
     parser.add_argument("--save-per-chunk", action="store_true",
                         help="Save per-chunk reconstruction .npz files (.sfm analog)")
+    parser.add_argument("--device", default="tpu",
+                        help="'tpu' (default backend) or 'cpu' to force the CPU backend")
     args = parser.parse_args(argv)
+
+    from pi3_slam_tpu.utils.precision import select_platform
+
+    select_platform(args.device)
 
     from pi3_slam_tpu.slam import OfflineReconstructor, ReconstructorConfig
 

@@ -25,6 +25,41 @@ def test_long_sequence_routes_to_memory_efficient_path(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_flash_kernel_interpret_parity(rng):
+    """Flash kernel numerical parity in Pallas interpret mode (runs on CPU CI,
+    guarding the hot kernel against regressions between TPU bench runs)."""
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    q = jnp.asarray(rng.normal(size=(1, 300, 2, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 300, 2, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 300, 2, 64)).astype(np.float32))
+    o = flash_attention_tpu(q, k, v, blk_q=128, blk_k=128, interpret=True)
+    ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+
+    # block-aligned T exercises the no-bias (unpadded) kernel variant
+    q, k, v = q[:, :256], k[:, :256], v[:, :256]
+    o = flash_attention_tpu(q, k, v, blk_q=128, blk_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(sdpa_reference(q, k, v)), atol=2e-5)
+
+
+def test_single_pass_kernel_interpret_parity(rng):
+    from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    q = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
+    o = attention_single_pass_tpu(q, k, v, interpret=True)
+    ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+
+    q, k, v = q[:, :256], k[:, :256], v[:, :256]  # aligned: no-bias variant
+    o = attention_single_pass_tpu(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(sdpa_reference(q, k, v)), atol=2e-5)
+
+
 @pytest.mark.skipif(jax.default_backend() == "cpu", reason="needs TPU")
 def test_pallas_kernel_matches_reference_on_tpu(rng):
     from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu

@@ -1,0 +1,152 @@
+"""Attention micro-benchmarks on the real TPU (axon backend).
+
+Compares implementations at the two hot shapes of the Pi3 decoder
+(reference hot loop: pi3/models/pi3.py:156-166):
+  * global attention: (1, N*hw, 16, 64) — ~66k tokens at 100-frame chunks
+  * frame attention:  (N, hw, 16, 64)  — ~660 tokens per frame
+
+Timing protocol (project memory bench-timing-protocol): block_until_ready is
+a no-op on axon — drain with a scalar transfer; >= 3 chained iterations.
+
+Usage: python tools/perf_lab.py [global|frame|forward|all]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def drain(x):
+    return float(jnp.sum(x[(0,) * (x.ndim - 1)]) if x.ndim else jnp.sum(x))
+
+
+def bench(fn, *args, iters=4, warmup=2, label=""):
+    for _ in range(warmup):
+        out = fn(*args)
+    drain(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    drain(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label:55s} {dt * 1e3:9.2f} ms")
+    return dt
+
+
+def attn_flops(B, T, H, D):
+    return 4 * B * T * T * H * D
+
+
+def report(label, dt, B, T, H, D):
+    tf = attn_flops(B, T, H, D) / dt / 1e12
+    print(f"{label:55s} {dt * 1e3:9.2f} ms   {tf:7.1f} TFLOP/s")
+
+
+def make_qkv(B, T, H, D, dtype=jnp.bfloat16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.1).astype(dtype)
+    return mk(), mk(), mk()
+
+
+def bench_global():
+    B, T, H, D = 1, 66000, 16, 64
+    q, k, v = make_qkv(B, T, H, D)
+    print(f"== global attention ({B},{T},{H},{D}) bf16, ideal@197TF/s = "
+          f"{attn_flops(B,T,H,D)/197e12*1e3:.0f} ms, @50%cap = "
+          f"{attn_flops(B,T,H,D)/98.5e12*1e3:.0f} ms ==")
+
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
+
+    for blk_q, blk_k in [(1024, 1024), (2048, 1024), (1024, 2048), (2048, 2048), (512, 2048), (4096, 1024)]:
+        try:
+            f = jax.jit(lambda q, k, v, bq=blk_q, bk=blk_k: flash_attention_tpu(q, k, v, blk_q=bq, blk_k=bk))
+            dt = bench(f, q, k, v, label=f"ours blk=({blk_q},{blk_k})")
+            report(f"ours blk=({blk_q},{blk_k})", dt, B, T, H, D)
+        except Exception as e:
+            print(f"ours blk=({blk_q},{blk_k}) FAILED: {str(e)[:100]}")
+
+    # official jax pallas kernel (expects (B, H, T, D))
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jflash, BlockSizes,
+        )
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        for bs in [1024, 2048]:
+            blocks = BlockSizes(
+                block_q=bs, block_k_major=bs, block_k=bs, block_b=1,
+                block_q_major_dkv=bs, block_k_major_dkv=bs, block_k_dkv=bs,
+                block_q_dkv=bs, block_k_major_dq=bs, block_k_dq=bs, block_q_dq=bs,
+            )
+            f = jax.jit(lambda q, k, v, b=blocks: jflash(q, k, v, causal=False, sm_scale=D**-0.5, block_sizes=b))
+            try:
+                dt = bench(f, qh, kh, vh, label=f"jax official flash bs={bs}")
+                report(f"jax official flash bs={bs}", dt, B, T, H, D)
+            except Exception as e:
+                print(f"jax official flash bs={bs} FAILED: {str(e)[:100]}")
+    except Exception as e:
+        print("official import failed:", str(e)[:100])
+
+
+def bench_frame():
+    for B, T in [(100, 660), (100, 643)]:
+        H, D = 16, 64
+        q, k, v = make_qkv(B, T, H, D)
+        print(f"== frame attention ({B},{T},{H},{D}) bf16, ideal@197 = "
+              f"{attn_flops(B,T,H,D)/197e12*1e3:.2f} ms ==")
+        from pi3_slam_tpu.ops.attention import sdpa_reference
+
+        f = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(q, k, v))
+        dt = bench(f, q, k, v, label="XLA dot_product_attention")
+        report("XLA dot_product_attention", dt, B, T, H, D)
+
+        f = jax.jit(sdpa_reference)
+        dt = bench(f, q, k, v, label="einsum reference")
+        report("einsum reference", dt, B, T, H, D)
+
+        try:
+            from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
+            f = jax.jit(lambda q, k, v: flash_attention_tpu(q, k, v, blk_q=768, blk_k=768))
+            dt = bench(f, q, k, v, label="ours pallas blk=768 (pad to 768)")
+            report("ours pallas blk=768", dt, B, T, H, D)
+        except Exception as e:
+            print("ours pallas 768 FAILED:", str(e)[:100])
+
+
+def bench_forward():
+    from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
+    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
+
+    cfg = Pi3Config()
+    params = jax.device_put(cast_tree_bf16_host(init_pi3_params(0, cfg)))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(1, 100, 3, 308, 406)).astype(np.float32))
+    fwd = jax.jit(lambda p, x: pi3_forward(p, x, cfg, compute_dtype=jnp.bfloat16))
+    out = fwd(params, imgs)
+    drain(out["conf"])
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = fwd(params, imgs)
+    drain(out["conf"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"pi3_forward full: {dt*1e3:.1f} ms = {100/dt:.2f} FPS")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("backend:", jax.default_backend(), jax.devices())
+    if which in ("global", "all"):
+        bench_global()
+    if which in ("frame", "all"):
+        bench_frame()
+    if which in ("forward", "all"):
+        bench_forward()
