@@ -36,8 +36,13 @@ class MoGeRunner:
             lambda p, img: moge_infer_depth(p, img, self.cfg)
         )
 
-    def infer_depth(self, image: np.ndarray) -> np.ndarray:
+    def infer_depth_async(self, image: np.ndarray):
+        """Dispatch depth inference; returns the (H, W) device array without
+        blocking — lets the online pipeline queue MoGe right behind the Pi3
+        chunk step and pull both at consume time."""
         import jax.numpy as jnp
 
-        out = self._infer(self.params, jnp.asarray(image))
-        return np.asarray(out)
+        return self._infer(self.params, jnp.asarray(image))
+
+    def infer_depth(self, image: np.ndarray) -> np.ndarray:
+        return np.asarray(self.infer_depth_async(image))

@@ -123,12 +123,15 @@ def align_chunks(
         dst = dst[keep]
         src = src[keep]
 
-    s = robust_umeyama(
-        jnp.asarray(src, jnp.float32),
-        jnp.asarray(dst, jnp.float32),
-        huber_delta=huber_delta_sim3,
-        iterations=sim3_iterations,
-    )
+    from .device import sfm_compute
+
+    with sfm_compute():
+        s = robust_umeyama(
+            jnp.asarray(src, jnp.float32),
+            jnp.asarray(dst, jnp.float32),
+            huber_delta=huber_delta_sim3,
+            iterations=sim3_iterations,
+        )
     apply_sim3_to_reconstruction(query, s)
 
     if refine:

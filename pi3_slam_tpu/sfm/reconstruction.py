@@ -261,7 +261,10 @@ def _jit_bundle_adjust(
                 tracks_per_frame=tracks_per_frame,
             )
         )
-    return _BA_CACHE[key](prob)
+    from .device import sfm_compute
+
+    with sfm_compute():
+        return _BA_CACHE[key](prob)
 
 
 def reconstruction_stats(recon: ChunkReconstruction) -> Dict:

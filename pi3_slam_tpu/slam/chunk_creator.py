@@ -207,6 +207,19 @@ class OfflineChunkCreator:
                 )
         return self._step_cache[key]
 
+    def _process_chunk_group_with_recovery(self, batches: List[Dict]) -> List[Dict]:
+        """dp-group variant of _process_chunk_with_recovery: on a device
+        runtime failure, reset the backend (re-sharding parameters) and retry
+        the whole group once."""
+        try:
+            return self._process_chunk_group(batches)
+        except Exception as e:
+            if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                raise
+            print(f"   device runtime failure ({str(e)[:80]}); resetting backend and retrying group")
+            self._recover_backend()
+            return self._process_chunk_group(batches)
+
     def _process_chunk_group(self, batches: List[Dict]) -> List[Dict]:
         """Chunk-data-parallel group: stack B same-shape chunks, one sharded
         device step, then per-chunk host post-processing."""
@@ -432,7 +445,7 @@ class OfflineChunkCreator:
             # (1, ...) batch divisible by the mesh's dp axis
             n_real = len(group)
             padded = group + [group[-1]] * (dp - n_real)
-            results = self._process_chunk_group(padded)[:n_real]
+            results = self._process_chunk_group_with_recovery(padded)[:n_real]
             for b, r in zip(group, results):
                 emit(b["chunk_idx"], b, r)
             group.clear()

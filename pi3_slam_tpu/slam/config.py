@@ -72,3 +72,13 @@ class OnlineConfig:
     visualize: bool = False
     viz_port: int = 8080
     output_dir: str = "online_output"
+    # infer/recon overlap: keep the next chunk's forward in flight on the
+    # accelerator while the host runs this chunk's reconstruction. SfM solvers
+    # are pinned to the CPU backend ('auto' = cpu whenever the model runs on
+    # an accelerator) so BA never contends with the forward for device HBM —
+    # the TPU-native analog of the reference's spawned-worker overlap
+    # (slam/online_reconstructor.py:761-954).
+    overlap_device_host: bool = True
+    sfm_backend: str = "auto"  # 'auto' | 'cpu' | 'default'
+    # chunk-level data parallelism over a device mesh (1 = single chip)
+    data_parallel_chunks: int = 1

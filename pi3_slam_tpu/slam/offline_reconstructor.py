@@ -28,6 +28,13 @@ def load_chunk_npz(path: str) -> Dict:
     """Load a chunk .npz into the dict format build_chunk_reconstruction
     expects (fp16 storage upcast to fp32)."""
     z = np.load(path, allow_pickle=False)
+    if "keypoints" not in z.files:
+        kind = "dense (created with --keypoints none)" if "dense" in z.files else "incomplete"
+        raise ValueError(
+            f"{path} is a {kind} chunk without keypoint tracks; reconstruction "
+            "needs keypoint-sparse chunks — re-run create_offline_chunks.py "
+            "with --keypoints grid (or aliked)"
+        )
     chunk = {
         "keypoints": z["keypoints"].astype(np.float32),
         "points": z["points"].astype(np.float32),

@@ -2,13 +2,22 @@
 
 Replaces Pi3SLAMOnline (slam/online_reconstructor.py:230-1809). The reference
 overlaps GPU inference with CPU reconstruction through a spawned process and
-pickled queues. Here both inference AND bundle adjustment run on the TPU, so
-on a single chip the device work serializes by necessity (two resident
-programs crash the worker with HBM pressure); the overlap that remains
-profitable — image decode and chunk serialization — runs in the prefetch
-loader's threads. On a multi-chip mesh, chunk-level data parallelism
-(slam/chunk_creator.make_sharded_chunk_step) is the scaling path. Strict
-in-order consumption is preserved by construction.
+pickled queues (:761-954). The TPU-native equivalent needs no IPC:
+
+  * the chunk forward is dispatched asynchronously and stays IN FLIGHT on the
+    TPU while the host consumes the previous chunk (deferred materialization
+    — np.asarray happens at consume time, not dispatch time);
+  * the SfM solvers (BA / Sim3 / pruning) are pinned to JAX's CPU backend
+    (sfm/device.py), so reconstruction k overlaps forward k+1 without putting
+    a second big program on the TPU (which crashes this environment's worker
+    under HBM pressure);
+  * MoGe metric depth is dispatched right behind the Pi3 step — the device
+    runs them back-to-back while the host works.
+
+On a multi-chip mesh, chunk-level data parallelism
+(chunk_creator.make_sharded_chunk_step) shards data_parallel_chunks chunks
+over the dp axis per step. Strict in-order consumption is preserved by
+construction in every mode.
 """
 
 from __future__ import annotations
@@ -68,49 +77,121 @@ class Pi3SLAMOnline:
                 print(f"MoGe unavailable ({e}); continuing without metric depth")
 
         self.undistorter = create_undistorter(config.cam_dist_path) if config.cam_dist_path else None
-        self.step = make_chunk_step(
-            self.pi3_config, self.compute_dtype, 0.1, 0.03, config.estimate_camera_params
-        )
+
+        # pin SfM solvers to the CPU backend so BA overlaps the TPU forward
+        from ..sfm.device import set_sfm_backend
+
+        if config.sfm_backend == "auto":
+            if jax.default_backend() != "cpu":
+                set_sfm_backend("cpu")
+        elif config.sfm_backend != "default":
+            set_sfm_backend(config.sfm_backend)
+
+        self.mesh = None
+        if config.data_parallel_chunks > 1:
+            n_dev = len(jax.devices())
+            dp = min(config.data_parallel_chunks, n_dev)
+            if dp > 1:
+                from ..parallel import make_mesh
+
+                self.mesh = make_mesh(dp, 1)
+                config.data_parallel_chunks = dp
+                print(f"online chunk data parallelism: dp={dp} over {n_dev} devices")
+            else:
+                config.data_parallel_chunks = 1
+        self._make_steps()
         self.reconstructions: List[ChunkReconstruction] = []
         self.alignment_results = []
         self.timing = TimingStats()
+        self._produced = 0
+        self._consumed = 0
         self.visualizer = None
         if config.visualize:
             from ..viz.visualizer import OnlineVisualizer
 
             self.visualizer = OnlineVisualizer(port=config.viz_port)
 
+    def _make_steps(self) -> None:
+        if self.mesh is not None:
+            from .chunk_creator import make_sharded_chunk_step
+
+            self.step, shard_params = make_sharded_chunk_step(
+                self.pi3_config, self.compute_dtype, 0.1, 0.03,
+                self.config.estimate_camera_params, self.mesh,
+            )
+            self.params = shard_params(self._host_params)
+        else:
+            self.step = make_chunk_step(
+                self.pi3_config, self.compute_dtype, 0.1, 0.03,
+                self.config.estimate_camera_params,
+            )
+
     # ----- per-chunk stages -----
 
     def _dispatch_device(self, batch: Dict):
-        """Run the jitted device step and materialize its (small, keypoint-
-        sparse) outputs.
+        """Dispatch the jitted device step (and MoGe, queued right behind it).
 
-        The outputs are pulled to host here rather than left in flight: on a
-        single chip the bundle adjustment also runs on the TPU, so a pending
-        second forward only adds HBM pressure (observed: TPU worker crash with
-        model params + two chunk forwards + BA resident). Host-side overlap
-        (image decode, serialization) comes from the prefetch loader.
-        """
+        With overlap_device_host the outputs stay as device arrays — the
+        forward remains in flight while the host consumes the previous chunk;
+        np.asarray at consume time is the synchronization point. Without
+        overlap they are materialized here (strictly serial device use)."""
         images = batch["images"]
         N, _, H, W = images.shape
         kp = grid_keypoints(H, W, self.config.max_keypoints)
         kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
-        with self.timing.track("inference"):
+        with self.timing.track("dispatch"):
             dev = self.step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
+            moge_depth = None
+            if self.moge is not None:
+                moge_depth = self.moge.infer_depth_async(images[0])
+            if not self.config.overlap_device_host:
+                dev = {k: np.asarray(v) for k, v in dev.items()}
+                if moge_depth is not None:
+                    moge_depth = np.asarray(moge_depth)
+        self._produced += 1
+        return {"dev": dev, "moge_depth": moge_depth, "kps": kps, "batch": batch}
+
+    def _dispatch_group(self, group: List[Dict], dp: int) -> List[Dict]:
+        """Multi-chip path: stack dp same-shape chunks, one sharded device
+        step (batch padded by repeating the last chunk so the dp axis always
+        divides), then split into per-chunk consume items."""
+        n_real = len(group)
+        padded = group + [group[-1]] * (dp - n_real)
+        images = np.stack([b["images"] for b in padded])  # (B, N, 3, H, W)
+        B, N, _, H, W = images.shape
+        kp = grid_keypoints(H, W, self.config.max_keypoints)
+        kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
+
+        with self.timing.track("dispatch"):
+            dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps))
+            moge_depths = [None] * n_real
+            if self.moge is not None:
+                moge_depths = [
+                    self.moge.infer_depth_async(b["images"][0]) for b in group
+                ]
             host = {k: np.asarray(v) for k, v in dev.items()}
-        return {"dev": host, "kps": kps, "batch": batch}
+        self._produced += n_real
+        return [
+            {
+                "dev": {k: v[b] for k, v in host.items()},
+                "moge_depth": moge_depths[b],
+                "kps": kps[b],
+                "batch": group[b],
+            }
+            for b in range(n_real)
+        ]
 
     def _consume(self, pending: Dict) -> ChunkReconstruction:
         """Host stage: materialize device results, metric scale, recon, align."""
         batch = pending["batch"]
-        host = pending["dev"]
+        with self.timing.track("materialize"):
+            host = {k: np.asarray(v) for k, v in pending["dev"].items()}
 
         poses = host["camera_poses"].astype(np.float64)
         points_kp = host["points_kp"].astype(np.float64)
         with self.timing.track("metric_scale"):
-            if self.moge is not None:
-                depth = self.moge.infer_depth(batch["images"][0])
+            if pending["moge_depth"] is not None:
+                depth = np.asarray(pending["moge_depth"])
                 mask0 = host["mask0"]
                 ratio = depth[mask0] / np.maximum(host["depth0"][mask0], 1e-9)
                 ratio = ratio[np.isfinite(ratio)]
@@ -140,6 +221,7 @@ class Pi3SLAMOnline:
                 res = align_chunks(self.reconstructions[-1], recon)
                 self.alignment_results.append(res)
         self.reconstructions.append(recon)
+        self._consumed += 1
         if self.visualizer is not None:
             self.visualizer.update(recon)
         return recon
@@ -158,11 +240,9 @@ class Pi3SLAMOnline:
                 break
             except Exception:
                 continue
-        self.params = jax.device_put(self._host_params)
-        self.step = make_chunk_step(
-            self.pi3_config, self.compute_dtype, 0.1, 0.03,
-            self.config.estimate_camera_params,
-        )
+        if self.mesh is None:
+            self.params = jax.device_put(self._host_params)
+        self._make_steps()  # re-shards params itself in mesh mode
 
     # ----- drive loops -----
 
@@ -173,10 +253,15 @@ class Pi3SLAMOnline:
         return self.process_image_paths(image_paths, pipelined=False)
 
     def queue_status(self) -> Dict:
-        """Telemetry snapshot (the reference's queue-status dict,
-        slam/online_reconstructor.py:922-954)."""
+        """Telemetry snapshot mirroring the reference's queue-status dict
+        (slam/online_reconstructor.py:922-954): produced/consumed/inflight
+        counts plus alignment and timing summaries."""
         return {
-            "chunks_consumed": len(self.reconstructions),
+            "chunks_produced": self._produced,
+            "chunks_consumed": self._consumed,
+            "chunks_inflight": self._produced - self._consumed,
+            "data_parallel_chunks": self.config.data_parallel_chunks,
+            "overlap_device_host": self.config.overlap_device_host,
             "alignments": len(self.alignment_results),
             "alignment_failures": sum(
                 1 for r in self.alignment_results if not r.success
@@ -201,28 +286,66 @@ class Pi3SLAMOnline:
 
         t_start = time.time()
         frames_done = 0
-        pending = None
-        for batch in loader:
-            with self.timing.track("dispatch"):
-                try:
-                    nxt = self._dispatch_device(batch)
-                except Exception as e:
-                    if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
-                        raise
-                    print(f"device runtime failure ({str(e)[:80]}); resetting backend, retrying chunk")
-                    self._recover_backend()
-                    nxt = self._dispatch_device(batch)
-            if not pipelined:
-                self._consume(nxt)
-                frames_done += nxt["batch"]["images"].shape[0]
-                continue
-            if pending is not None:
-                self._consume(pending)
-                frames_done += pending["batch"]["images"].shape[0]
-            pending = nxt
-        if pending is not None:
-            self._consume(pending)
-            frames_done += pending["batch"]["images"].shape[0]
+        pending: List[Dict] = []  # dispatched, not yet consumed (in order)
+
+        def dispatch_with_recovery(batch):
+            try:
+                return self._dispatch_device(batch)
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                    raise
+                print(f"device runtime failure ({str(e)[:80]}); resetting backend, retrying chunk")
+                self._recover_backend()
+                return self._dispatch_device(batch)
+
+        def consume_with_recovery(item):
+            nonlocal frames_done
+            try:
+                self._consume(item)
+            except Exception as e:
+                # a backend crash invalidates in-flight device buffers; reset
+                # and re-run this chunk's forward synchronously
+                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                    raise
+                print(f"device failure at consume ({str(e)[:80]}); resetting, re-running chunk")
+                self._recover_backend()
+                self._produced -= 1  # re-dispatch below re-counts it
+                if self.mesh is not None:
+                    redo = self._dispatch_group([item["batch"]], self.config.data_parallel_chunks)[0]
+                else:
+                    redo = dispatch_with_recovery(item["batch"])
+                self._consume(redo)
+            frames_done += item["batch"]["images"].shape[0]
+
+        dp = self.config.data_parallel_chunks if self.mesh is not None else 1
+        if dp > 1:
+            # multi-chip: group dp same-shape chunks per sharded device step,
+            # consume strictly in order (chunks are independent at inference;
+            # alignment order is preserved on the host side)
+            group: List[Dict] = []
+
+            def flush_group():
+                if not group:
+                    return
+                for item in self._dispatch_group(group, dp):
+                    consume_with_recovery(item)
+                group.clear()
+
+            for batch in loader:
+                if group and group[0]["images"].shape != batch["images"].shape:
+                    flush_group()
+                group.append(batch)
+                if len(group) == dp:
+                    flush_group()
+            flush_group()
+        else:
+            depth = 1 if pipelined else 0
+            for batch in loader:
+                pending.append(dispatch_with_recovery(batch))
+                while len(pending) > depth:
+                    consume_with_recovery(pending.pop(0))
+            while pending:
+                consume_with_recovery(pending.pop(0))
 
         wall = time.time() - t_start
         fps = frames_done / wall if wall > 0 else 0.0

@@ -221,3 +221,128 @@ def test_offline_creator_chunk_dp(image_dir, tmp_path):
         np.testing.assert_allclose(
             z1["points"].astype(np.float32), z2["points"].astype(np.float32), atol=2e-2
         )
+
+
+def test_online_chunk_dp_matches_single(image_dir, tmp_path):
+    """Online chunk-data-parallel mode on the virtual CPU mesh produces the
+    same trajectory as the single-device pipelined mode."""
+    import glob
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    slams = []
+    for dp in (1, 2):
+        cfg = OnlineConfig(
+            chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+            max_keypoints=20, compute_dtype="float32",
+            output_dir=str(tmp_path / f"odp{dp}"), data_parallel_chunks=dp,
+        )
+        slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+        slam._host_params = make_tiny_params()
+        slam.params = slam._host_params
+        slam._make_steps()  # re-shard the tiny params in dp mode
+        r = slam.process_image_paths(paths)
+        assert r["num_chunks"] == 4
+        slams.append(slam)
+
+    t1 = slams[0]._merged_trajectory()[0]
+    t2 = slams[1]._merged_trajectory()[0]
+    np.testing.assert_allclose(t1, t2, atol=1e-4)
+
+    status = slams[1].queue_status()
+    assert status["chunks_produced"] == 4
+    assert status["chunks_consumed"] == 4
+    assert status["chunks_inflight"] == 0
+    assert status["data_parallel_chunks"] == 2
+
+
+def test_online_overlap_defers_materialization(image_dir, tmp_path):
+    """With overlap_device_host the dispatch stage must NOT materialize device
+    outputs (np.asarray happens at consume) — the in-flight forward is the
+    whole infer/recon overlap."""
+    import glob
+    import jax
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=20, compute_dtype="float32",
+        output_dir=str(tmp_path / "ov"),
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:4]
+    from pi3_slam_tpu.data import ChunkDataset, calculate_target_size
+
+    target = calculate_target_size(paths[0], cfg.pixel_limit)
+    ds = ChunkDataset(paths, 4, 2, target)
+    item = slam._dispatch_device(ds[0])
+    assert all(isinstance(v, jax.Array) for v in item["dev"].values())
+    slam._consume(item)
+    assert slam.queue_status()["chunks_consumed"] == 1
+
+
+def test_dense_chunk_reconstruct_fails_clearly(image_dir, tmp_path):
+    out = str(tmp_path / "dense_rec")
+    cfg = OfflineCreatorConfig(
+        output_dir=out, chunk_length=4, overlap=2, pixel_limit=4000,
+        use_metric_depth=False, keypoint_type="none", compute_dtype="float32",
+    )
+    creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+    creator.params = make_tiny_params()
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:4]
+    saved = creator.process_and_save(paths)
+
+    from pi3_slam_tpu.slam.offline_reconstructor import load_chunk_npz
+
+    with pytest.raises(ValueError, match="keypoints"):
+        load_chunk_npz(saved[0])
+
+
+def test_dp_group_crash_recovery(image_dir, tmp_path):
+    """A device runtime failure inside the sharded group step resets the
+    backend and retries (the single-chunk path already does this)."""
+    import glob
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    out = str(tmp_path / "dp_rec")
+    cfg = OfflineCreatorConfig(
+        output_dir=out, chunk_length=4, overlap=2, pixel_limit=4000,
+        use_metric_depth=False, max_keypoints=20, compute_dtype="float32",
+        data_parallel_chunks=2,
+    )
+    creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+    creator.params = make_tiny_params()
+    creator._host_params = creator.params
+
+    real = creator._process_chunk_group
+    calls = {"n": 0}
+
+    def flaky(batches):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("TPU worker crashed: UNAVAILABLE")
+        return real(batches)
+
+    creator._process_chunk_group = flaky
+    recovered = {"n": 0}
+    orig_recover = creator._recover_backend
+
+    def recover():
+        recovered["n"] += 1
+        creator.params = creator._host_params
+        creator._step_cache.clear()
+
+    creator._recover_backend = recover
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    saved = creator.process_and_save(paths)
+    assert recovered["n"] == 1
+    assert calls["n"] >= 2
+    assert len(saved) == 4

@@ -121,6 +121,74 @@ def bench_frame():
             print("ours pallas 768 FAILED:", str(e)[:100])
 
 
+def bench_stages():
+    """Ablation: time encoder / decoder / head stages of the full forward
+    separately (each as its own jitted program over device-resident inputs)."""
+    import functools
+
+    from pi3_slam_tpu.models import Pi3Config, init_pi3_params
+    from pi3_slam_tpu.models.pi3 import _decode, _head_decoder_forward, _camera_head_forward
+    from pi3_slam_tpu.models.dinov2 import dinov2_forward
+    from pi3_slam_tpu.ops.rope import make_patch_positions
+    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
+
+    cfg = Pi3Config()
+    params = jax.device_put(cast_tree_bf16_host(init_pi3_params(0, cfg)))
+    rng = np.random.default_rng(0)
+    B, N, H, W = 1, 100, 308, 406
+    ph, pw = H // 14, W // 14
+    hw = ph * pw
+    imgs = jnp.asarray(rng.uniform(size=(B * N, 3, H, W)).astype(np.float32))
+
+    enc = jax.jit(functools.partial(dinov2_forward, cfg=cfg.encoder, compute_dtype=jnp.bfloat16))
+    t_enc = bench(lambda p, x: enc(p, x)["patch_tokens"], params["encoder"], imgs,
+                  label="encoder (24 blocks, 100x638 tok)")
+
+    hidden = jnp.asarray(rng.standard_normal((B * N, hw, 1024)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    dec = jax.jit(lambda p, h: _decode(p, h, B, N, (ph, pw), cfg)[0])
+    t_dec = bench(dec, params["decoder"], hidden, label="decoder (36 blocks alt frame/global)")
+
+    hw_full = hw + cfg.num_register_tokens
+    hidden_cat = jnp.asarray(
+        rng.standard_normal((B * N, hw_full, 2048)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    pos = make_patch_positions(B * N, ph, pw, num_special=cfg.num_register_tokens, offset=1)
+    hd = jax.jit(lambda p, h: _head_decoder_forward(p, h, pos, cfg, cfg.head_num_heads))
+    t_head = bench(hd, params["point_decoder"], hidden_cat, label="one head decoder (5 blocks)")
+
+    def dense_heads(p, ph_in, ch_in, camh_in):
+        from pi3_slam_tpu.models.pi3 import tokens_to_image, linear, homogenize_points
+        reg = cfg.num_register_tokens
+        with jax.default_matmul_precision("float32"):
+            pt = ph_in[:, reg:].astype(jnp.float32)
+            ret = tokens_to_image(
+                linear(pt, p["point_head"]["kernel"].astype(jnp.float32),
+                       p["point_head"]["bias"].astype(jnp.float32)), (ph, pw), 14, 3
+            ).reshape(B, N, H, W, 3)
+            xy, z = ret[..., :2], ret[..., 2:]
+            z = jnp.exp(z)
+            local_points = jnp.concatenate([xy * z, z], axis=-1)
+            cf = ch_in[:, reg:].astype(jnp.float32)
+            conf = tokens_to_image(
+                linear(cf, p["conf_head"]["kernel"].astype(jnp.float32),
+                       p["conf_head"]["bias"].astype(jnp.float32)), (ph, pw), 14, 1
+            ).reshape(B, N, H, W, 1)
+            poses = _camera_head_forward(p["camera_head"], camh_in[:, reg:]).reshape(B, N, 4, 4)
+            points = jnp.einsum("bnij,bnhwj->bnhwi", poses, homogenize_points(local_points))[..., :3]
+        return points, conf
+
+    cam_hidden = jnp.asarray(
+        rng.standard_normal((B * N, hw_full, 512)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    dh = jax.jit(dense_heads)
+    t_dense = bench(lambda p, a, b, c: dh(p, a, b, c)[0], params, hidden_cat[..., :1024],
+                    hidden_cat[..., :1024], cam_hidden, label="dense heads (fp32 linears+SVD+einsum)")
+
+    total = t_enc + t_dec + 3 * t_head + t_dense
+    print(f"\nsum of stages: {total*1e3:.0f} ms -> {N/total:.2f} FPS "
+          f"(enc {t_enc:.2f}s dec {t_dec:.2f}s heads 3x{t_head:.2f}s dense {t_dense:.2f}s)")
+
+
 def bench_forward():
     from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
     from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
@@ -148,5 +216,7 @@ if __name__ == "__main__":
         bench_global()
     if which in ("frame", "all"):
         bench_frame()
+    if which in ("stages", "all"):
+        bench_stages()
     if which in ("forward", "all"):
         bench_forward()
