@@ -49,6 +49,8 @@ def main(argv=None):
     parser.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
     parser.add_argument("--moge-path", default=None, help="Converted MoGe weights (.npz)")
     parser.add_argument("--keypoints", default="grid", choices=["aliked", "grid", "none"])
+    parser.add_argument("--aliked-path", default=None,
+                        help="Converted ALIKED weights (.npz) for --keypoints aliked")
     parser.add_argument("--max-kp", type=int, default=200)
     parser.add_argument("--estimate-intrinsics", action="store_true", default=True)
     parser.add_argument("--num-workers", type=int, default=4)
@@ -81,6 +83,7 @@ def main(argv=None):
         use_metric_depth=args.metric_depth,
         moge_checkpoint_path=args.moge_path,
         keypoint_type=args.keypoints,
+        aliked_checkpoint_path=args.aliked_path,
         max_keypoints=args.max_kp,
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,

@@ -40,6 +40,8 @@ def main(argv=None):
 
     g_kp = parser.add_argument_group("keypoints")
     g_kp.add_argument("--keypoints", default="grid", choices=["grid", "aliked"])
+    g_kp.add_argument("--aliked-path", default=None,
+                      help="Converted ALIKED weights (.npz) for --keypoints aliked")
     g_kp.add_argument("--max-kp", type=int, default=1000)
 
     g_rec = parser.add_argument_group("reconstruction")
@@ -85,6 +87,7 @@ def main(argv=None):
         use_metric_depth=args.metric_depth,
         moge_checkpoint_path=args.moge_path,
         keypoint_type=args.keypoints,
+        aliked_checkpoint_path=args.aliked_path,
         max_keypoints=args.max_kp,
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,

@@ -305,6 +305,83 @@ def convert_moge_state_dict(sd: Mapping[str, Any], model_config: Dict[str, Any])
     return params
 
 
+def convert_aliked_state_dict(sd: Mapping[str, Any], model_name: str = "aliked-n16") -> Dict[str, Any]:
+    """lightglue/ALIKED torch state_dict -> pi3_slam_tpu.models.aliked tree.
+
+    Maps by name from the lightglue ALIKED module layout (blockN.conv{1,2} +
+    bn{1,2}, blockN.downsample, convN projections, score_head.{0,2,4,6},
+    desc_head.offset_conv.{0,2}, desc_head.sf_conv, desc_head.agg_weights).
+    Unmatched source keys are reported (raised) so a layout drift in the
+    upstream checkpoint surfaces here instead of producing silent garbage.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    used = set()
+
+    def get(name):
+        used.add(name)
+        return sd[name]
+
+    def bn(prefix):
+        return {
+            "weight": get(f"{prefix}.weight"),
+            "bias": get(f"{prefix}.bias"),
+            "running_mean": get(f"{prefix}.running_mean"),
+            "running_var": get(f"{prefix}.running_var"),
+        }
+
+    def conv_block(prefix):
+        return {
+            "conv1_kernel": _conv(get(f"{prefix}.conv1.weight")),
+            "conv1_bn": bn(f"{prefix}.bn1"),
+            "conv2_kernel": _conv(get(f"{prefix}.conv2.weight")),
+            "conv2_bn": bn(f"{prefix}.bn2"),
+        }
+
+    def res_block(prefix):
+        out = conv_block(prefix)
+        out["downsample_kernel"] = _conv(get(f"{prefix}.downsample.weight"))
+        bkey = f"{prefix}.downsample.bias"
+        if bkey in sd:
+            out["downsample_bias"] = get(bkey)
+        return out
+
+    params = {
+        "block1": conv_block("block1"),
+        "block2": res_block("block2"),
+        "block3": res_block("block3"),
+        "block4": res_block("block4"),
+        "conv1_kernel": _conv(get("conv1.weight")),
+        "conv2_kernel": _conv(get("conv2.weight")),
+        "conv3_kernel": _conv(get("conv3.weight")),
+        "conv4_kernel": _conv(get("conv4.weight")),
+        "score_head": {
+            "conv1_kernel": _conv(get("score_head.0.weight")),
+            "conv2_kernel": _conv(get("score_head.2.weight")),
+            "conv3_kernel": _conv(get("score_head.4.weight")),
+            "conv4_kernel": _conv(get("score_head.6.weight")),
+        },
+        "offset_conv1_kernel": _conv(get("desc_head.offset_conv.0.weight")),
+        "offset_conv1_bias": get("desc_head.offset_conv.0.bias"),
+        "offset_conv2_kernel": _conv(get("desc_head.offset_conv.2.weight")),
+        "offset_conv2_bias": get("desc_head.offset_conv.2.bias"),
+        "sf_conv_kernel": _conv(get("desc_head.sf_conv.weight")),
+        "agg_weights": get("desc_head.agg_weights"),
+    }
+    for i in range(1, 5):
+        bkey = f"score_head.{2 * (i - 1)}.bias"
+        if bkey in sd:
+            params["score_head"][f"conv{i}_bias"] = get(bkey)
+
+    unmatched = sorted(k for k in sd if k not in used and "num_batches_tracked" not in k)
+    if unmatched:
+        raise ValueError(
+            f"ALIKED state_dict has {len(unmatched)} unmatched keys (layout "
+            f"drift?): {unmatched[:10]}{'...' if len(unmatched) > 10 else ''}"
+        )
+    params["_model_name"] = model_name
+    return params
+
+
 def save_params_npz(path: str, params: Dict[str, Any]) -> None:
     """Flatten a param pytree (dicts, lists, arrays, None) to an .npz.
 

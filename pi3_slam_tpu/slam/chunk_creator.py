@@ -166,6 +166,22 @@ class OfflineChunkCreator:
         if config.cam_dist_path:
             self.undistorter = create_undistorter(config.cam_dist_path)
 
+        self.keypoint_extractor = None
+        if config.keypoint_type == "aliked":
+            from ..utils.keypoints import create_keypoint_extractor
+
+            ex = create_keypoint_extractor(
+                "aliked",
+                max_num_keypoints=config.max_keypoints,
+                aliked_checkpoint_path=config.aliked_checkpoint_path,
+            )
+            from ..utils.keypoints import ALIKEDExtractor
+
+            if isinstance(ex, ALIKEDExtractor):
+                self.keypoint_extractor = ex
+            else:  # factory already warned; grid path below handles it
+                self.config.keypoint_type = "grid"
+
         self._step_cache: Dict[tuple, callable] = {}
         self.mesh = None
         if config.data_parallel_chunks > 1:
@@ -226,8 +242,13 @@ class OfflineChunkCreator:
         B = len(batches)
         images = np.stack([b["images"] for b in batches])  # (B, N, 3, H, W)
         N, _, H, W = images.shape[1:]
-        kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
-        kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
+        if self.keypoint_extractor is not None:  # ALIKED: per-frame learned
+            kps = np.stack(
+                [self.keypoint_extractor.extract(b["images"])["keypoints"] for b in batches]
+            ).astype(np.float32)
+        else:
+            kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
+            kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
 
         step = self._get_step()
         t0 = time.time()
@@ -287,9 +308,12 @@ class OfflineChunkCreator:
             # a minimal single-point 'grid' keeps the device step shape-stable;
             # dense maps are exported instead of the sparse arrays below
             kp = np.array([[W / 2.0, H / 2.0]], dtype=np.float32)
+            kps = np.broadcast_to(kp[None], (N, 1, 2)).astype(np.float32)
+        elif self.keypoint_extractor is not None:  # ALIKED: per-frame learned
+            kps = self.keypoint_extractor.extract(images)["keypoints"].astype(np.float32)
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
-        kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
+            kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
 
         step = self._get_step()
         t0 = time.time()

@@ -28,6 +28,7 @@ class OfflineCreatorConfig:
     keypoint_type: str = "grid"
     max_keypoints: int = 1000
     grid_spacing: Optional[int] = None
+    aliked_checkpoint_path: Optional[str] = None  # converted ALIKED .npz
     # camera
     estimate_camera_params: bool = True
     cam_dist_path: Optional[str] = None  # calibration JSON for undistortion
@@ -65,6 +66,7 @@ class OnlineConfig:
     moge_checkpoint_path: Optional[str] = None
     keypoint_type: str = "grid"
     max_keypoints: int = 1000
+    aliked_checkpoint_path: Optional[str] = None  # converted ALIKED .npz
     estimate_camera_params: bool = True
     cam_dist_path: Optional[str] = None
     max_observations_per_track: int = 10

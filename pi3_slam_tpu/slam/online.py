@@ -78,6 +78,20 @@ class Pi3SLAMOnline:
 
         self.undistorter = create_undistorter(config.cam_dist_path) if config.cam_dist_path else None
 
+        self.keypoint_extractor = None
+        if config.keypoint_type == "aliked":
+            from ..utils.keypoints import ALIKEDExtractor, create_keypoint_extractor
+
+            ex = create_keypoint_extractor(
+                "aliked",
+                max_num_keypoints=config.max_keypoints,
+                aliked_checkpoint_path=config.aliked_checkpoint_path,
+            )
+            if isinstance(ex, ALIKEDExtractor):
+                self.keypoint_extractor = ex
+            else:  # factory already warned; grid path handles it
+                config.keypoint_type = "grid"
+
         # pin SfM solvers to the CPU backend so BA overlaps the TPU forward
         from ..sfm.device import set_sfm_backend
 
@@ -137,8 +151,11 @@ class Pi3SLAMOnline:
         overlap they are materialized here (strictly serial device use)."""
         images = batch["images"]
         N, _, H, W = images.shape
-        kp = grid_keypoints(H, W, self.config.max_keypoints)
-        kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
+        if self.keypoint_extractor is not None:  # ALIKED: per-frame learned
+            kps = self.keypoint_extractor.extract(images)["keypoints"].astype(np.float32)
+        else:
+            kp = grid_keypoints(H, W, self.config.max_keypoints)
+            kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
         with self.timing.track("dispatch"):
             dev = self.step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
             moge_depth = None
@@ -159,8 +176,16 @@ class Pi3SLAMOnline:
         padded = group + [group[-1]] * (dp - n_real)
         images = np.stack([b["images"] for b in padded])  # (B, N, 3, H, W)
         B, N, _, H, W = images.shape
-        kp = grid_keypoints(H, W, self.config.max_keypoints)
-        kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
+        if self.keypoint_extractor is not None:
+            kps = np.stack(
+                [
+                    self.keypoint_extractor.extract(b["images"])["keypoints"]
+                    for b in padded
+                ]
+            ).astype(np.float32)
+        else:
+            kp = grid_keypoints(H, W, self.config.max_keypoints)
+            kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
 
         with self.timing.track("dispatch"):
             dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps))

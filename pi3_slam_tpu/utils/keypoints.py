@@ -1,17 +1,20 @@
-"""Grid keypoint extraction.
+"""Keypoint extraction: grid and ALIKED.
 
-Mirrors GridKeypointExtractor (utils/keypoint_extraction.py:53-229): auto
-spacing sqrt(effective_area / max_kp) clamped to [8, min(H,W)/4], 5% margins,
+GridKeypointExtractor mirrors the reference grid extractor
+(utils/keypoint_extraction.py:53-229): auto spacing
+sqrt(effective_area / max_kp) clamped to [8, min(H,W)/4], 5% margins,
 subsample to max_kp, colors by bilinear grid-sample. One deliberate
 improvement: the subsample is seeded by (H, W), so every frame of every chunk
 with the same resolution gets the *same* keypoint set — this makes cross-chunk
 common-track matching by keypoint position exact (the reference's unseeded
 randperm degrades overlap matching).
 
-ALIKED (the reference's learned alternative) has no JAX implementation; the
-eval protocol uses grid keypoints (scripts/eval_7scenes.sh:86-103), which is
-what we ship. create_keypoint_extractor mirrors the reference factory with a
-grid fallback.
+ALIKEDExtractor wraps the JAX ALIKED model (models/aliked.py), mirroring the
+reference's lightglue-backed extractor (utils/keypoint_extraction.py:258-307)
+given a converted checkpoint (tools/convert_checkpoint.py --model aliked).
+The factory mirrors the reference's ALIKED -> grid degradation
+(keypoint_extraction.py:408-410) when no weights are available — loudly, with
+a printed warning, never silently.
 """
 
 from __future__ import annotations
@@ -77,10 +80,69 @@ class GridKeypointExtractor:
         return {"keypoints": kps.astype(np.float32), "colors": colors}
 
 
-def create_keypoint_extractor(kind: str = "grid", **kwargs) -> GridKeypointExtractor:
-    """Factory mirroring utils/keypoint_extraction.py:394-420. 'aliked'
-    requests fall back to grid (no JAX ALIKED; the eval default is grid)."""
+class ALIKEDExtractor:
+    """Learned keypoints + descriptors via the JAX ALIKED model.
+
+    Mirrors the reference ALIKEDExtractor (utils/keypoint_extraction.py:
+    258-307): extract() returns per-frame keypoints (pixel coords),
+    descriptors, scores; extract_with_colors adds bilinear-sampled colors.
+    """
+
+    def __init__(
+        self,
+        checkpoint_path: str,
+        max_num_keypoints: int = 1000,
+        detection_threshold: float = 0.005,
+    ):
+        import dataclasses
+
+        from ..models.aliked import CONFIGS, aliked_extract
+        from ..models.convert import load_params_npz
+
+        self.params = load_params_npz(checkpoint_path)
+        name = str(self.params.pop("_model_name", "aliked-n16"))
+        cfg = CONFIGS.get(name, CONFIGS["aliked-n16"])
+        self.cfg = dataclasses.replace(cfg, detection_threshold=detection_threshold)
+        self.max_num_keypoints = max_num_keypoints
+        self._extract = aliked_extract
+
+    def extract(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """images (N, 3, H, W) float [0,1] -> {'keypoints': (N,K,2),
+        'descriptors': (N,K,dim), 'scores': (N,K), 'valid': (N,K)}."""
+        out = self._extract(
+            self.params, jnp.asarray(images), self.cfg, self.max_num_keypoints
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def extract_with_colors(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        out = self.extract(images)
+        maps = jnp.asarray(images.transpose(0, 2, 3, 1))
+        cols = np.asarray(
+            grid_sample_frames(maps, jnp.asarray(out["keypoints"]), mode="bilinear")
+        )
+        out["colors"] = np.clip(cols * 255.0, 0, 255).astype(np.uint8)
+        return out
+
+
+def create_keypoint_extractor(kind: str = "grid", **kwargs):
+    """Factory mirroring utils/keypoint_extraction.py:394-420: 'grid' or
+    'aliked'. ALIKED needs converted weights (aliked_checkpoint_path); when
+    missing it degrades to grid with a printed warning — the reference
+    degrades the same way when lightglue is unimportable (:408-410)."""
     if kind not in ("grid", "aliked"):
         raise ValueError(f"unknown keypoint extractor: {kind}")
     kwargs.pop("device", None)
+    ckpt = kwargs.pop("aliked_checkpoint_path", None)
+    threshold = kwargs.pop("detection_threshold", 0.005)
+    if kind == "aliked":
+        if ckpt:
+            return ALIKEDExtractor(
+                ckpt,
+                max_num_keypoints=kwargs.get("max_num_keypoints", 1000),
+                detection_threshold=threshold,
+            )
+        print(
+            "ALIKED weights unavailable (pass --aliked-path with a converted "
+            "checkpoint); falling back to grid keypoints"
+        )
     return GridKeypointExtractor(**kwargs)

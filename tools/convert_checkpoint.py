@@ -10,6 +10,9 @@ Usage (on a machine with network/checkpoint access):
   # MoGe-2 (HF hub Ruicheng/moge-2-vits-normal or a local model.pt)
   python tools/convert_checkpoint.py --model moge --input Ruicheng/moge-2-vits-normal --output moge.npz
 
+  # ALIKED keypoint extractor (lightglue model zoo .pth, e.g. aliked-n16)
+  python tools/convert_checkpoint.py --model aliked --input aliked-n16.pth --output aliked.npz
+
 The .npz then feeds --model-path / --moge-path of the pipeline CLIs. Only
 numpy + safetensors/torch are needed for local files; HF hub ids additionally
 need huggingface_hub + network access.
@@ -50,7 +53,9 @@ def _resolve(path_or_repo: str, model: str) -> str:
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", choices=["pi3", "moge"], required=True)
+    parser.add_argument("--model", choices=["pi3", "moge", "aliked"], required=True)
+    parser.add_argument("--aliked-name", default="aliked-n16",
+                        help="ALIKED variant (aliked-t16/n16/n16rot/n32)")
     parser.add_argument("--input", required=True, help="Local checkpoint file or HF repo id")
     parser.add_argument("--output", required=True, help="Output .npz path")
     args = parser.parse_args(argv)
@@ -58,6 +63,7 @@ def main(argv=None):
     from pi3_slam_tpu.models.convert import (
         convert_pi3_state_dict,
         convert_moge_state_dict,
+        convert_aliked_state_dict,
         save_params_npz,
     )
 
@@ -67,6 +73,8 @@ def main(argv=None):
 
     if args.model == "pi3":
         params = convert_pi3_state_dict(sd)
+    elif args.model == "aliked":
+        params = convert_aliked_state_dict(sd, model_name=args.aliked_name)
     else:
         if model_config is None:
             raise SystemExit("MoGe checkpoint must carry model_config (expected model.pt format)")
