@@ -1,0 +1,92 @@
+"""Video decoding path: persistent decoders, sequential bulk reads, O(1)
+opens per thread (reference behavior: cached torchcodec decoders + bulk
+get_frames_at, pi3/utils/basic.py:462-581)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from pi3_slam_tpu.data import image_io
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    """Synthetic clip whose frame index is encoded in the pixel intensity."""
+    d = tmp_path_factory.mktemp("vid")
+    path = str(d / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+    assert w.isOpened()
+    for i in range(120):
+        frame = np.full((48, 64, 3), min(i * 2, 255), np.uint8)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def _frame_value(img):
+    """Recover the encoded index intensity (uint8 HWC or CHW float)."""
+    if img.dtype == np.uint8:
+        return float(img.mean())
+    return float(img.mean() * 255.0)
+
+
+def test_sequential_reads_one_open(video_path):
+    image_io._thread_videos.cache = {}
+    n0 = image_io.VIDEO_OPEN_COUNT["n"]
+    vals = []
+    for i in range(0, 60, 2):
+        img = image_io.read_video_frame(video_path, i)
+        vals.append(_frame_value(img))
+    assert image_io.VIDEO_OPEN_COUNT["n"] - n0 == 1  # ONE decoder for 30 reads
+    # frames decode in order: intensity must be monotonically increasing
+    assert all(b > a for a, b in zip(vals, vals[1:]))
+    # values match the encoding (MJPG is lossy; generous tolerance)
+    for i, v in zip(range(0, 60, 2), vals):
+        assert abs(v - i * 2) < 6, (i, v)
+
+
+def test_bulk_reads_match_single_and_restore_order(video_path):
+    image_io._thread_videos.cache = {}
+    idx = [40, 10, 30, 20]
+    bulk = image_io.load_video_frames_bulk(video_path, idx, target_hw=(48, 64))
+    assert bulk.shape == (4, 3, 48, 64)
+    for want, got in zip(idx, bulk):
+        assert abs(_frame_value(got) - want * 2) < 6
+
+
+def test_chunk_loading_uses_bulk_path(video_path):
+    image_io._thread_videos.cache = {}
+    n0 = image_io.VIDEO_OPEN_COUNT["n"]
+    paths = [(video_path, i) for i in range(20)]
+    imgs = image_io.load_images(paths, (48, 64))
+    assert imgs.shape == (20, 3, 48, 64)
+    assert image_io.VIDEO_OPEN_COUNT["n"] - n0 == 1
+    vals = [_frame_value(f) for f in imgs]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+
+def test_backward_seek_still_correct(video_path):
+    image_io._thread_videos.cache = {}
+    a = _frame_value(image_io.read_video_frame(video_path, 50))
+    b = _frame_value(image_io.read_video_frame(video_path, 5))  # backward jump
+    assert abs(a - 100) < 6 and abs(b - 10) < 6
+
+
+def test_video_dataset_end_to_end(video_path):
+    """ChunkDataset over video tuples decodes whole chunks via one decoder per
+    worker thread."""
+    from pi3_slam_tpu.data import ChunkDataset, PrefetchLoader, calculate_target_size
+
+    frames = image_io.list_video_frames(video_path, skip_start=0, skip_end=0, stride=2)
+    assert len(frames) == 60
+    target = calculate_target_size(frames[0], 2000)
+    ds = ChunkDataset(frames, 10, 2, target)
+    image_io._thread_videos.cache = {}
+    n0 = image_io.VIDEO_OPEN_COUNT["n"]
+    batches = list(PrefetchLoader(ds, num_workers=2))
+    assert len(batches) == len(ds)
+    # opens bounded by worker threads, not frames
+    assert image_io.VIDEO_OPEN_COUNT["n"] - n0 <= 2
+    for b in batches:
+        assert b["images"].shape[1:] == (3, target[0], target[1])
