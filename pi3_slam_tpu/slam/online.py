@@ -248,7 +248,10 @@ class Pi3SLAMOnline:
         self.reconstructions.append(recon)
         self._consumed += 1
         if self.visualizer is not None:
-            self.visualizer.update(recon)
+            frame = (
+                batch["images"][-1].transpose(1, 2, 0) * 255.0
+            ).clip(0, 255).astype(np.uint8)
+            self.visualizer.update(recon, frame=frame, keypoints=pending["kps"][-1])
         return recon
 
     def _recover_backend(self) -> None:

@@ -1,15 +1,29 @@
-"""Online visualization.
+"""Online visualization: viser scene with GUI, frustums, follow-cam, image
+panels — console fallback when viser is missing.
 
-The reference runs a viser web server in a separate process
-(visualization/visualizer.py:116-593) with a console fallback when viser is
-missing (:572-593). viser is not installed in this environment, so the
-console path is primary; the viser path is implemented behind the same
-interface and activates when the package is importable.
+Parity with the reference visualizer (visualization/visualizer.py):
+  * GUI controls: layer toggles, point/camera size sliders, SLAM statistics,
+    reset-view / follow buttons, auto-follow with distance/height sliders,
+    image-panel toggles (:116-218).
+  * split current/history point layers with cap-based stride decimation
+    (:396-425, slam/online_reconstructor.py:1490-1625).
+  * trajectory line segments (red) (:427-445) and the last-20 camera
+    frustums, gold for the latest (:457-481).
+  * follow-cam placement behind the latest camera (:536-557).
+  * keypoint-overlay image panels (:22-52).
+  * console fallback when viser is unimportable (:572-593).
+
+Design split (instead of the reference's render-everything monolith): a pure
+``SceneState`` accumulates layers / trajectory / frustums / follow-cam math
+and is unit-testable without viser; ``OnlineVisualizer`` consumes updates on
+a ~10 Hz thread (the reference's separate process + throttled queue, without
+IPC) and renders the state through viser when available.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -21,29 +35,169 @@ except ImportError:
     _HAS_VISER = False
 
 
+def render_keypoints_on_image(
+    image: np.ndarray,
+    keypoints: Optional[np.ndarray],
+    point_radius: int = 4,
+    line_thickness: int = 2,
+    color: tuple = (0, 255, 0),
+) -> np.ndarray:
+    """Draw keypoint circles on an (H, W, 3) uint8 image
+    (visualization/visualizer.py:22-52)."""
+    if image is None or keypoints is None or len(keypoints) == 0:
+        return image
+    try:
+        import cv2
+    except ImportError:
+        return image
+    out = image.copy()
+    kps = np.asarray(keypoints)
+    if kps.ndim == 3:
+        kps = kps.reshape(-1, kps.shape[-1])
+    h, w = image.shape[:2]
+    for x, y in kps[:, :2].astype(np.int32):
+        if 0 <= x < w and 0 <= y < h:
+            cv2.circle(out, (int(x), int(y)), point_radius, color, line_thickness)
+    return out
+
+
+def _decimate(points: np.ndarray, colors: Optional[np.ndarray], cap: int):
+    """Stride decimation to <= cap points (reference :407-412)."""
+    if points is None or len(points) <= cap:
+        return points, colors
+    step = max(1, len(points) // cap)
+    idx = np.arange(0, len(points), step)[:cap]
+    return points[idx], (colors[idx] if colors is not None and len(colors) else colors)
+
+
+def follow_camera_pose(
+    cam_pos: np.ndarray,
+    cam_forward: np.ndarray,
+    distance: float = 0.6,
+    height: float = 0.2,
+):
+    """(viewer_position, look_at) behind and above the latest camera
+    (visualization/visualizer.py:536-557)."""
+    fwd = np.asarray(cam_forward, np.float64)
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-9)
+    up = np.array([0.0, 0.0, 1.0])
+    pos = np.asarray(cam_pos, np.float64) - fwd * float(distance) + up * float(height)
+    return pos, np.asarray(cam_pos, np.float64)
+
+
+@dataclass
+class SceneState:
+    """Accumulated visualization state: pure numpy, renderer-agnostic."""
+
+    max_current_points: int = 200_000
+    max_history_points: int = 1_000_000
+    max_cameras_shown: int = 20
+
+    current_points: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    current_colors: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    history_points: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    history_colors: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    trajectory: List[np.ndarray] = field(default_factory=list)
+    cam_rotations: List[np.ndarray] = field(default_factory=list)  # world-from-camera R
+    chunk_count: int = 0
+    latest_frame: Optional[np.ndarray] = None
+    latest_keypoints: Optional[np.ndarray] = None
+
+    def add_chunk(
+        self,
+        points: np.ndarray,
+        colors: np.ndarray,
+        centers: np.ndarray,
+        rotations: Optional[np.ndarray] = None,
+        frame: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
+    ) -> None:
+        """Fold one chunk's results in: previous current layer moves to
+        history (with cap decimation), new points become current."""
+        if len(self.current_points):
+            self.history_points = np.concatenate([self.history_points, self.current_points])
+            self.history_colors = np.concatenate([self.history_colors, self.current_colors])
+            self.history_points, self.history_colors = _decimate(
+                self.history_points, self.history_colors, self.max_history_points
+            )
+        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        cols = np.asarray(colors, np.float32).reshape(-1, 3) if colors is not None else np.zeros_like(pts)
+        self.current_points, self.current_colors = _decimate(pts, cols, self.max_current_points)
+        self.trajectory.extend(np.asarray(centers, np.float32))
+        if rotations is not None:
+            self.cam_rotations.extend(np.asarray(rotations, np.float32))
+        else:
+            self.cam_rotations.extend([np.eye(3, dtype=np.float32)] * len(centers))
+        self.chunk_count += 1
+        if frame is not None:
+            self.latest_frame = frame
+            self.latest_keypoints = keypoints
+
+    @property
+    def total_points(self) -> int:
+        return len(self.current_points) + len(self.history_points)
+
+    def trajectory_segments(self) -> np.ndarray:
+        """(S, 2, 3) consecutive-position line segments (reference :427-445)."""
+        t = np.asarray(self.trajectory, np.float32)
+        if len(t) < 2:
+            return np.zeros((0, 2, 3), np.float32)
+        return np.stack([t[:-1], t[1:]], axis=1)
+
+    def camera_frustums(self):
+        """Last-N frustum descriptors: (position, R_wc, color, is_latest)
+        (reference :457-481: gold latest, red history)."""
+        n = len(self.trajectory)
+        start = max(0, n - self.max_cameras_shown)
+        out = []
+        for i in range(start, n):
+            latest = i == n - 1
+            out.append(
+                {
+                    "position": np.asarray(self.trajectory[i], np.float32),
+                    "rotation": np.asarray(self.cam_rotations[i], np.float32),
+                    "color": (1.0, 0.8, 0.0) if latest else (0.8, 0.2, 0.2),
+                    "is_latest": latest,
+                }
+            )
+        return out
+
+    def latest_camera(self):
+        """(position, forward) of the newest pose; forward = R[:, 2]."""
+        if not self.trajectory:
+            return None, None
+        return (
+            np.asarray(self.trajectory[-1], np.float64),
+            np.asarray(self.cam_rotations[-1], np.float64)[:, 2],
+        )
+
+
 class OnlineVisualizer:
-    """Incremental point-cloud/trajectory visualizer.
+    """Incremental visualizer: non-blocking update() + ~10 Hz consumer thread
+    rendering SceneState through viser (or console prints)."""
 
-    update(recon) after each chunk is a NON-BLOCKING queue put; a consumer
-    thread drains the queue at ~10 Hz — mirroring the reference's separate
-    visualization process + throttled queue (visualization/visualizer.py:
-    220-242, slam/online_reconstructor.py:1618-1622) without IPC. Split
-    current/history layers with subsample caps (:1490-1625).
-    """
-
-    def __init__(self, port: int = 8080, max_current_points: int = 200_000,
-                 max_history_points: int = 1_000_000, threaded: bool = True):
+    def __init__(
+        self,
+        port: int = 8080,
+        max_current_points: int = 200_000,
+        max_history_points: int = 1_000_000,
+        threaded: bool = True,
+    ):
         import queue
         import threading
 
         self.port = port
-        self.max_current = max_current_points
-        self.max_history = max_history_points
+        self.state = SceneState(
+            max_current_points=max_current_points,
+            max_history_points=max_history_points,
+        )
         self._server = None
-        self._history_pts: Optional[np.ndarray] = None
-        self._history_cols: Optional[np.ndarray] = None
-        self._trajectory = []
-        self._n_updates = 0
+        self._gui: Dict[str, object] = {}
+        self._clients = set()
+        self.auto_follow = False
+        self.follow_distance = 0.6
+        self.follow_height = 0.2
+        self._drawn_cameras = 0
         if _HAS_VISER:
             self._start_server()
         else:
@@ -54,6 +208,85 @@ class OnlineVisualizer:
         if threaded:
             self._thread = threading.Thread(target=self._consume_loop, daemon=True)
             self._thread.start()
+
+    # ----- server / GUI ----------------------------------------------------
+
+    def _start_server(self):
+        import viser
+
+        self._server = viser.ViserServer(port=self.port, verbose=False)
+        gui = self._server.gui
+        g = self._gui
+        gui.add_markdown("# Pi3SLAM (TPU) — live reconstruction")
+        with gui.add_folder("Visualization Controls"):
+            g["show_point_cloud"] = gui.add_checkbox("Show Point Cloud", initial_value=True)
+            g["show_trajectory"] = gui.add_checkbox("Show Camera Trajectory", initial_value=True)
+            g["show_cameras"] = gui.add_checkbox("Show Camera Poses", initial_value=True)
+            g["point_size"] = gui.add_slider("Point Size", min=0.001, max=0.05, step=0.001, initial_value=0.01)
+            g["camera_size"] = gui.add_slider("Camera Size", min=0.01, max=0.2, step=0.01, initial_value=0.05)
+        with gui.add_folder("SLAM Statistics"):
+            g["stats_points"] = gui.add_text("Total Points", initial_value="0", disabled=True)
+            g["stats_cameras"] = gui.add_text("Camera Poses", initial_value="0", disabled=True)
+            g["stats_chunks"] = gui.add_text("Chunks Processed", initial_value="0", disabled=True)
+        with gui.add_folder("Camera Controls"):
+            reset_btn = gui.add_button("Reset View")
+            follow_btn = gui.add_button("Follow Latest Camera")
+            g["follow_toggle"] = gui.add_checkbox("Auto Follow", initial_value=False)
+            g["follow_distance"] = gui.add_slider("Follow Distance (m)", min=0.1, max=2.0, step=0.05, initial_value=0.6)
+            g["follow_height"] = gui.add_slider("Follow Height (m)", min=0.0, max=1.0, step=0.05, initial_value=0.2)
+
+            @reset_btn.on_click
+            def _(_):
+                self._reset_view()
+
+            @follow_btn.on_click
+            def _(_):
+                self._follow_latest()
+
+            @g["follow_toggle"].on_update
+            def _(_):
+                self.auto_follow = g["follow_toggle"].value
+        with gui.add_folder("Images"):
+            g["show_latest_image"] = gui.add_checkbox("Show Latest Frame", initial_value=True)
+            try:
+                g["latest_image"] = gui.add_image("Latest Frame")
+            except Exception:
+                g["latest_image"] = None
+
+        @self._server.on_client_connect
+        def _on_connect(client):
+            self._clients.add(client)
+            try:
+                client.camera.position = (5.0, 5.0, 3.0)
+                client.camera.look_at = (0.0, 0.0, 0.0)
+            except Exception:
+                pass
+
+        @self._server.on_client_disconnect
+        def _on_disconnect(client):
+            self._clients.discard(client)
+
+    # ----- update path ------------------------------------------------------
+
+    def update(self, recon, frame: Optional[np.ndarray] = None,
+               keypoints: Optional[np.ndarray] = None) -> None:
+        """Non-blocking: drop the update when the consumer is backed up
+        (reference put_nowait semantics, online_reconstructor.py:1618-1622)."""
+        payload = (
+            recon.points[recon.track_valid > 0].copy(),
+            recon.colors[recon.track_valid > 0].copy(),
+            recon.centers.copy(),
+            np.transpose(recon.rotations, (0, 2, 1)).copy(),  # R_cw -> R_wc
+            frame,
+            keypoints,
+        )
+        if self._queue is not None:
+            try:
+                self._queue.put_nowait(payload)
+            except Exception:
+                pass  # queue full: drop, never stall the SLAM loop
+            return
+        self._apply_update(*payload)
 
     def _consume_loop(self):
         import queue as _q
@@ -67,66 +300,130 @@ class OnlineVisualizer:
             self._apply_update(*payload)
             _t.sleep(0.1)  # ~10 Hz throttle like the reference consumer
 
-    def _start_server(self):
-        import viser
-
-        self._server = viser.ViserServer(port=self.port)
-
-    @staticmethod
-    def _subsample(pts, cols, cap):
-        if pts.shape[0] <= cap:
-            return pts, cols
-        idx = np.random.default_rng(0).choice(pts.shape[0], cap, replace=False)
-        return pts[idx], cols[idx]
-
-    def update(self, recon) -> None:
-        """Non-blocking: drop the update if the consumer is backed up
-        (reference put_nowait semantics)."""
-        pts = recon.points[recon.track_valid > 0].copy()
-        cols = recon.colors[recon.track_valid > 0].copy()
-        centers = recon.centers.copy()
-        if self._queue is not None:
-            try:
-                self._queue.put_nowait((pts, cols, centers))
-            except Exception:
-                pass  # queue full: drop, never stall the SLAM loop
-            return
-        self._apply_update(pts, cols, centers)
-
-    def _apply_update(self, pts, cols, centers) -> None:
-        self._trajectory.extend(list(centers))
-        self._n_updates += 1
-
-        cur_pts, cur_cols = self._subsample(pts, cols, self.max_current)
-        if self._history_pts is None:
-            self._history_pts, self._history_cols = cur_pts, cur_cols
-        else:
-            self._history_pts = np.concatenate([self._history_pts, cur_pts])
-            self._history_cols = np.concatenate([self._history_cols, cur_cols])
-            self._history_pts, self._history_cols = self._subsample(
-                self._history_pts, self._history_cols, self.max_history
-            )
-
+    def _apply_update(self, pts, cols, centers, rotations, frame, keypoints) -> None:
+        self.state.add_chunk(pts, cols, centers, rotations, frame, keypoints)
         if self._server is not None:
-            self._server.scene.add_point_cloud(
-                "/points/history",
-                points=self._history_pts,
-                colors=(self._history_cols * 255).astype(np.uint8)
-                if self._history_cols.max() <= 1.0
-                else self._history_cols.astype(np.uint8),
-                point_size=0.01,
-            )
-            traj = np.asarray(self._trajectory)
-            if len(traj) >= 2:
-                self._server.scene.add_spline_catmull_rom(
-                    "/trajectory", positions=traj, color=(255, 0, 0)
-                )
+            self._render()
         else:
             print(
-                f"[viz] update {self._n_updates}: +{pts.shape[0]} pts "
-                f"(history {0 if self._history_pts is None else self._history_pts.shape[0]}), "
-                f"trajectory {len(self._trajectory)} poses"
+                f"[viz] chunk {self.state.chunk_count}: +{pts.shape[0]} pts "
+                f"(total {self.state.total_points:,}), "
+                f"trajectory {len(self.state.trajectory)} poses"
             )
+
+    # ----- rendering (viser only) -------------------------------------------
+
+    def _gval(self, name, default):
+        w = self._gui.get(name)
+        try:
+            return w.value if w is not None else default
+        except Exception:
+            return default
+
+    def _render(self):
+        s = self.state
+        scene = self._server.scene
+        point_size = float(self._gval("point_size", 0.01))
+        cam_size = float(self._gval("camera_size", 0.05))
+
+        if self._gval("show_point_cloud", True):
+            for name, pts, cols in (
+                ("/points/history", s.history_points, s.history_colors),
+                ("/points/current", s.current_points, s.current_colors),
+            ):
+                if len(pts) == 0:
+                    continue
+                c = cols
+                if c is not None and len(c) and c.max() > 1.0:
+                    c = c.astype(np.float32) / 255.0
+                scene.add_point_cloud(name, points=pts, colors=c, point_size=point_size)
+        else:
+            for name in ("/points/history", "/points/current"):
+                self._try_remove(name)
+
+        if self._gval("show_trajectory", True):
+            segs = s.trajectory_segments()
+            if len(segs):
+                colors = np.full_like(segs, (1.0, 0.2, 0.2), dtype=np.float32)
+                scene.add_line_segments(
+                    "/trajectory", points=segs, colors=colors, line_width=3.0
+                )
+        else:
+            self._try_remove("/trajectory")
+
+        if self._gval("show_cameras", True):
+            import viser.transforms as vtf
+
+            for i in range(self._drawn_cameras):
+                self._try_remove(f"/cameras/{i}")
+            frustums = s.camera_frustums()
+            for i, f in enumerate(frustums):
+                scene.add_camera_frustum(
+                    f"/cameras/{i}",
+                    fov=np.radians(60.0),
+                    aspect=16 / 9,
+                    scale=cam_size,
+                    wxyz=vtf.SO3.from_matrix(f["rotation"]).wxyz,
+                    position=f["position"],
+                    color=f["color"],
+                )
+            self._drawn_cameras = len(frustums)
+        else:
+            for i in range(self._drawn_cameras):
+                self._try_remove(f"/cameras/{i}")
+            self._drawn_cameras = 0
+
+        # statistics
+        try:
+            self._gui["stats_points"].value = f"{s.total_points:,}"
+            self._gui["stats_cameras"].value = str(len(s.trajectory))
+            self._gui["stats_chunks"].value = str(s.chunk_count)
+        except Exception:
+            pass
+
+        # image panel with keypoint overlay
+        if self._gval("show_latest_image", True) and self._gui.get("latest_image") is not None:
+            if s.latest_frame is not None:
+                try:
+                    self._gui["latest_image"].image = render_keypoints_on_image(
+                        s.latest_frame, s.latest_keypoints
+                    )
+                except Exception:
+                    pass
+
+        # auto-follow
+        if self.auto_follow:
+            self.follow_distance = float(self._gval("follow_distance", self.follow_distance))
+            self.follow_height = float(self._gval("follow_height", self.follow_height))
+            self._follow_latest()
+
+    def _try_remove(self, name):
+        try:
+            self._server.scene.remove(name)
+        except Exception:
+            pass
+
+    def _reset_view(self):
+        for client in list(self._clients):
+            try:
+                client.camera.position = (5.0, 5.0, 3.0)
+                client.camera.look_at = (0.0, 0.0, 0.0)
+            except Exception:
+                continue
+
+    def _follow_latest(self):
+        pos, fwd = self.state.latest_camera()
+        if pos is None:
+            return self._reset_view()
+        vp, target = follow_camera_pose(pos, fwd, self.follow_distance, self.follow_height)
+        for client in list(self._clients):
+            try:
+                client.camera.position = tuple(vp)
+                client.camera.look_at = tuple(target)
+            except Exception:
+                continue
+
+    # ----- lifecycle ---------------------------------------------------------
 
     def flush(self, timeout: float = 5.0) -> None:
         """Block until queued updates are applied (for tests/shutdown)."""
