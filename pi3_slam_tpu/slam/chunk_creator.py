@@ -253,6 +253,12 @@ class OfflineChunkCreator:
         step = self._get_step()
         t0 = time.time()
         dev = step(self.params, jnp.asarray(images), jnp.asarray(kps))
+        # queue all MoGe forwards behind the sharded step before materializing
+        moge_devs = (
+            [self.moge.infer_depth_async(b["images"][0]) for b in batches]
+            if self.moge is not None
+            else [None] * B
+        )
         host = {k: np.asarray(v) for k, v in dev.items()}
         dt = max(1e-6, time.time() - t0)
         fps = B * N / dt
@@ -264,8 +270,8 @@ class OfflineChunkCreator:
             points_kp = host["points_kp"][b].astype(np.float64)
             local_kp = host["local_points_kp"][b].astype(np.float64)
             scale_factor = None
-            if self.moge is not None:
-                moge_depth = self.moge.infer_depth(batch["images"][0])
+            if moge_devs[b] is not None:
+                moge_depth = np.asarray(moge_devs[b])
                 mask0 = host["mask0"][b]
                 ratio = moge_depth[mask0] / np.maximum(host["depth0"][b][mask0], 1e-9)
                 ratio = ratio[np.isfinite(ratio)]
@@ -318,6 +324,11 @@ class OfflineChunkCreator:
         step = self._get_step()
         t0 = time.time()
         dev = step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
+        # queue MoGe right behind the Pi3 step BEFORE materializing: the
+        # device runs both back-to-back while the host waits once (the
+        # reference hides this forward in its worker process,
+        # online_reconstructor.py:72-227)
+        moge_dev = self.moge.infer_depth_async(images[0]) if self.moge is not None else None
         host = {k: np.asarray(v) for k, v in dev.items()}  # forces completion
         dt = max(1e-6, time.time() - t0)
         fps = N / dt
@@ -328,8 +339,8 @@ class OfflineChunkCreator:
         local_kp = host["local_points_kp"].astype(np.float64)
 
         scale_factor = None
-        if self.moge is not None:
-            moge_depth = self.moge.infer_depth(images[0])  # (H, W)
+        if moge_dev is not None:
+            moge_depth = np.asarray(moge_dev)  # (H, W)
             mask0 = host["mask0"]
             ratio = moge_depth[mask0] / np.maximum(host["depth0"][mask0], 1e-9)
             # MoGe returns inf outside its validity mask; median over finite

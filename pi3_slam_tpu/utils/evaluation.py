@@ -43,20 +43,31 @@ class APEResult:
 def associate(
     ts_a: np.ndarray, ts_b: np.ndarray, max_diff: float = 0.01
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy nearest-timestamp association (evo's default matching)."""
-    ia, ib = [], []
-    j = 0
+    """Unique timestamp association, evo/TUM-script exact: enumerate candidate
+    pairs within max_diff, take them best-difference-first, and never reuse a
+    timestamp from either side (the previous greedy version could match one
+    estimate pose to several ground-truth stamps, silently flattering APE)."""
+    ts_a = np.asarray(ts_a, np.float64)
+    ts_b = np.asarray(ts_b, np.float64)
+    cand = []
     for i, t in enumerate(ts_a):
-        j = int(np.searchsorted(ts_b, t))
-        best, best_d = None, max_diff
-        for cand in (j - 1, j):
-            if 0 <= cand < len(ts_b):
-                d = abs(ts_b[cand] - t)
-                if d <= best_d:
-                    best, best_d = cand, d
-        if best is not None:
-            ia.append(i)
-            ib.append(best)
+        lo = int(np.searchsorted(ts_b, t - max_diff, side="left"))
+        hi = int(np.searchsorted(ts_b, t + max_diff, side="right"))
+        for c in range(lo, hi):
+            cand.append((abs(ts_b[c] - t), i, c))
+    cand.sort(key=lambda x: x[0])
+    used_a, used_b = set(), set()
+    pairs = []
+    for d, i, c in cand:
+        if i in used_a or c in used_b:
+            continue
+        used_a.add(i)
+        used_b.add(c)
+        pairs.append((i, c))
+    pairs.sort()
+    if not pairs:
+        return np.zeros(0, int), np.zeros(0, int)
+    ia, ib = zip(*pairs)
     return np.asarray(ia, int), np.asarray(ib, int)
 
 

@@ -39,6 +39,11 @@ for scene in $SCENES; do
     --chunks "$out_dir" \
     --max-observations-per-track "$MAX_OBS"
   gt="$SCRIPT_DIR/groundtruths/7scenes/$scene.txt"
+  if [[ ! -f "$gt" ]]; then
+    # generate GT from the dataset's per-frame pose files
+    gt="$out_dir/groundtruth_tum.txt"
+    python "$REPO_ROOT/tools/make_7scenes_gt.py" "$seq_dir" "$gt"
+  fi
   APE[$scene]=$(python -c "
 from pi3_slam_tpu.utils.evaluation import evaluate_tum_files
 r = evaluate_tum_files('$gt', '$out_dir/trajectory_tum.txt', align_sim3=True, max_diff=0.5)

@@ -50,6 +50,13 @@ for seq in $SEQS; do
   python "$REPO_ROOT/reconstruct_offline.py" \
     --chunks "$out_dir" --max-observations-per-track 10 --use-inverse-depth
   gt="$GT_DIR/$seq.txt"
+  if [[ ! -f "$gt" ]]; then
+    # generate index-aligned GT from the dataset itself (accounts for the
+    # start-frame skip so integer-index timestamps line up exactly)
+    gt="$out_dir/groundtruth_tum.txt"
+    python "$REPO_ROOT/tools/make_euroc_gt.py" "$DATA_ROOT/$seq/mav0" "$gt" \
+      --skip-start "$skip" || true
+  fi
   if [[ -f "$gt" ]]; then
     python -c "
 from pi3_slam_tpu.utils.evaluation import evaluate_tum_files

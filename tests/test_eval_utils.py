@@ -72,3 +72,59 @@ def test_timestamps_mtime_fallback(tmp_path):
     p.write_bytes(b"x")
     ts = extract_timestamps_from_paths([str(p)])
     assert abs(ts[0] / 1e9 - os.path.getmtime(p)) < 1.0
+
+
+def test_associate_unique_matching():
+    """evo-exact: one estimate stamp can serve at most one GT stamp — the
+    best-difference pair wins, the loser must find another partner."""
+    from pi3_slam_tpu.utils.evaluation import associate
+
+    gt = np.array([0.0, 0.1, 0.2])
+    est = np.array([0.09])  # single estimate near two GT stamps
+    ia, ib = associate(gt, est, max_diff=0.15)
+    assert len(ia) == 1  # NOT matched to both 0.1 and 0.2
+    assert gt[ia[0]] == 0.1 and ib[0] == 0
+
+    # contested stamp goes to the closer GT; the other takes its second choice
+    gt = np.array([1.00, 1.02])
+    est = np.array([1.01, 1.06])
+    ia, ib = associate(gt, est, max_diff=0.05)
+    assert len(ia) == 2
+    pairs = {(int(a), int(b)) for a, b in zip(ia, ib)}
+    assert pairs == {(0, 0), (1, 1)}
+
+
+def test_make_euroc_gt(tmp_path):
+    """Synthetic mav0 tree -> index-aligned TUM ground truth."""
+    import subprocess
+    import sys
+
+    mav0 = tmp_path / "mav0"
+    (mav0 / "cam0" / "data").mkdir(parents=True)
+    (mav0 / "state_groundtruth_estimate0").mkdir(parents=True)
+
+    # 20 frames at 50ms spacing starting at t0; GT covers [t0+100ms, ...]
+    t0 = 1_400_000_000_000_000_000
+    for i in range(20):
+        (mav0 / "cam0" / "data" / f"{t0 + i * 50_000_000}.png").touch()
+    rows = ["#timestamp,px,py,pz,qw,qx,qy,qz"]
+    for k in range(40):
+        t = t0 + 100_000_000 + k * 25_000_000
+        rows.append(f"{t},{k * 0.1:.3f},0,0,1,0,0,0")
+    (mav0 / "state_groundtruth_estimate0" / "data.csv").write_text("\n".join(rows))
+
+    out = tmp_path / "gt.txt"
+    r = subprocess.run(
+        [sys.executable, "tools/make_euroc_gt.py", str(mav0), str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    from pi3_slam_tpu.io.tum import read_tum_trajectory
+
+    traj = read_tum_trajectory(str(out))
+    # frames 0,1 predate GT coverage; frames 2..18 interior (19 is GT-edge)
+    assert traj["timestamps"][0] == 2.0
+    assert traj["positions"].shape[0] >= 16
+    # frame 2 is at GT start (k=0, x=0); frame 4 is 100ms in -> k=4 -> x=0.4
+    i4 = int(np.flatnonzero(traj["timestamps"] == 4.0)[0])
+    np.testing.assert_allclose(traj["positions"][i4, 0], 0.4, atol=1e-6)

@@ -16,6 +16,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# pure-IO tool: force the CPU backend so importing the package never connects
+# to (or waits on) the axon TPU tunnel
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from pi3_slam_tpu.io.tum import write_tum_trajectory
 
 
