@@ -30,6 +30,8 @@ class TelemetryData:
     grav: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
     gps_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
     gps: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))  # lat, lon, alt
+    cori_t: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    cori: np.ndarray = field(default_factory=lambda: np.zeros((0, 4)))  # x, y, z, w
     camera_fps: float = 0.0
 
 
@@ -59,21 +61,35 @@ class TelemetryImporter:
                 g = np.asarray(data["gps"], np.float64).reshape(-1, 4)
                 t.gps_t, t.gps = g[:, 0], g[:, 1:]
             t.camera_fps = float(data.get("camera_fps", 0.0))
-        else:  # gopro-telemetry style streams
+        else:  # gopro-telemetry style streams, reference axis conventions
             streams = data.get("1", {}).get("streams", {})
 
-            def stream(name):
+            def stream(name, width=3):
                 samples = streams.get(name, {}).get("samples", [])
                 if not samples:
-                    return np.zeros(0), np.zeros((0, 3))
+                    return np.zeros(0), np.zeros((0, width))
                 ts = np.asarray([s["cts"] for s in samples], np.float64) / 1e3
-                vals = np.asarray([s["value"][:3] for s in samples], np.float64)
+                vals = np.asarray([s["value"][:width] for s in samples], np.float64)
                 return ts, vals
 
-            t.accl_t, t.accl = stream("ACCL")
-            t.gyro_t, t.gyro = stream("GYRO")
-            t.grav_t, t.grav = stream("GRAV")
-            t.gps_t, t.gps = stream("GPS5")
+            t.accl_t, accl = stream("ACCL")
+            t.gyro_t, gyro = stream("GYRO")
+            # reference remap: stream order z, x, y -> camera x, y, z via
+            # [1, 2, 0] (telemetry_converter.py:111-115)
+            t.accl = accl[:, [1, 2, 0]] if accl.size else accl
+            t.gyro = gyro[:, [1, 2, 0]] if gyro.size else gyro
+            t.grav_t, grav = stream("GRAV")
+            # gpmf-parser#170: x, -z, -y -> [0, 2, 1] (reference :120-124)
+            t.grav = grav[:, [0, 2, 1]] if grav.size else grav
+            t.cori_t, cori = stream("CORI", width=4)
+            # gpmf-parser#100: stored w, x, z, y -> (x, y, z, w) (ref :117-119)
+            t.cori = cori[:, [1, 3, 2, 0]] if cori.size else cori
+            # GPS5: drop no-fix samples like the reference (:128-134)
+            samples = streams.get("GPS5", {}).get("samples", [])
+            good = [s for s in samples if s.get("fix", 1) != 0]
+            if good:
+                t.gps_t = np.asarray([s["cts"] for s in good], np.float64) / 1e3
+                t.gps = np.asarray([s["value"][:3] for s in good], np.float64)
         self.telemetry = t
         return t
 
@@ -114,14 +130,23 @@ class TelemetryImporter:
         self.telemetry = t
         return t
 
-    def read_gopro_mp4(self, path: str) -> TelemetryData:  # pragma: no cover
-        """GPMF extraction via pygpmf (optional dependency, like the
-        reference's pygpmf path)."""
-        try:
-            import gpmf  # noqa: F401
-        except ImportError as e:
-            raise ImportError("pygpmf required for GoPro MP4 telemetry") from e
-        raise NotImplementedError("GPMF stream parsing requires pygpmf sample data")
+    def read_gopro_mp4(self, path: str) -> TelemetryData:
+        """Parse GPMF telemetry directly from a GoPro MP4 (utils/gpmf.py —
+        no external extractor; the reference needs gopro-telemetry/pygpmf
+        JSON dumps, telemetry_converter.py:46-345). Applies the reference's
+        axis remaps (ACCL/GYRO [1,2,0], GRAV [0,2,1], CORI wxzy->xyzw)."""
+        from .gpmf import gopro_telemetry_from_mp4
+
+        g = gopro_telemetry_from_mp4(path)
+        t = TelemetryData()
+        t.accl_t, t.accl = g["accl_t"], g["accl"]
+        t.gyro_t, t.gyro = g["gyro_t"], g["gyro"]
+        t.grav_t, t.grav = g["grav_t"], g["grav"]
+        t.cori_t, t.cori = g["cori_t"], g["cori"]
+        t.gps_t, t.gps = g["gps_t"], g["gps"]
+        t.camera_fps = float(g["camera_fps"])
+        self.telemetry = t
+        return t
 
     # --- interpolation helpers (reference :347-441) ---
 

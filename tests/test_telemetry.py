@@ -41,7 +41,9 @@ def test_gopro_streams_json(tmp_path):
                                                  "GYRO": {"samples": samples}}}}))
     data = TelemetryImporter().read_generic_json(str(src))
     np.testing.assert_allclose(data.accl_t, [0.1, 0.2])
-    np.testing.assert_allclose(data.accl[1], [4, 5, 6])
+    # reference axis remap: stream z,x,y -> camera x,y,z via [1,2,0]
+    # (telemetry_converter.py:111-115)
+    np.testing.assert_allclose(data.accl[1], [5, 6, 4])
 
 
 def test_csv_and_kalibr_export(tmp_path, rng):
