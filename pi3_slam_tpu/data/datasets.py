@@ -141,3 +141,31 @@ class PrefetchLoader:
             while next_idx in results:
                 yield results.pop(next_idx)
                 next_idx += 1
+
+
+class FrameDataset:
+    """Per-frame map-style dataset (the reference's AsyncImageDataset,
+    datasets/image_datasets.py:224-299): one preprocessed frame per item,
+    image paths or (video_path, frame_idx) tuples, optional undistortion.
+    Wrap in PrefetchLoader for asynchronous in-order streaming — the same
+    strict-ordering guarantee the reference gets from DataLoader workers."""
+
+    def __init__(
+        self,
+        image_paths: Sequence,
+        target_size: Tuple[int, int],
+        undistorter=None,
+    ):
+        self.image_paths = list(image_paths)
+        self.target_size = target_size
+        self.undistorter = undistorter
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        from .image_io import load_image
+
+        path = self.image_paths[idx]
+        image = load_image(path, self.target_size, self.undistorter)
+        return {"image": image, "path": path, "frame_idx": idx}

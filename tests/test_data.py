@@ -147,3 +147,27 @@ def test_fisheye_distortion_matches_opencv(rng):
     D = np.array([-0.01, 0.002, 0.0, 0.0])
     ref = cv2.fisheye.distortPoints(pts.reshape(1, -1, 2), K, D).reshape(-1, 2)
     np.testing.assert_allclose(np.stack([xd, yd], axis=1), ref, atol=1e-8)
+
+
+def test_frame_dataset_streams_in_order(tmp_path):
+    """FrameDataset + PrefetchLoader = the reference's AsyncImageDataset:
+    per-frame async loading with strict in-order delivery."""
+    from PIL import Image
+
+    from pi3_slam_tpu.data import FrameDataset, PrefetchLoader
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"f_{i:03d}.png"
+        Image.fromarray(np.full((20, 28, 3), i * 10, np.uint8)).save(p)
+        paths.append(str(p))
+
+    ds = FrameDataset(paths, target_size=(20, 28))
+    assert len(ds) == 8
+    items = list(PrefetchLoader(ds, num_workers=3))
+    assert [it["frame_idx"] for it in items] == list(range(8))
+    for i, it in enumerate(items):
+        assert it["image"].shape == (3, 20, 28)
+        # intensity encodes the frame index -> ordering is by content too
+        assert abs(float(it["image"].mean()) * 255 - i * 10) < 2
