@@ -305,6 +305,90 @@ def convert_moge_state_dict(sd: Mapping[str, Any], model_config: Dict[str, Any])
     return params
 
 
+def convert_moge_v1_state_dict(sd: Mapping[str, Any], model_config: Dict[str, Any]) -> Dict[str, Any]:
+    """MoGe v1 torch state_dict (moge/model/v1.py) -> models/moge_v1.py tree."""
+    import json as _json
+
+    from .moge_v1 import MoGeV1Config
+
+    cfg = MoGeV1Config.from_model_config(model_config)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def get(name):
+        return sd[name]
+
+    def conv(prefix):
+        return {"kernel": _conv(get(f"{prefix}.weight")), "bias": get(f"{prefix}.bias")}
+
+    def deconv2x2(prefix):
+        # ConvTranspose2d weight (in, out, 2, 2) -> 1x1 conv to out*4 channels
+        # ordered (out, dy, dx) for pixel_shuffle_nhwc
+        w = get(f"{prefix}.weight")
+        cin, cout = w.shape[0], w.shape[1]
+        return {
+            "kernel": np.ascontiguousarray(w.reshape(cin, cout * 4))[None, None],
+            "bias": get(f"{prefix}.bias"),
+        }
+
+    def res_block(prefix):
+        out = {
+            "norm1_scale": get(f"{prefix}.layers.0.weight"),
+            "norm1_bias": get(f"{prefix}.layers.0.bias"),
+            "conv1_kernel": _conv(get(f"{prefix}.layers.2.weight")),
+            "conv1_bias": get(f"{prefix}.layers.2.bias"),
+            "norm2_scale": get(f"{prefix}.layers.3.weight"),
+            "norm2_bias": get(f"{prefix}.layers.3.bias"),
+            "conv2_kernel": _conv(get(f"{prefix}.layers.5.weight")),
+            "conv2_bias": get(f"{prefix}.layers.5.bias"),
+        }
+        if f"{prefix}.skip_connection.weight" in sd:
+            out["skip_kernel"] = _conv(get(f"{prefix}.skip_connection.weight"))
+            out["skip_bias"] = get(f"{prefix}.skip_connection.bias")
+        return out
+
+    n_features = len(cfg.layer_indices)
+    head: Dict[str, Any] = {
+        "projects": [conv(f"head.projects.{i}") for i in range(n_features)],
+        "upsample_blocks": [],
+        "output_blocks": [],
+    }
+    for i in range(len(cfg.dim_upsample)):
+        blk = {
+            "deconv": deconv2x2(f"head.upsample_blocks.{i}.0.0"),
+            "conv_kernel": _conv(get(f"head.upsample_blocks.{i}.0.1.weight")),
+            "conv_bias": get(f"head.upsample_blocks.{i}.0.1.bias"),
+            "res_blocks": [
+                res_block(f"head.upsample_blocks.{i}.{1 + j}")
+                for j in range(cfg.num_res_blocks)
+            ],
+        }
+        head["upsample_blocks"].append(blk)
+    for k in range(2):  # points (3ch), mask (1ch)
+        lrb = cfg.last_res_blocks
+        head["output_blocks"].append(
+            {
+                "conv_in_kernel": _conv(get(f"head.output_block.{k}.0.weight")),
+                "conv_in_bias": get(f"head.output_block.{k}.0.bias"),
+                "res_blocks": [
+                    res_block(f"head.output_block.{k}.{1 + j}") for j in range(lrb)
+                ],
+                "conv_out_kernel": _conv(get(f"head.output_block.{k}.{lrb + 2}.weight")),
+                "conv_out_bias": get(f"head.output_block.{k}.{lrb + 2}.bias"),
+            }
+        )
+
+    return {
+        "backbone": convert_dinov2(sd, "backbone.", cfg.encoder_cfg.depth),
+        "head": head,
+        "_v1_config_json": _json.dumps(
+            {
+                k: getattr(cfg, k)
+                for k in MoGeV1Config.__dataclass_fields__
+            }
+        ),
+    }
+
+
 def convert_aliked_state_dict(sd: Mapping[str, Any], model_name: str = "aliked-n16") -> Dict[str, Any]:
     """lightglue/ALIKED torch state_dict -> pi3_slam_tpu.models.aliked tree.
 

@@ -157,6 +157,24 @@ def bilinear_resize_hw(
     return y.astype(x.dtype)
 
 
+def bicubic_resize_hw(
+    x: jnp.ndarray, out_hw: tuple[int, int], antialias: bool = False
+) -> jnp.ndarray:
+    """Resize (..., H, W, C) maps with torch-bicubic semantics
+    (F.interpolate(mode='bicubic', align_corners=False[, antialias=True]))
+    as two interpolation-matrix matmuls. MoGe v1 resizes its input this way
+    (moge/model/v1.py:280)."""
+    H, W = x.shape[-3], x.shape[-2]
+    h, w = out_hw
+    if (H, W) == (h, w):
+        return x
+    Wy = jnp.asarray(_bicubic_matrix(H, h, None, antialias), dtype=jnp.float32)
+    Wx = jnp.asarray(_bicubic_matrix(W, w, None, antialias), dtype=jnp.float32)
+    y = jnp.einsum("ym,...mwc->...ywc", Wy, x.astype(jnp.float32))
+    y = jnp.einsum("xn,...ync->...yxc", Wx, y)
+    return y.astype(x.dtype)
+
+
 def _unnormalize_coord(g: jnp.ndarray, size: int) -> jnp.ndarray:
     """grid_sample align_corners=False: g in [-1,1] -> pixel coord."""
     return ((g + 1.0) * size - 1.0) / 2.0

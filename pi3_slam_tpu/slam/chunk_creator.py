@@ -470,6 +470,11 @@ class OfflineChunkCreator:
             print(f"   saved {out_path}")
 
         dp = max(1, self.config.data_parallel_chunks) if self.mesh is not None else 1
+        if dp > 1 and self.config.keypoint_type == "none":
+            print(
+                "dense mode (--keypoints none) processes chunks singly: the "
+                "sharded step exports keypoint-sparse outputs only; dp disabled"
+            )
         group: List[Dict] = []
 
         def flush_group():

@@ -78,7 +78,14 @@ def main(argv=None):
     else:
         if model_config is None:
             raise SystemExit("MoGe checkpoint must carry model_config (expected model.pt format)")
-        params = convert_moge_state_dict(sd, model_config)
+        if isinstance(model_config.get("encoder"), str):
+            # v1 checkpoints carry a flat encoder name; v2 an encoder dict
+            from pi3_slam_tpu.models.convert import convert_moge_v1_state_dict
+
+            params = convert_moge_v1_state_dict(sd, model_config)
+            print("detected MoGe v1 checkpoint layout")
+        else:
+            params = convert_moge_state_dict(sd, model_config)
 
     save_params_npz(args.output, params)
     n = sum(
