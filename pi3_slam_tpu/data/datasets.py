@@ -32,8 +32,13 @@ def chunk_windows(n_frames: int, chunk_length: int, overlap: int) -> List[Tuple[
 
 
 class ChunkDataset:
-    """Map-style dataset over chunk windows; yields dicts with float32
-    (N, 3, H, W) images, paths, and the window indices."""
+    """Map-style dataset over chunk windows; yields dicts with (N, 3, H, W)
+    images, paths, and the window indices.
+
+    image_dtype 'uint8' (default) ships raw bytes — the jitted device step
+    normalizes to [0,1]; 4x less host->device transfer than float32, and
+    resizing in uint8 matches the reference's PIL-then-ToTensor order
+    (utils/image_utils.py:53-143)."""
 
     def __init__(
         self,
@@ -42,12 +47,14 @@ class ChunkDataset:
         overlap: int,
         target_size: Tuple[int, int],
         undistorter=None,
+        image_dtype: str = "uint8",
     ):
         self.image_paths = list(image_paths)
         self.chunk_length = chunk_length
         self.overlap = overlap
         self.target_size = target_size
         self.undistorter = undistorter
+        self.image_dtype = image_dtype
         self.windows = chunk_windows(len(self.image_paths), chunk_length, overlap)
 
     def __len__(self) -> int:
@@ -56,7 +63,7 @@ class ChunkDataset:
     def __getitem__(self, idx: int) -> dict:
         start, end = self.windows[idx]
         paths = self.image_paths[start:end]
-        images = load_images(paths, self.target_size, self.undistorter)
+        images = load_images(paths, self.target_size, self.undistorter, dtype=self.image_dtype)
         return {
             "chunk_idx": idx,
             "start": start,

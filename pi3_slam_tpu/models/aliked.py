@@ -325,9 +325,11 @@ def aliked_extract(
     cfg: ALIKEDConfig = CONFIGS["aliked-n16"],
     max_keypoints: int = 1000,
 ) -> Dict[str, jnp.ndarray]:
-    """Full ALIKED forward: images (N,3,H,W) in [0,1] ->
+    """Full ALIKED forward: images (N,3,H,W) in [0,1] (or uint8 bytes) ->
     {'keypoints': (N,K,2) float pixel (x,y), 'descriptors': (N,K,dim),
     'scores': (N,K), 'valid': (N,K)}."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     feats, score = aliked_dense_maps(params, images, cfg)
     det = detect_keypoints(
         score, max_keypoints, cfg.nms_radius, cfg.detection_threshold

@@ -29,12 +29,18 @@ class MoGeRunner:
         from .convert import load_params_npz
         from .moge_model import MoGeConfig, moge_infer_depth
 
+        import jax.numpy as jnp
+
         self.params = load_params_npz(checkpoint_path)
         self.cfg = MoGeConfig.from_params(self.params)
         self.params.pop("_config_json", None)  # string metadata, not a jit arg
-        self._infer = jax.jit(
-            lambda p, img: moge_infer_depth(p, img, self.cfg)
-        )
+
+        def infer(p, img):
+            if img.dtype == jnp.uint8:  # raw bytes from the uint8 loader path
+                img = img.astype(jnp.float32) / 255.0
+            return moge_infer_depth(p, img, self.cfg)
+
+        self._infer = jax.jit(infer)
 
     def infer_depth_async(self, image: np.ndarray):
         """Dispatch depth inference; returns the (H, W) device array without

@@ -30,7 +30,7 @@ def sdpa(
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v over (B, T, H, D) tensors -> (B, T, H, D)."""
     T = q.shape[1]
-    on_tpu = jax.default_backend() != "cpu" and q.shape[-1] % 64 == 0
+    on_tpu = jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0
     if T >= LONG_SEQUENCE_THRESHOLD:
         if on_tpu:
             from .pallas_attention import flash_attention_tpu

@@ -44,7 +44,10 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
     """
 
     def single(params, images, keypoints):
-        # images (N, 3, H, W); keypoints (N, K, 2)
+        # images (N, 3, H, W) float32 [0,1] or uint8 (normalized here — the
+        # loader ships raw bytes to cut host->device transfer 4x)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         out = pi3_forward(params, images[None], cfg, compute_dtype=compute_dtype)
         local = out["local_points"][0]  # (N, H, W, 3)
         world = out["points"][0]
@@ -302,13 +305,10 @@ class OfflineChunkCreator:
             results.append(result)
         return results
 
-    def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
-        """One chunk: device step + metric scale + fp16 compaction.
-
-        keypoint_type 'none' stores dense fp16 maps instead of keypoint-sparse
-        arrays (the reference's no-extractor path,
-        slam/offline_chunk_creator.py:223-243 falls through to dense).
-        """
+    def _dispatch_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
+        """Dispatch the device step (+ MoGe queued right behind it) without
+        materializing — the forward stays in flight while the host finishes
+        the previous chunk (compression + npz write overlap device compute)."""
         N, _, H, W = images.shape
         if self.config.keypoint_type == "none":
             # a minimal single-point 'grid' keeps the device step shape-stable;
@@ -325,12 +325,24 @@ class OfflineChunkCreator:
         t0 = time.time()
         dev = step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
         # queue MoGe right behind the Pi3 step BEFORE materializing: the
-        # device runs both back-to-back while the host waits once (the
-        # reference hides this forward in its worker process,
+        # device runs both back-to-back while the host works (the reference
+        # hides this forward in its worker process,
         # online_reconstructor.py:72-227)
         moge_dev = self.moge.infer_depth_async(images[0]) if self.moge is not None else None
-        host = {k: np.asarray(v) for k, v in dev.items()}  # forces completion
-        dt = max(1e-6, time.time() - t0)
+        return {
+            "dev": dev, "moge_dev": moge_dev, "kps": kps, "t0": t0,
+            "images": images, "paths": paths,
+        }
+
+    def _finish_chunk(self, pending: Dict) -> Dict:
+        """Materialize a dispatched chunk and build the storage dict."""
+        images = pending["images"]
+        paths = pending["paths"]
+        kps = pending["kps"]
+        moge_dev = pending["moge_dev"]
+        N = images.shape[0]
+        host = {k: np.asarray(v) for k, v in pending["dev"].items()}  # sync point
+        dt = max(1e-6, time.time() - pending["t0"])
         fps = N / dt
         print(f"   inference+interp: {dt:.3f}s for {N} frames -> {fps:.2f} FPS")
 
@@ -381,6 +393,11 @@ class OfflineChunkCreator:
                     arr = (arr.astype(np.float32) * scale_factor).astype(np.float16)
                 result[dense_key] = arr
         return result
+
+    def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
+        """One chunk synchronously: dispatch + finish (recovery/dense paths;
+        the drive loop pipelines dispatch/finish itself)."""
+        return self._finish_chunk(self._dispatch_chunk(images, paths))
 
     def _process_dense_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:
         """keypoints='none': store dense per-pixel maps (no tracks — the
@@ -490,12 +507,33 @@ class OfflineChunkCreator:
                 emit(b["chunk_idx"], b, r)
             group.clear()
 
+        # 1-deep dispatch pipeline for the single-chunk path: chunk k+1's
+        # forward (and its host->device upload) runs on the TPU while the host
+        # compresses and writes chunk k's npz
+        pending: List = []  # [(batch, dispatched)] length <= 1
+
+        def finish_pending():
+            if not pending:
+                return
+            b, disp = pending.pop()
+            try:
+                result = self._finish_chunk(disp)
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                    print(f"   chunk {b['chunk_idx']} FAILED: {e}; skipping")
+                    return
+                print(f"   device failure at finish ({str(e)[:80]}); resetting backend, redoing chunk")
+                self._recover_backend()
+                result = self._process_chunk_with_recovery(b)
+            emit(b["chunk_idx"], b, result)
+
         for batch in loader:
             chunk_idx = batch["chunk_idx"]
             out_name = f"chunk_{chunk_idx:06d}.npz"
             out_path = os.path.join(self.chunks_dir, out_name)
             if self.config.resume and os.path.exists(out_path):
                 flush_group()
+                finish_pending()
                 print(f"   resume: {out_path} exists, skipping")
                 saved.append(out_path)
                 manifest.append(
@@ -512,18 +550,44 @@ class OfflineChunkCreator:
             if dp > 1 and self.config.keypoint_type != "none":
                 # group same-shape chunks for the sharded step; odd-size
                 # (remainder) chunks flush through the single-chunk path
+                finish_pending()
                 if group and group[0]["images"].shape != batch["images"].shape:
                     flush_group()
                 group.append(batch)
                 if len(group) == dp:
                     flush_group()
                 continue
-            try:
-                result = self._process_chunk_with_recovery(batch)
-            except Exception as e:  # degrade like the reference: report + skip
-                print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
+            if self.config.keypoint_type == "none":
+                # dense chunks carry full-resolution maps; keep them strictly
+                # serial (two in-flight dense outputs pressure HBM)
+                finish_pending()
+                try:
+                    result = self._process_chunk_with_recovery(batch)
+                except Exception as e:  # degrade like the reference: report + skip
+                    print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
+                    continue
+                emit(chunk_idx, batch, result)
                 continue
-            emit(chunk_idx, batch, result)
+            try:
+                disp = self._dispatch_chunk(batch["images"], batch["paths"])
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                    finish_pending()
+                    print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
+                    continue
+                # the in-flight chunk died with the backend: redo it
+                # synchronously after recovery, then re-dispatch this one
+                print(f"   device failure at dispatch ({str(e)[:80]}); resetting backend")
+                redo = pending.pop() if pending else None
+                self._recover_backend()
+                if redo is not None:
+                    b_prev = redo[0]
+                    result = self._process_chunk_with_recovery(b_prev)
+                    emit(b_prev["chunk_idx"], b_prev, result)
+                disp = self._dispatch_chunk(batch["images"], batch["paths"])
+            finish_pending()
+            pending.append((batch, disp))
+        finish_pending()
         flush_group()
 
         total_t = sum(infer_times)

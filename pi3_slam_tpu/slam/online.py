@@ -248,9 +248,9 @@ class Pi3SLAMOnline:
         self.reconstructions.append(recon)
         self._consumed += 1
         if self.visualizer is not None:
-            frame = (
-                batch["images"][-1].transpose(1, 2, 0) * 255.0
-            ).clip(0, 255).astype(np.uint8)
+            frame = batch["images"][-1].transpose(1, 2, 0)
+            if frame.dtype != np.uint8:
+                frame = (frame * 255.0).clip(0, 255).astype(np.uint8)
             self.visualizer.update(recon, frame=frame, keypoints=pending["kps"][-1])
         return recon
 

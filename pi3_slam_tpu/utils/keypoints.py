@@ -69,11 +69,13 @@ class GridKeypointExtractor:
         self.spacing = spacing
 
     def extract_with_colors(self, images: np.ndarray) -> Dict[str, np.ndarray]:
-        """images: (N, 3, H, W) float [0,1] -> {'keypoints': (N,K,2),
+        """images: (N, 3, H, W) float [0,1] or uint8 -> {'keypoints': (N,K,2),
         'colors': (N,K,3) uint8}."""
         N, _, H, W = images.shape
         kp = grid_keypoints(H, W, self.max_num_keypoints, self.spacing)
         kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).copy()
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
         maps = jnp.asarray(images.transpose(0, 2, 3, 1))  # (N, H, W, 3)
         cols = np.asarray(grid_sample_frames(maps, jnp.asarray(kps), mode="bilinear"))
         colors = np.clip(cols * 255.0, 0, 255).astype(np.uint8)

@@ -38,8 +38,15 @@ def test_chunk_dataset_and_prefetch(tmp_path, rng):
     assert len(ds) == 3
     item = ds[0]
     assert item["images"].shape == (3, 3, 28, 28)
-    assert item["images"].dtype == np.float32
-    assert 0.0 <= item["images"].min() and item["images"].max() <= 1.0
+    # TPU-first default: raw uint8 bytes ship to the device, the jitted
+    # step normalizes (4x less host->device transfer)
+    assert item["images"].dtype == np.uint8
+    ds_f = ChunkDataset(paths, chunk_length=3, overlap=1, target_size=(28, 28),
+                        image_dtype="float32")
+    imf = ds_f[0]["images"]
+    assert imf.dtype == np.float32
+    assert 0.0 <= imf.min() and imf.max() <= 1.0
+    np.testing.assert_allclose(imf, item["images"].astype(np.float32) / 255.0)
 
     out = list(PrefetchLoader(ds, num_workers=3))
     assert [o["chunk_idx"] for o in out] == [0, 1, 2]  # strict order

@@ -64,13 +64,20 @@ def bench_global():
 
     from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
 
-    for blk_q, blk_k in [(1024, 1024), (2048, 1024), (1024, 2048), (2048, 2048), (512, 2048), (4096, 1024)]:
+    for blk_q, blk_k, nw in [
+        (256, 1024, 4), (256, 1024, 8), (512, 1024, 2), (1024, 1024, 1),
+        (512, 1024, 4), (256, 2048, 4),
+    ]:
         try:
-            f = jax.jit(lambda q, k, v, bq=blk_q, bk=blk_k: flash_attention_tpu(q, k, v, blk_q=bq, blk_k=bk))
-            dt = bench(f, q, k, v, label=f"ours blk=({blk_q},{blk_k})")
-            report(f"ours blk=({blk_q},{blk_k})", dt, B, T, H, D)
+            f = jax.jit(
+                lambda q, k, v, bq=blk_q, bk=blk_k, n=nw: flash_attention_tpu(
+                    q, k, v, blk_q=bq, blk_k=bk, n_interleave=n
+                )
+            )
+            dt = bench(f, q, k, v, label=f"ours bq={blk_q} nw={nw} bk={blk_k}")
+            report(f"ours bq={blk_q} nw={nw} bk={blk_k}", dt, B, T, H, D)
         except Exception as e:
-            print(f"ours blk=({blk_q},{blk_k}) FAILED: {str(e)[:100]}")
+            print(f"bq={blk_q} nw={nw} bk={blk_k} FAILED: {str(e)[:100]}")
 
     # official jax pallas kernel (expects (B, H, T, D))
     try:
@@ -113,12 +120,12 @@ def bench_frame():
         report("einsum reference", dt, B, T, H, D)
 
         try:
-            from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
-            f = jax.jit(lambda q, k, v: flash_attention_tpu(q, k, v, blk_q=768, blk_k=768))
-            dt = bench(f, q, k, v, label="ours pallas blk=768 (pad to 768)")
-            report("ours pallas blk=768", dt, B, T, H, D)
+            from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
+            f = jax.jit(lambda q, k, v: attention_single_pass_tpu(q, k, v))
+            dt = bench(f, q, k, v, label="ours single-pass kernel")
+            report("ours single-pass kernel", dt, B, T, H, D)
         except Exception as e:
-            print("ours pallas 768 FAILED:", str(e)[:100])
+            print("ours single-pass FAILED:", str(e)[:100])
 
 
 def bench_stages():
