@@ -204,6 +204,12 @@ class OfflineChunkCreator:
         dense = self.config.keypoint_type == "none"
         key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense)
         if key not in self._step_cache:
+            if not self._step_cache:
+                print(
+                    "building device step (first chunk of a new shape triggers "
+                    "XLA compilation - minutes on a cold cache, then persisted "
+                    "in ~/.cache/pi3_slam_tpu_jax)"
+                )
             if self.mesh is not None:
                 step, shard_params = make_sharded_chunk_step(
                     self.pi3_config,

@@ -96,9 +96,15 @@ def ape_translation(
 
 
 def evaluate_tum_files(
-    gt_path: str, est_path: str, align_sim3: bool = True, max_diff: float = 0.01
+    gt_path: str,
+    est_path: str,
+    align_sim3: bool = True,
+    max_diff: float = 0.01,
+    plot_path: str | None = None,
 ) -> APEResult:
-    """evo_ape-style evaluation of two TUM files."""
+    """evo_ape-style evaluation of two TUM files. plot_path writes the
+    trajectory/error figure (the reference's evo_ape --plot --save_plot,
+    scripts/eval_7scenes.sh:175)."""
     gt = read_tum_trajectory(gt_path)
     est = read_tum_trajectory(est_path)
     ia, ib = associate(gt["timestamps"], est["timestamps"], max_diff)
@@ -106,4 +112,47 @@ def evaluate_tum_files(
         raise ValueError(
             f"only {ia.size} timestamp associations between {gt_path} and {est_path}"
         )
-    return ape_translation(gt["positions"][ia], est["positions"][ib], align_sim3)
+    gtp = gt["positions"][ia]
+    estp = est["positions"][ib]
+    result = ape_translation(gtp, estp, align_sim3)
+    if plot_path:
+        aligned = estp
+        if align_sim3 and gtp.shape[0] >= 3:
+            s = umeyama(jnp.asarray(estp, jnp.float32), jnp.asarray(gtp, jnp.float32))
+            aligned = np.asarray(sim3_apply(s, jnp.asarray(estp, jnp.float32)), np.float64)
+        plot_ape(gtp, aligned, result, plot_path)
+    return result
+
+
+def plot_ape(
+    gt_positions: np.ndarray,
+    est_positions: np.ndarray,
+    result: APEResult,
+    path: str,
+) -> None:
+    """Save a 2-panel APE figure: xyz trajectory overlay + per-pose error
+    (the information content of evo_ape's --plot_mode xyz output)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    err = np.linalg.norm(est_positions - gt_positions, axis=1)
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for dim, name in enumerate("xyz"):
+        axes[0].plot(gt_positions[:, dim], label=f"gt {name}", lw=1)
+        axes[0].plot(est_positions[:, dim], "--", label=f"est {name}", lw=1)
+    axes[0].set_xlabel("pose index")
+    axes[0].set_ylabel("position [m]")
+    axes[0].legend(fontsize=7, ncol=3)
+    axes[0].set_title("trajectory (Sim3-aligned)")
+    axes[1].plot(err, lw=1)
+    axes[1].axhline(result.rmse, color="r", ls="--", lw=1, label=f"rmse {result.rmse:.3f} m")
+    axes[1].axhline(result.median, color="g", ls=":", lw=1, label=f"median {result.median:.3f} m")
+    axes[1].set_xlabel("pose index")
+    axes[1].set_ylabel("APE [m]")
+    axes[1].legend(fontsize=8)
+    axes[1].set_title("absolute pose error")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)

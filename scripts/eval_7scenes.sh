@@ -46,7 +46,7 @@ for scene in $SCENES; do
   fi
   APE[$scene]=$(python -c "
 from pi3_slam_tpu.utils.evaluation import evaluate_tum_files
-r = evaluate_tum_files('$gt', '$out_dir/trajectory_tum.txt', align_sim3=True, max_diff=0.5)
+r = evaluate_tum_files('$gt', '$out_dir/trajectory_tum.txt', align_sim3=True, max_diff=0.5, plot_path='$out_dir/evo_ape.png')
 print(f'{r.rmse:.4f}')
 ")
   echo "$scene APE RMSE: ${APE[$scene]} m"

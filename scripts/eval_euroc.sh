@@ -60,7 +60,7 @@ for seq in $SEQS; do
   if [[ -f "$gt" ]]; then
     python -c "
 from pi3_slam_tpu.utils.evaluation import evaluate_tum_files
-r = evaluate_tum_files('$gt', '$out_dir/trajectory_tum.txt', align_sim3=True, max_diff=0.5)
+r = evaluate_tum_files('$gt', '$out_dir/trajectory_tum.txt', align_sim3=True, max_diff=0.5, plot_path='$out_dir/evo_ape.png')
 print(f'$seq APE RMSE: {r.rmse:.4f} m (pairs {r.num_pairs})')
 "
   else

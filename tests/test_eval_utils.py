@@ -1,5 +1,6 @@
 """Evaluation + timestamp utility tests."""
 
+import pytest
 import os
 
 import numpy as np
@@ -128,3 +129,22 @@ def test_make_euroc_gt(tmp_path):
     # frame 2 is at GT start (k=0, x=0); frame 4 is 100ms in -> k=4 -> x=0.4
     i4 = int(np.flatnonzero(traj["timestamps"] == 4.0)[0])
     np.testing.assert_allclose(traj["positions"][i4, 0], 0.4, atol=1e-6)
+
+
+def test_ape_plot_written(tmp_path, rng):
+    """evo_ape --plot analog writes a figure alongside the metrics."""
+    pytest.importorskip("matplotlib")
+    from pi3_slam_tpu.io.tum import write_tum_trajectory
+    from pi3_slam_tpu.utils.evaluation import evaluate_tum_files
+
+    n = 12
+    pos = rng.normal(size=(n, 3))
+    rots = np.stack([np.eye(3)] * n)
+    gt = tmp_path / "gt.txt"
+    est = tmp_path / "est.txt"
+    write_tum_trajectory(str(gt), pos, rots)
+    write_tum_trajectory(str(est), pos + rng.normal(scale=0.01, size=(n, 3)), rots)
+    plot = tmp_path / "ape.png"
+    r = evaluate_tum_files(str(gt), str(est), max_diff=0.5, plot_path=str(plot))
+    assert plot.exists() and plot.stat().st_size > 1000
+    assert r.num_pairs == n
