@@ -15,10 +15,12 @@ pi3/models/pi3.py:156-166, pi3/models/layers/attention.py:323-347):
     Each grid step processes ``n_interleave`` independent q sub-blocks: their
     QK^T matmuls issue together and the per-sub-block softmax (VPU) then
     overlaps the next sub-block's PV matmul (MXU) in Mosaic's schedule.
-    Measured on v5e at the 65k global shape: 85 TFLOP/s vs 73 single-block —
-    against a 98.5 TFLOP/s hardware cap for head_dim 64 (the MXU contracts
-    128-deep, so D=64 runs at half the 197 TFLOP/s bf16 peak regardless of
-    schedule; the same kernel at D=128 hits 120).
+    Measured on v5e at the 65k global shape: 82-85 TFLOP/s vs 73 single-
+    block, and +26% over jax.experimental.pallas.ops.tpu.flash_attention
+    head-to-head (82.3 vs 65.5 TF/s, same shape/session) — against a
+    98.5 TFLOP/s hardware cap for head_dim 64 (the MXU contracts 128-deep,
+    so D=64 runs at half the 197 TFLOP/s bf16 peak regardless of schedule;
+    the same kernel at D=128 hits 120).
 
   * ``attention_single_pass_tpu`` — whole-T single-pass softmax for the
     frame-attention / encoder shapes (~650 tokens, batch ~100 frames). The
