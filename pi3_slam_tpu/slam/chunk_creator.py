@@ -246,8 +246,14 @@ class OfflineChunkCreator:
             return self._process_chunk_group(batches)
 
     def _process_chunk_group(self, batches: List[Dict]) -> List[Dict]:
-        """Chunk-data-parallel group: stack B same-shape chunks, one sharded
-        device step, then per-chunk host post-processing."""
+        """One chunk-dp group synchronously (recovery path; the drive loop
+        pipelines dispatch/finish itself)."""
+        return self._finish_group(self._dispatch_group(batches))
+
+    def _dispatch_group(self, batches: List[Dict]) -> Dict:
+        """Dispatch one chunk-dp group (sharded step + queued MoGe) without
+        materializing — groups pipeline like single chunks: the next group's
+        device step runs while the host compresses this group's npz files."""
         B = len(batches)
         images = np.stack([b["images"] for b in batches])  # (B, N, 3, H, W)
         N, _, H, W = images.shape[1:]
@@ -268,8 +274,17 @@ class OfflineChunkCreator:
             if self.moge is not None
             else [None] * B
         )
-        host = {k: np.asarray(v) for k, v in dev.items()}
-        dt = max(1e-6, time.time() - t0)
+        return {"dev": dev, "moge_devs": moge_devs, "kps": kps, "t0": t0,
+                "batches": batches, "shape": (B, N)}
+
+    def _finish_group(self, pending: Dict) -> List[Dict]:
+        """Materialize a dispatched group and build per-chunk storage dicts."""
+        batches = pending["batches"]
+        kps = pending["kps"]
+        moge_devs = pending["moge_devs"]
+        B, N = pending["shape"]
+        host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+        dt = max(1e-6, time.time() - pending["t0"])
         fps = B * N / dt
         print(f"   dp-group inference: {dt:.3f}s for {B}x{N} frames -> {fps:.2f} FPS")
 
@@ -500,6 +515,25 @@ class OfflineChunkCreator:
             )
         group: List[Dict] = []
 
+        # dp groups pipeline 1-deep like single chunks: the next group's
+        # sharded step runs while the host writes this group's npz files
+        pending_group: List = []  # [(real_batches, padded_batches, dispatched)]
+
+        def finish_group_pending():
+            if not pending_group:
+                return
+            real, padded, disp = pending_group.pop()
+            try:
+                results = self._finish_group(disp)[: len(real)]
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                    raise
+                print(f"   device failure at group finish ({str(e)[:80]}); resetting, redoing group")
+                self._recover_backend()
+                results = self._process_chunk_group_with_recovery(padded)[: len(real)]
+            for b, r in zip(real, results):
+                emit(b["chunk_idx"], b, r)
+
         def flush_group():
             if not group:
                 return
@@ -508,9 +542,22 @@ class OfflineChunkCreator:
             # (1, ...) batch divisible by the mesh's dp axis
             n_real = len(group)
             padded = group + [group[-1]] * (dp - n_real)
-            results = self._process_chunk_group_with_recovery(padded)[:n_real]
-            for b, r in zip(group, results):
-                emit(b["chunk_idx"], b, r)
+            try:
+                disp = self._dispatch_group(padded)
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                    raise
+                print(f"   device failure at group dispatch ({str(e)[:80]}); resetting backend")
+                redo = pending_group.pop() if pending_group else None
+                self._recover_backend()
+                if redo is not None:
+                    real_p, padded_p, _ = redo
+                    results = self._process_chunk_group_with_recovery(padded_p)[: len(real_p)]
+                    for b, r in zip(real_p, results):
+                        emit(b["chunk_idx"], b, r)
+                disp = self._dispatch_group(padded)
+            finish_group_pending()
+            pending_group.append((list(group), padded, disp))
             group.clear()
 
         # 1-deep dispatch pipeline for the single-chunk path: chunk k+1's
@@ -539,6 +586,7 @@ class OfflineChunkCreator:
             out_path = os.path.join(self.chunks_dir, out_name)
             if self.config.resume and os.path.exists(out_path):
                 flush_group()
+                finish_group_pending()
                 finish_pending()
                 print(f"   resume: {out_path} exists, skipping")
                 saved.append(out_path)
@@ -566,6 +614,7 @@ class OfflineChunkCreator:
             if self.config.keypoint_type == "none":
                 # dense chunks carry full-resolution maps; keep them strictly
                 # serial (two in-flight dense outputs pressure HBM)
+                finish_group_pending()
                 finish_pending()
                 try:
                     result = self._process_chunk_with_recovery(batch)
@@ -595,6 +644,7 @@ class OfflineChunkCreator:
             pending.append((batch, disp))
         finish_pending()
         flush_group()
+        finish_group_pending()
 
         total_t = sum(infer_times)
         total_f = sum(infer_frames)

@@ -322,7 +322,7 @@ def test_dp_group_crash_recovery(image_dir, tmp_path):
     creator.params = make_tiny_params()
     creator._host_params = creator.params
 
-    real = creator._process_chunk_group
+    real = creator._dispatch_group
     calls = {"n": 0}
 
     def flaky(batches):
@@ -331,7 +331,7 @@ def test_dp_group_crash_recovery(image_dir, tmp_path):
             raise RuntimeError("TPU worker crashed: UNAVAILABLE")
         return real(batches)
 
-    creator._process_chunk_group = flaky
+    creator._dispatch_group = flaky
     recovered = {"n": 0}
     orig_recover = creator._recover_backend
 
