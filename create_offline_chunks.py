@@ -53,7 +53,12 @@ def main(argv=None):
                         help="Converted ALIKED weights (.npz) for --keypoints aliked")
     parser.add_argument("--max-kp", type=int, default=200)
     parser.add_argument("--estimate-intrinsics", action="store_true", default=True)
-    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--num-workers", type=int, default=2,
+                        help="Prefetch decode threads (2 is enough for the uint8 path; "
+                             "more threads contend with device-call transfers)")
+    parser.add_argument("--data-parallel-chunks", type=int, default=1,
+                        help="Chunks per sharded device step over the mesh dp axis "
+                             "(multi-chip scaling; 1 = single-chip)")
     parser.add_argument("--skip-start", type=int, default=0)
     parser.add_argument("--skip-end", type=int, default=0)
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
@@ -89,6 +94,7 @@ def main(argv=None):
         cam_dist_path=args.cam_dist_path,
         num_loader_workers=args.num_workers,
         resume=args.resume,
+        data_parallel_chunks=args.data_parallel_chunks,
     )
     creator = OfflineChunkCreator(config)
     creator.process_and_save(paths)

@@ -31,6 +31,10 @@ def main(argv=None):
     g_proc.add_argument("--overlap", type=int, default=5)
     g_proc.add_argument("--pixel-limit", type=int, default=255000 // 2)
     g_proc.add_argument("--num-workers", type=int, default=2)
+    g_proc.add_argument("--data-parallel-chunks", type=int, default=1,
+                        help="Chunks per sharded device step over the mesh dp axis")
+    g_proc.add_argument("--no-overlap", dest="overlap_device_host", action="store_false",
+                        help="Disable the infer/reconstruction overlap (strictly serial)")
     g_proc.add_argument("--metric-depth", action="store_true", default=True)
     g_proc.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
 
@@ -93,6 +97,8 @@ def main(argv=None):
         cam_dist_path=args.cam_dist_path,
         max_observations_per_track=args.max_observations_per_track,
         num_loader_workers=args.num_workers,
+        data_parallel_chunks=args.data_parallel_chunks,
+        overlap_device_host=args.overlap_device_host,
         visualize=args.visualize,
         viz_port=args.viz_port,
         output_dir=args.output,
