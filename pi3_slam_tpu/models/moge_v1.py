@@ -30,8 +30,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, List, Tuple, Union
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

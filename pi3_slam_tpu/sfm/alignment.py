@@ -26,7 +26,7 @@ from typing import List, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..geometry.sim3 import Sim3, robust_umeyama, sim3_apply
+from ..geometry.sim3 import Sim3, robust_umeyama
 from .ba import prune_outlier_tracks
 from .reconstruction import ChunkReconstruction, _jit_bundle_adjust
 

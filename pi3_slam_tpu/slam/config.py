@@ -7,8 +7,8 @@ constructor kwargs of the reference CLIs, with TPU-specific additions
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 
 @dataclass

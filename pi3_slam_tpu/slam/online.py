@@ -22,7 +22,6 @@ construction in every mode.
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Dict, List, Optional
 

@@ -19,7 +19,7 @@ a printed warning, never silently.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp
