@@ -57,6 +57,10 @@ def main(argv=None):
 
     g_out = parser.add_argument_group("output")
     g_out.add_argument("--output", default="online_output")
+    g_out.add_argument("--tum-integer-timestamps", action="store_true",
+                       help="Write integer frame-index timestamps in the TUM export "
+                            "(the reference's --tum_integer_timestamp; matches the "
+                            "offline export and the 7-Scenes eval protocol)")
     args = parser.parse_args(argv)
 
     if (args.images is None) == (args.video is None):
@@ -109,14 +113,17 @@ def main(argv=None):
     slam.save_final_result(os.path.join(args.output, "final_points.ply"))
     from pi3_slam_tpu.utils.timestamps import extract_timestamps_from_paths
 
-    ts_ns = extract_timestamps_from_paths(paths)
-    name_to_ts = {}
-    for pth, t in zip(paths, ts_ns):
-        nm = f"{pth[0]}#{pth[1]}" if isinstance(pth, tuple) else str(pth)
-        name_to_ts[nm.split("/")[-1]] = t / 1e9
-    slam.save_trajectory_tum(
-        os.path.join(args.output, "trajectory_tum.txt"), name_to_timestamp=name_to_ts
-    )
+    if args.tum_integer_timestamps:
+        slam.save_trajectory_tum(os.path.join(args.output, "trajectory_tum.txt"))
+    else:
+        ts_ns = extract_timestamps_from_paths(paths)
+        name_to_ts = {}
+        for pth, t in zip(paths, ts_ns):
+            nm = f"{pth[0]}#{pth[1]}" if isinstance(pth, tuple) else str(pth)
+            name_to_ts[nm.split("/")[-1]] = t / 1e9
+        slam.save_trajectory_tum(
+            os.path.join(args.output, "trajectory_tum.txt"), name_to_timestamp=name_to_ts
+        )
     return 0
 
 

@@ -6,6 +6,8 @@
 #
 # Usage: scripts/eval_7scenes.sh <data_root> <pi3_weights.npz> [moge.npz] [out_dir]
 #   data_root/<scene>/seq-01/*.color.png  and  groundtruths/7scenes/<scene>.txt
+# MODE=online evaluates the streaming pipeline instead of offline
+# (the reference script's --online branch, eval_7scenes.sh:130-170).
 set -euo pipefail
 
 DATA_ROOT=${1:?data root}
@@ -16,6 +18,7 @@ CHUNK_LENGTH=${CHUNK_LENGTH:-100}
 OVERLAP=${OVERLAP:-20}
 MAX_KP=${MAX_KP:-400}
 MAX_OBS=${MAX_OBS:-10}
+MODE=${MODE:-offline}
 SCENES=${SCENES:-"chess fire heads office pumpkin redkitchen stairs"}
 SCRIPT_DIR=$(cd "$(dirname "$0")" && pwd)
 REPO_ROOT=$(dirname "$SCRIPT_DIR")
@@ -29,15 +32,26 @@ for scene in $SCENES; do
   seq_dir="$DATA_ROOT/$scene/seq-01"
   out_dir="$OUT/$scene"
   mkdir -p "$out_dir"
-  "$SCRIPT_DIR/run_with_retries.sh" 5 python "$REPO_ROOT/create_offline_chunks.py" \
-    --images "$seq_dir/*.color.png" \
-    --model-path "$PI3_NPZ" $MOGE_ARGS \
-    --output "$out_dir" --resume \
-    --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
-    --keypoints grid --max-kp "$MAX_KP"
-  python "$REPO_ROOT/reconstruct_offline.py" \
-    --chunks "$out_dir" \
-    --max-observations-per-track "$MAX_OBS"
+  if [[ "$MODE" == "online" ]]; then
+    "$SCRIPT_DIR/run_with_retries.sh" 5 python "$REPO_ROOT/pi3_slam_online.py" \
+      --images "$seq_dir/*.color.png" \
+      --model-path "$PI3_NPZ" $MOGE_ARGS \
+      --output "$out_dir" \
+      --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
+      --keypoints grid --max-kp "$MAX_KP" \
+      --max-observations-per-track "$MAX_OBS" \
+      --tum-integer-timestamps
+  else
+    "$SCRIPT_DIR/run_with_retries.sh" 5 python "$REPO_ROOT/create_offline_chunks.py" \
+      --images "$seq_dir/*.color.png" \
+      --model-path "$PI3_NPZ" $MOGE_ARGS \
+      --output "$out_dir" --resume \
+      --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
+      --keypoints grid --max-kp "$MAX_KP"
+    python "$REPO_ROOT/reconstruct_offline.py" \
+      --chunks "$out_dir" \
+      --max-observations-per-track "$MAX_OBS"
+  fi
   gt="$SCRIPT_DIR/groundtruths/7scenes/$scene.txt"
   if [[ ! -f "$gt" ]]; then
     # generate GT from the dataset's per-frame pose files
