@@ -59,6 +59,9 @@ def main(argv=None):
     parser.add_argument("--data-parallel-chunks", type=int, default=1,
                         help="Chunks per sharded device step over the mesh dp axis "
                              "(multi-chip scaling; 1 = single-chip)")
+    parser.add_argument("--tensor-parallel", type=int, default=1,
+                        help="Tensor parallelism over heads/hidden (Megatron split); "
+                             "dp x tp devices are used per step")
     parser.add_argument("--skip-start", type=int, default=0)
     parser.add_argument("--skip-end", type=int, default=0)
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
@@ -95,6 +98,7 @@ def main(argv=None):
         num_loader_workers=args.num_workers,
         resume=args.resume,
         data_parallel_chunks=args.data_parallel_chunks,
+        tensor_parallel=args.tensor_parallel,
     )
     creator = OfflineChunkCreator(config)
     creator.process_and_save(paths)

@@ -33,6 +33,8 @@ def main(argv=None):
     g_proc.add_argument("--num-workers", type=int, default=2)
     g_proc.add_argument("--data-parallel-chunks", type=int, default=1,
                         help="Chunks per sharded device step over the mesh dp axis")
+    g_proc.add_argument("--tensor-parallel", type=int, default=1,
+                        help="Tensor parallelism over heads/hidden (dp x tp devices per step)")
     g_proc.add_argument("--no-overlap", dest="overlap_device_host", action="store_false",
                         help="Disable the infer/reconstruction overlap (strictly serial)")
     g_proc.add_argument("--metric-depth", action="store_true", default=True)
@@ -102,6 +104,7 @@ def main(argv=None):
         max_observations_per_track=args.max_observations_per_track,
         num_loader_workers=args.num_workers,
         data_parallel_chunks=args.data_parallel_chunks,
+        tensor_parallel=args.tensor_parallel,
         overlap_device_host=args.overlap_device_host,
         visualize=args.visualize,
         viz_port=args.viz_port,

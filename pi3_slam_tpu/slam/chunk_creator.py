@@ -187,18 +187,20 @@ class OfflineChunkCreator:
 
         self._step_cache: Dict[tuple, callable] = {}
         self.mesh = None
-        if config.data_parallel_chunks > 1:
+        if config.data_parallel_chunks > 1 or config.tensor_parallel > 1:
             n_dev = len(jax.devices())
-            dp = min(config.data_parallel_chunks, n_dev)
-            if dp > 1:
+            tp = max(1, min(config.tensor_parallel, n_dev))
+            dp = max(1, min(config.data_parallel_chunks, n_dev // tp))
+            if dp * tp > 1:
                 from ..parallel import make_mesh
 
-                tp = 1
                 self.mesh = make_mesh(dp, tp)
                 config.data_parallel_chunks = dp
-                print(f"chunk data parallelism: dp={dp} over {n_dev} devices")
+                config.tensor_parallel = tp
+                print(f"device mesh: dp={dp} x tp={tp} over {n_dev} devices")
             else:
                 config.data_parallel_chunks = 1
+                config.tensor_parallel = 1
 
     def _get_step(self):
         dense = self.config.keypoint_type == "none"

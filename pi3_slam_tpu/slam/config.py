@@ -40,6 +40,9 @@ class OfflineCreatorConfig:
     # chunk-level data parallelism: process this many chunks per device step,
     # sharded over the mesh's dp axis (1 = single-chip path)
     data_parallel_chunks: int = 1
+    # tensor parallelism over attention heads / MLP hidden (Megatron split,
+    # parallel/mesh.py); dp * tp devices are used per step
+    tensor_parallel: int = 1
 
 
 @dataclass
@@ -84,3 +87,5 @@ class OnlineConfig:
     sfm_backend: str = "auto"  # 'auto' | 'cpu' | 'default'
     # chunk-level data parallelism over a device mesh (1 = single chip)
     data_parallel_chunks: int = 1
+    # tensor parallelism over heads/hidden (dp * tp devices per step)
+    tensor_parallel: int = 1

@@ -51,3 +51,34 @@ def test_batched_chunk_step_consistent_with_single(rng):
         np.testing.assert_allclose(
             np.asarray(batched["intrinsics"][b]), np.asarray(one["intrinsics"]), atol=1e-3
         )
+
+
+def test_sharded_chunk_step_with_tensor_parallel(rng):
+    """dp x tp mesh: the chunk step with Megatron-sharded parameters matches
+    the single-device step (GSPMD inserts the collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    from pi3_slam_tpu.parallel import make_mesh
+    from pi3_slam_tpu.slam.chunk_creator import make_chunk_step, make_sharded_chunk_step
+    from test_pi3_model import TINY, make_tiny_params
+
+    params = make_tiny_params()
+    mesh = make_mesh(2, 2)
+    step_s, shard = make_sharded_chunk_step(TINY, jnp.float32, 0.1, 0.03, True, mesh)
+    sp = shard(params)
+    step_1 = make_chunk_step(TINY, jnp.float32, 0.1, 0.03, True)
+
+    B, N, H, W = 2, 2, 28, 28
+    imgs = rng.uniform(size=(B, N, 3, H, W)).astype(np.float32)
+    kps = rng.uniform(2, 26, size=(B, N, 6, 2)).astype(np.float32)
+    out_s = step_s(sp, jnp.asarray(imgs), jnp.asarray(kps))
+    out_1 = step_1(params, jnp.asarray(imgs), jnp.asarray(kps))
+    np.testing.assert_allclose(
+        np.asarray(out_s["camera_poses"]), np.asarray(out_1["camera_poses"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["points_kp"]), np.asarray(out_1["points_kp"]), atol=2e-2
+    )
