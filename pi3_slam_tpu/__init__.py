@@ -15,4 +15,4 @@ jit; bundle adjustment and Sim3 alignment are fixed-shape Gauss-Newton solvers
 scaling goes through jax.sharding.Mesh data parallelism over frames/chunks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
