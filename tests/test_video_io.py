@@ -90,3 +90,46 @@ def test_video_dataset_end_to_end(video_path):
     assert image_io.VIDEO_OPEN_COUNT["n"] - n0 <= 2
     for b in batches:
         assert b["images"].shape[1:] == (3, target[0], target[1])
+
+
+def test_bulk_video_with_undistortion(tmp_path):
+    """Undistortion-fused bulk video decode (the reference's
+    VideoUndistortionLoader role, pi3/utils/undistortion.py:293-538)."""
+    import json
+
+    from pi3_slam_tpu.data.undistortion import create_undistorter
+
+    calib = {
+        "image_height": 48, "image_width": 64,
+        "intrinsic_type": "PINHOLE_RADIAL_TANGENTIAL",
+        "intrinsics": {
+            "aspect_ratio": 1.0, "focal_length": 60.0,
+            "principal_pt_x": 32.0, "principal_pt_y": 24.0,
+            "radial_distortion_1": -0.2, "radial_distortion_2": 0.05,
+            "radial_distortion_3": 0.0,
+            "tangential_distortion_1": 0.0, "tangential_distortion_2": 0.0,
+            "skew": 0.0,
+        },
+    }
+    cpath = tmp_path / "calib.json"
+    cpath.write_text(json.dumps(calib))
+    und = create_undistorter(str(cpath))
+
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    for i in range(20):
+        w.write(np.roll(base, i, axis=1))
+    w.release()
+
+    image_io._thread_videos.cache = {}
+    n0 = image_io.VIDEO_OPEN_COUNT["n"]
+    out = image_io.load_video_frames_bulk(
+        path, list(range(10)), target_hw=(48, 64), undistorter=und, dtype="uint8"
+    )
+    assert out.shape == (10, 3, 48, 64) and out.dtype == np.uint8
+    assert image_io.VIDEO_OPEN_COUNT["n"] - n0 == 1  # still one decoder
+    # undistortion actually changed the pixels vs the raw decode
+    raw = image_io.load_video_frames_bulk(path, [0], target_hw=(48, 64), dtype="uint8")
+    assert not np.array_equal(out[0], raw[0])
