@@ -67,6 +67,9 @@ def main(argv=None):
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--resume", action="store_true", help="Skip chunks already on disk")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a jax.profiler trace of one steady-state chunk "
+                             "into this directory (view with tensorboard/xprof)")
     args = parser.parse_args(argv)
 
     paths = collect_image_paths(args.images, args.skip_start, args.skip_end)
@@ -99,6 +102,7 @@ def main(argv=None):
         resume=args.resume,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
+        profile_dir=args.profile_dir,
     )
     creator = OfflineChunkCreator(config)
     creator.process_and_save(paths)

@@ -625,6 +625,17 @@ class OfflineChunkCreator:
                     continue
                 emit(chunk_idx, batch, result)
                 continue
+            profiling = (
+                self.config.profile_dir is not None and chunk_idx == 1
+            )  # chunk 1: compiled, steady-state
+            if profiling:
+                from ..utils.profiling import trace as profiler_trace
+
+                finish_pending()  # isolate the traced chunk
+                with profiler_trace(self.config.profile_dir):
+                    result = self._process_chunk_with_recovery(batch)
+                emit(chunk_idx, batch, result)
+                continue
             try:
                 disp = self._dispatch_chunk(batch["images"], batch["paths"])
             except Exception as e:

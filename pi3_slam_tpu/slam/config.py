@@ -43,6 +43,9 @@ class OfflineCreatorConfig:
     # tensor parallelism over attention heads / MLP hidden (Megatron split,
     # parallel/mesh.py); dp * tp devices are used per step
     tensor_parallel: int = 1
+    # capture a jax.profiler trace of one steady-state chunk into this dir
+    # (viewable with tensorboard/xprof); None = off
+    profile_dir: Optional[str] = None
 
 
 @dataclass

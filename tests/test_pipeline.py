@@ -346,3 +346,24 @@ def test_dp_group_crash_recovery(image_dir, tmp_path):
     assert recovered["n"] == 1
     assert calls["n"] >= 2
     assert len(saved) == 4
+
+
+def test_profile_dir_captures_trace(image_dir, tmp_path):
+    """--profile-dir wraps one steady-state chunk in a jax.profiler trace."""
+    import glob
+
+    out = str(tmp_path / "prof_out")
+    cfg = OfflineCreatorConfig(
+        output_dir=out, chunk_length=4, overlap=2, pixel_limit=4000,
+        use_metric_depth=False, max_keypoints=20, compute_dtype="float32",
+        profile_dir=str(tmp_path / "trace"),
+    )
+    creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+    creator.params = make_tiny_params()
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    saved = creator.process_and_save(paths)
+    assert len(saved) == 4  # profiling chunk still produced its artifact
+    import pathlib
+
+    trace_files = list(pathlib.Path(tmp_path / "trace").rglob("*"))
+    assert any(f.is_file() for f in trace_files)  # something was captured
