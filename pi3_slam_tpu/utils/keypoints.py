@@ -95,6 +95,7 @@ class ALIKEDExtractor:
         checkpoint_path: str,
         max_num_keypoints: int = 1000,
         detection_threshold: float = 0.005,
+        frame_batch: int = 8,
     ):
         import dataclasses
 
@@ -106,15 +107,30 @@ class ALIKEDExtractor:
         cfg = CONFIGS.get(name, CONFIGS["aliked-n16"])
         self.cfg = dataclasses.replace(cfg, detection_threshold=detection_threshold)
         self.max_num_keypoints = max_num_keypoints
+        # frames are independent; mini-batching bounds the full-resolution
+        # multi-scale feature maps in HBM (a whole 100-frame chunk at the
+        # eval resolution needs ~30 GB as one program — measured OOM on v5e)
+        self.frame_batch = max(1, frame_batch)
         self._extract = aliked_extract
 
     def extract(self, images: np.ndarray) -> Dict[str, np.ndarray]:
-        """images (N, 3, H, W) float [0,1] -> {'keypoints': (N,K,2),
+        """images (N, 3, H, W) float [0,1] or uint8 -> {'keypoints': (N,K,2),
         'descriptors': (N,K,dim), 'scores': (N,K), 'valid': (N,K)}."""
-        out = self._extract(
-            self.params, jnp.asarray(images), self.cfg, self.max_num_keypoints
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
+        N = images.shape[0]
+        fb = self.frame_batch
+        chunks = []
+        for start in range(0, N, fb):
+            batch = images[start : start + fb]
+            n_real = batch.shape[0]
+            if n_real < fb:  # pad to the steady shape: one compile per size
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], fb - n_real, axis=0)]
+                )
+            out = self._extract(
+                self.params, jnp.asarray(batch), self.cfg, self.max_num_keypoints
+            )
+            chunks.append({k: np.asarray(v)[:n_real] for k, v in out.items()})
+        return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
 
     def extract_with_colors(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         out = self.extract(images)
