@@ -59,6 +59,9 @@ def main(argv=None):
 
     g_out = parser.add_argument_group("output")
     g_out.add_argument("--output", default="online_output")
+    g_out.add_argument("--save-debug-projections", action="store_true",
+                       help="Write per-chunk reprojection-debug GIFs (observed vs "
+                            "reprojected keypoints) under <output>/debug_projections")
     g_out.add_argument("--tum-integer-timestamps", action="store_true",
                        help="Write integer frame-index timestamps in the TUM export "
                             "(the reference's --tum_integer_timestamp; matches the "
@@ -109,6 +112,7 @@ def main(argv=None):
         visualize=args.visualize,
         viz_port=args.viz_port,
         output_dir=args.output,
+        save_debug_projections=args.save_debug_projections,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)

@@ -80,6 +80,9 @@ class OnlineConfig:
     visualize: bool = False
     viz_port: int = 8080
     output_dir: str = "online_output"
+    # per-chunk reprojection-debug GIFs (observed vs reprojected keypoints),
+    # the reference's --save_debug_projections (chunk_reconstruction.py:224-443)
+    save_debug_projections: bool = False
     # infer/recon overlap: keep the next chunk's forward in flight on the
     # accelerator while the host runs this chunk's reconstruction. SfM solvers
     # are pinned to the CPU backend ('auto' = cpu whenever the model runs on

@@ -249,6 +249,23 @@ class Pi3SLAMOnline:
                 self.alignment_results.append(res)
         self.reconstructions.append(recon)
         self._consumed += 1
+        if self.config.save_debug_projections:
+            import os as _os
+
+            from ..sfm.serialization import render_debug_projections
+
+            imgs = batch["images"]
+            if imgs.dtype == np.uint8:
+                imgs = imgs.astype(np.float32) / 255.0
+            dbg_dir = _os.path.join(self.config.output_dir, "debug_projections")
+            _os.makedirs(dbg_dir, exist_ok=True)
+            try:
+                render_debug_projections(
+                    recon, imgs,
+                    _os.path.join(dbg_dir, f"chunk_{self._consumed - 1:06d}.gif"),
+                )
+            except Exception as e:  # debug artifact must never kill the run
+                print(f"debug projections failed: {e}")
         if self.visualizer is not None:
             frame = batch["images"][-1].transpose(1, 2, 0)
             if frame.dtype != np.uint8:

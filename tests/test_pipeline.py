@@ -367,3 +367,22 @@ def test_profile_dir_captures_trace(image_dir, tmp_path):
 
     trace_files = list(pathlib.Path(tmp_path / "trace").rglob("*"))
     assert any(f.is_file() for f in trace_files)  # something was captured
+
+
+def test_online_debug_projections(image_dir, tmp_path):
+    """--save-debug-projections writes a per-chunk reprojection GIF."""
+    import glob
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=12, compute_dtype="float32",
+        output_dir=str(tmp_path / "dbg"), save_debug_projections=True,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:4]
+    slam.process_image_paths(paths)
+    import pathlib
+
+    arts = list(pathlib.Path(tmp_path / "dbg" / "debug_projections").glob("chunk_*.*"))
+    assert arts, "no debug projection artifacts written"
