@@ -36,15 +36,27 @@ except ImportError:  # pragma: no cover
 from PIL import Image
 
 
+def _probe_video(video_path: str, *props) -> list:
+    """Read metadata properties via a transient decoder (released
+    immediately — metadata probes must not pin a persistent reader on the
+    calling thread, which is usually not a loader worker)."""
+    cap = cv2.VideoCapture(str(video_path))
+    try:
+        if not cap.isOpened():
+            raise IOError(f"failed to open video {video_path}")
+        return [cap.get(p) for p in props]
+    finally:
+        cap.release()
+
+
 def _first_image_dims(path) -> Tuple[int, int]:
     """(W, H) of an image path or (video_path, frame_idx) tuple."""
     if isinstance(path, tuple):
         video_path, _ = path
-        cap = _video_reader(str(video_path)).cap
-        return (
-            int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
-            int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        w, h = _probe_video(
+            video_path, cv2.CAP_PROP_FRAME_WIDTH, cv2.CAP_PROP_FRAME_HEIGHT
         )
+        return (int(w), int(h))
     with Image.open(path) as im:
         return im.size
 
@@ -133,9 +145,15 @@ def _video_reader(path: str) -> _VideoReader:
     reader = cache.get(path)
     if reader is None:
         if len(cache) >= _READER_CACHE_MAX:
-            _, old = cache.popitem()
+            # evict least-recently-used (dict insertion order = recency, since
+            # hits below re-insert); popitem() would evict the newest
+            old = cache.pop(next(iter(cache)))
             old.close()
-        reader = cache[path] = _VideoReader(path)
+        cache[path] = reader = _VideoReader(path)
+    else:
+        # move-to-end marks this reader most-recently-used
+        cache.pop(path)
+        cache[path] = reader
     return reader
 
 
@@ -217,6 +235,6 @@ def load_images(
 def list_video_frames(video_path: str, skip_start: int = 0, skip_end: int = 0, stride: int = 1):
     """[(video_path, frame_idx), ...] like the online CLI's video mode
     (pi3_slam_online_modular.py:15-109)."""
-    n = int(_video_reader(str(video_path)).cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    n = int(_probe_video(video_path, cv2.CAP_PROP_FRAME_COUNT)[0])
     stop = n - skip_end
     return [(str(video_path), i) for i in range(skip_start, stop, stride)]

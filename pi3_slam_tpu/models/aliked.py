@@ -239,6 +239,12 @@ def detect_keypoints(
     kp = jnp.stack(
         [kx.astype(jnp.float32) + dx, ky.astype(jnp.float32) + dy], axis=-1
     )  # (N, K, 2) as (x, y)
+    # invalid top-k slots land on tied zero-score candidates whose soft-argmax
+    # patch can wrap around the border; keep every returned coordinate inside
+    # the image so downstream interpolation stays in bounds
+    kp = jnp.clip(
+        kp, 0.0, jnp.asarray([W - 1.0, H - 1.0], jnp.float32)
+    )
     return {"keypoints": kp, "scores": scores, "valid": valid}
 
 

@@ -34,6 +34,11 @@ class MoGeRunner:
         self.params = load_params_npz(checkpoint_path)
         self.cfg = MoGeConfig.from_params(self.params)
         self.params.pop("_config_json", None)  # string metadata, not a jit arg
+        # pin parameters on device: numpy leaves would re-upload the whole
+        # tree on every call (the remote-TPU tunnel here moves ~30 MB/s);
+        # the host copy survives backend-crash recovery
+        self._host_params = self.params
+        self.params = jax.device_put(self.params)
 
         def infer(p, img):
             if img.dtype == jnp.uint8:  # raw bytes from the uint8 loader path
@@ -41,6 +46,29 @@ class MoGeRunner:
             return moge_infer_depth(p, img, self.cfg)
 
         self._infer = jax.jit(infer)
+        self._infer_batch = jax.jit(
+            lambda p, imgs: jax.vmap(lambda im: infer(p, im))(imgs)
+        )
+        self._mesh = None
+
+    def shard_params(self, mesh) -> None:
+        """Replicate parameters over a device mesh so batched inference can
+        dp-shard its input (chunk-dp groups: one first frame per chunk)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._mesh = mesh
+        self.params = jax.device_put(self._host_params, NamedSharding(mesh, P()))
+
+    def reset(self) -> None:
+        """Re-pin parameters after a backend crash/reset (device buffers from
+        the dead backend are invalid)."""
+        import jax
+
+        if self._mesh is not None:
+            self.shard_params(self._mesh)
+        else:
+            self.params = jax.device_put(self._host_params)
 
     def infer_depth_async(self, image: np.ndarray):
         """Dispatch depth inference; returns the (H, W) device array without
@@ -49,6 +77,22 @@ class MoGeRunner:
         import jax.numpy as jnp
 
         return self._infer(self.params, jnp.asarray(image))
+
+    def infer_depth_batch_async(self, images: np.ndarray):
+        """Batched dispatch over (B, 3, H, W) first frames -> (B, H, W) depth.
+
+        On a chunk-dp mesh the batch is sharded over the dp axis so every
+        chunk's metric-scale forward runs on its own devices concurrently
+        (instead of B sequential forwards on chip 0)."""
+        import jax
+        import jax.numpy as jnp
+
+        imgs = jnp.asarray(images)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            imgs = jax.device_put(imgs, NamedSharding(self._mesh, P("dp")))
+        return self._infer_batch(self.params, imgs)
 
     def infer_depth(self, image: np.ndarray) -> np.ndarray:
         return np.asarray(self.infer_depth_async(image))

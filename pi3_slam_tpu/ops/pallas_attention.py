@@ -44,6 +44,7 @@ Pi3's dense bidirectional attention.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +131,11 @@ def flash_attention_tpu(
     B, T, H, D = q.shape
     nw = n_interleave
     qb_super = blk_q * nw
-    Tp = _ceil_to(T, max(qb_super, blk_k))
+    # pad to a common multiple of the q superblock and the k block: padding to
+    # max() alone truncates the grid when qb_super does not divide it (e.g.
+    # blk_q=128, nw=3, blk_k=512 -> Tp=1024 but 1024 % 384 != 0), silently
+    # dropping the tail q rows
+    Tp = _ceil_to(T, math.lcm(qb_super, blk_k))
     # base-2 softmax: fold log2(e) into the query scaling, use exp2 on TPU
     scale = D**-0.5 * LOG2_E
 
@@ -180,40 +185,61 @@ def flash_attention_tpu(
 # ---------------------------------------------------------------------------
 
 
-def _attn_single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
-    """One (batch*head) slice per grid step; whole-T single-pass softmax."""
-    q = q_ref[0]  # (Tp, D) bf16, pre-scaled by sm_scale * log2(e)
-    k = k_ref[0]
-    v = v_ref[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Tp, Tp) base-2 logits; padded key columns are exactly 0
-    m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp2(logits - m)
-    l = jnp.sum(p, axis=1, keepdims=True) - n_pad * jnp.exp2(-m)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+def _attn_single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int, nw: int):
+    """nw (batch*head) slices per grid step; whole-T single-pass softmax.
+
+    All nw QK^T matmuls issue up front, so each slice's softmax (VPU) overlaps
+    the neighbouring slices' PV matmuls (MXU) in Mosaic's schedule — the same
+    interleaving that buys +13% in the long-sequence flash kernel. At the
+    ~650-token frame shapes a single slice leaves the MXU idle during the
+    whole (Tp, Tp) softmax, which is why the one-slice variant was pinned at
+    ~2.3x the matmul roofline.
+    """
+    logits = [
+        jax.lax.dot_general(
+            q_ref[w], k_ref[w], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tp, Tp) base-2 logits; padded key columns are exactly 0
+        for w in range(nw)
+    ]
+    for w in range(nw):
+        m = jnp.max(logits[w], axis=1, keepdims=True)
+        p = jnp.exp2(logits[w] - m)
+        l = jnp.sum(p, axis=1, keepdims=True) - n_pad * jnp.exp2(-m)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[w], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[w] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 # (Tp, Tp) fp32 logits + exp tile must fit VMEM alongside q/k/v/o blocks.
 SINGLE_PASS_MAX_T = 1280
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("n_interleave", "interpret"))
 def attention_single_pass_tpu(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_interleave: int | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for (B, T, H, D) with T <= SINGLE_PASS_MAX_T.
 
-    Grid is one step per (batch, head); the whole (Tp, Tp) logits tile lives
-    in VMEM for a plain (non-online) softmax. Zero-padded keys are corrected
+    Each grid step processes ``n_interleave`` (batch, head) slices (auto: the
+    largest of 8/4/2/1 dividing B*H); whole (Tp, Tp) logits tiles live in
+    VMEM for a plain (non-online) softmax. Zero-padded keys are corrected
     exactly in the denominator (module docstring).
     """
     B, T, H, D = q.shape
     scale = D**-0.5 * LOG2_E
     Tp = _ceil_to(T, 128)
+    nw = n_interleave
+    if nw is None:
+        nw = next(n for n in (8, 4, 2, 1) if (B * H) % n == 0)
+    elif (B * H) % nw != 0:
+        raise ValueError(f"n_interleave={nw} must divide B*H={B * H}")
 
     def to_bhtd(x, scale_by=None):
         if scale_by is not None:
@@ -226,18 +252,18 @@ def attention_single_pass_tpu(
     vf = to_bhtd(v)
 
     out = pl.pallas_call(
-        functools.partial(_attn_single_pass_kernel, n_pad=Tp - T),
-        grid=(B * H,),
+        functools.partial(_attn_single_pass_kernel, n_pad=Tp - T, nw=nw),
+        grid=(B * H // nw,),
         in_specs=[
-            pl.BlockSpec((1, Tp, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Tp, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Tp, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nw, Tp, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nw, Tp, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nw, Tp, D), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Tp, D), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((nw, Tp, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qf, kf, vf)

@@ -45,6 +45,54 @@ def create_view_graph_matches(chunk_size: int, overlap: int) -> List[Tuple[int, 
     return [(chunk_size - overlap + i, i) for i in range(overlap)]
 
 
+def match_tracks_by_descriptor(
+    ref: ChunkReconstruction,
+    query: ChunkReconstruction,
+    frame_map: np.ndarray,
+    min_cosine: float = 0.8,
+    max_px: float = 8.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mutual-nearest-neighbour descriptor matching of tracks owned by shared
+    frames (FindCommonTracksByFeatureInReconstructions,
+    utils/reconstruction_alignment.py:74-76).
+
+    For learned keypoints the same physical frame is re-detected in both
+    chunks; sub-pixel soft-argmax coordinates need not be bitwise equal, so a
+    position hash join can silently lose every match. Descriptors are
+    L2-normalized (SDDH), so the dot product is cosine similarity; a mutual-NN
+    match must also sit within ``max_px`` pixels (same image, same detector —
+    large displacements are aliasing, not correspondence).
+    """
+    ref_by_frame: dict = {}
+    ref_live = ref.track_valid > 0
+    for t in np.nonzero(ref_live)[0]:
+        ref_by_frame.setdefault(int(ref.track_frame[t]), []).append(t)
+
+    ref_ids, q_ids = [], []
+    for j in range(query.num_frames):
+        i = int(frame_map[j])
+        if i < 0 or i not in ref_by_frame:
+            continue
+        ri = np.asarray(ref_by_frame[i], np.int64)
+        qi = np.nonzero((query.track_frame == j) & (query.track_valid > 0))[0]
+        if ri.size == 0 or qi.size == 0:
+            continue
+        sim = query.track_desc[qi] @ ref.track_desc[ri].T  # (Q, R) cosine
+        best_r = sim.argmax(axis=1)
+        best_q = sim.argmax(axis=0)
+        rows = np.arange(qi.size)
+        ok = (best_q[best_r] == rows) & (sim[rows, best_r] >= min_cosine)
+        duv = np.linalg.norm(
+            query.track_uv[qi] - ref.track_uv[ri[best_r]], axis=-1
+        )
+        ok &= duv <= max_px
+        ref_ids.append(ri[best_r[ok]])
+        q_ids.append(qi[ok])
+    if not ref_ids:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(ref_ids), np.concatenate(q_ids)
+
+
 def find_common_tracks(
     ref: ChunkReconstruction,
     query: ChunkReconstruction,
@@ -54,7 +102,9 @@ def find_common_tracks(
     position. Returns (ref_track_idx, query_track_idx) arrays.
 
     Dispatches to the native sfmcore hash join (cpp/sfmcore.cpp) with a
-    numpy fallback.
+    numpy fallback. When both chunks carry descriptors (ALIKED), a mutual-NN
+    descriptor match augments the position join — learned sub-pixel
+    coordinates are not guaranteed bitwise-reproducible across chunks.
     """
     from .native import match_tracks
 
@@ -64,7 +114,7 @@ def find_common_tracks(
         frame_map[j] = name_to_ref_frame.get(n, -1)
     if (frame_map < 0).all():
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return match_tracks(
+    ref_ids, q_ids = match_tracks(
         ref.track_frame,
         ref.track_uv,
         ref.track_valid,
@@ -74,6 +124,15 @@ def find_common_tracks(
         frame_map,
         quantize=quantize_px,
     )
+    if ref.track_desc is not None and query.track_desc is not None:
+        rd, qd = match_tracks_by_descriptor(ref, query, frame_map)
+        if rd.size:
+            # union, position matches first; one match per query track
+            taken = set(np.asarray(q_ids).tolist())
+            fresh = np.array([q not in taken for q in qd], bool)
+            ref_ids = np.concatenate([ref_ids, rd[fresh]])
+            q_ids = np.concatenate([q_ids, qd[fresh]])
+    return ref_ids, q_ids
 
 
 def apply_sim3_to_reconstruction(recon: ChunkReconstruction, s: Sim3) -> None:

@@ -44,6 +44,11 @@ class ChunkReconstruction:
     obs_valid: np.ndarray  # (T, M)
     image_width: int
     image_height: int
+    # (T, dim) L2-normalized keypoint descriptors (ALIKED); None for grid
+    # keypoints. Enables feature-based cross-chunk track matching
+    # (FindCommonTracksByFeatureInReconstructions,
+    # utils/reconstruction_alignment.py:74-76).
+    track_desc: np.ndarray | None = None
 
     @property
     def num_frames(self) -> int:
@@ -121,7 +126,9 @@ def build_chunk_reconstruction(
 
     chunk keys (numpy arrays): 'keypoints' (N,K,2), 'points' (N,K,3) world
     keypoint points, 'colors' (N,K,3), 'camera_poses' (N,4,4) cam-to-world,
-    optional 'intrinsics' (N,3,3), 'image_paths', and 'original_width/height'.
+    optional 'intrinsics' (N,3,3), 'image_paths', 'original_width/height',
+    'keypoint_valid' (N,K) bool (ALIKED sub-threshold top-k slots are False
+    and must not spawn live tracks), and 'descriptors' (N,K,dim).
     """
     kp = np.asarray(chunk["keypoints"], np.float64)
     pts = np.asarray(chunk["points"], np.float64)
@@ -165,10 +172,27 @@ def build_chunk_reconstruction(
     track_uv = kp.reshape(T, 2)
     points_flat = pts.reshape(T, 3)
 
+    # ALIKED validity: sub-threshold top-k filler slots sit at identical
+    # coordinates in every frame and would hash-join into spurious
+    # cross-frame tracks; they enter as dead tracks (zero BA weight,
+    # excluded from matching)
+    kp_valid = chunk.get("keypoint_valid")
+    track_valid = (
+        np.asarray(kp_valid, bool).reshape(T).astype(np.float32)
+        if kp_valid is not None
+        else np.ones(T, np.float32)
+    )
+    desc = chunk.get("descriptors")
+    track_desc = (
+        np.ascontiguousarray(np.asarray(desc, np.float32).reshape(T, -1))
+        if desc is not None
+        else None
+    )
+
     # slot 0: the detected keypoint in its own frame
     obs_frame[:, 0] = track_frame
     obs_uv[:, 0] = track_uv
-    obs_valid[:, 0] = 1.0
+    obs_valid[:, 0] = track_valid
 
     cand_table = np.full((N, M - 1), -1, np.int32)
     for f in range(N):
@@ -186,6 +210,7 @@ def build_chunk_reconstruction(
     if used_native:
         obs_uv = obs_uv32.astype(np.float64)
         obs_valid = obs_valid32.astype(np.float64)
+        obs_valid[:, 0] = track_valid
     else:
         for f in range(N):
             cand = cand_table[f][cand_table[f] >= 0]
@@ -206,6 +231,9 @@ def build_chunk_reconstruction(
             obs_uv[rows, 1 : 1 + c, 1] = v.T
             obs_valid[rows, 1 : 1 + c] = inb.T.astype(np.float64)
 
+    # dead tracks contribute no observations anywhere
+    obs_valid *= track_valid[:, None]
+
     recon = ChunkReconstruction(
         frame_names=names,
         rotations=R_cw.astype(np.float32),
@@ -216,12 +244,13 @@ def build_chunk_reconstruction(
         track_frame=track_frame.astype(np.int32),
         track_kp=track_kp.astype(np.int32),
         track_uv=track_uv.astype(np.float32),
-        track_valid=np.ones(T, np.float32),
+        track_valid=track_valid,
         obs_frame=obs_frame,
         obs_uv=obs_uv.astype(np.float32),
         obs_valid=obs_valid.astype(np.float32),
         image_width=width,
         image_height=height,
+        track_desc=track_desc,
     )
 
     if run_ba:

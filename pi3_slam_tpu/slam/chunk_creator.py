@@ -198,6 +198,8 @@ class OfflineChunkCreator:
                 config.data_parallel_chunks = dp
                 config.tensor_parallel = tp
                 print(f"device mesh: dp={dp} x tp={tp} over {n_dev} devices")
+                if self.moge is not None:
+                    self.moge.shard_params(self.mesh)
             else:
                 config.data_parallel_chunks = 1
                 config.tensor_parallel = 1
@@ -259,10 +261,10 @@ class OfflineChunkCreator:
         B = len(batches)
         images = np.stack([b["images"] for b in batches])  # (B, N, 3, H, W)
         N, _, H, W = images.shape[1:]
+        dets = None
         if self.keypoint_extractor is not None:  # ALIKED: per-frame learned
-            kps = np.stack(
-                [self.keypoint_extractor.extract(b["images"])["keypoints"] for b in batches]
-            ).astype(np.float32)
+            dets = [self.keypoint_extractor.extract(b["images"]) for b in batches]
+            kps = np.stack([d["keypoints"] for d in dets]).astype(np.float32)
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
             kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
@@ -270,22 +272,27 @@ class OfflineChunkCreator:
         step = self._get_step()
         t0 = time.time()
         dev = step(self.params, jnp.asarray(images), jnp.asarray(kps))
-        # queue all MoGe forwards behind the sharded step before materializing
-        moge_devs = (
-            [self.moge.infer_depth_async(b["images"][0]) for b in batches]
+        # queue the MoGe batch behind the sharded step before materializing;
+        # one dp-sharded forward covers all B first frames (B sequential
+        # unsharded forwards would serialize on chip 0 while the rest idle)
+        moge_dev = (
+            self.moge.infer_depth_batch_async(images[:, 0])
             if self.moge is not None
-            else [None] * B
+            else None
         )
-        return {"dev": dev, "moge_devs": moge_devs, "kps": kps, "t0": t0,
-                "batches": batches, "shape": (B, N)}
+        return {"dev": dev, "moge_dev": moge_dev, "kps": kps, "dets": dets,
+                "t0": t0, "batches": batches, "shape": (B, N)}
 
     def _finish_group(self, pending: Dict) -> List[Dict]:
         """Materialize a dispatched group and build per-chunk storage dicts."""
         batches = pending["batches"]
         kps = pending["kps"]
-        moge_devs = pending["moge_devs"]
+        dets = pending["dets"]
         B, N = pending["shape"]
         host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+        moge_host = (
+            np.asarray(pending["moge_dev"]) if pending["moge_dev"] is not None else None
+        )
         dt = max(1e-6, time.time() - pending["t0"])
         fps = B * N / dt
         print(f"   dp-group inference: {dt:.3f}s for {B}x{N} frames -> {fps:.2f} FPS")
@@ -295,9 +302,14 @@ class OfflineChunkCreator:
             poses = host["camera_poses"][b].astype(np.float64)
             points_kp = host["points_kp"][b].astype(np.float64)
             local_kp = host["local_points_kp"][b].astype(np.float64)
+            masks_kp = host["masks_kp"][b]
+            valid_kp = None
+            if dets is not None:
+                valid_kp = np.asarray(dets[b]["valid"], bool)
+                masks_kp = masks_kp & valid_kp
             scale_factor = None
-            if moge_devs[b] is not None:
-                moge_depth = np.asarray(moge_devs[b])
+            if moge_host is not None:
+                moge_depth = moge_host[b]
                 mask0 = host["mask0"][b]
                 ratio = moge_depth[mask0] / np.maximum(host["depth0"][b][mask0], 1e-9)
                 ratio = ratio[np.isfinite(ratio)]
@@ -311,7 +323,7 @@ class OfflineChunkCreator:
                 "points": points_kp.astype(np.float16),
                 "local_points": local_kp.astype(np.float16),
                 "conf": host["conf_kp"][b].astype(np.float16),
-                "masks": host["masks_kp"][b],
+                "masks": masks_kp,
                 "keypoints": kps[b].astype(np.float16),
                 "colors": (host["colors_kp"][b] * 255).clip(0, 255).astype(np.uint8),
                 "camera_poses": poses.astype(np.float32),
@@ -325,6 +337,11 @@ class OfflineChunkCreator:
                 result["metric_scale"] = np.float32(scale_factor)
             if "intrinsics" in host:
                 result["intrinsics"] = host["intrinsics"][b].astype(np.float32)
+            if valid_kp is not None:
+                result["keypoint_valid"] = valid_kp
+                result["descriptors"] = np.asarray(
+                    dets[b]["descriptors"], np.float16
+                )
             results.append(result)
         return results
 
@@ -333,13 +350,15 @@ class OfflineChunkCreator:
         materializing — the forward stays in flight while the host finishes
         the previous chunk (compression + npz write overlap device compute)."""
         N, _, H, W = images.shape
+        det = None
         if self.config.keypoint_type == "none":
             # a minimal single-point 'grid' keeps the device step shape-stable;
             # dense maps are exported instead of the sparse arrays below
             kp = np.array([[W / 2.0, H / 2.0]], dtype=np.float32)
             kps = np.broadcast_to(kp[None], (N, 1, 2)).astype(np.float32)
         elif self.keypoint_extractor is not None:  # ALIKED: per-frame learned
-            kps = self.keypoint_extractor.extract(images)["keypoints"].astype(np.float32)
+            det = self.keypoint_extractor.extract(images)
+            kps = det["keypoints"].astype(np.float32)
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
             kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
@@ -353,7 +372,7 @@ class OfflineChunkCreator:
         # online_reconstructor.py:72-227)
         moge_dev = self.moge.infer_depth_async(images[0]) if self.moge is not None else None
         return {
-            "dev": dev, "moge_dev": moge_dev, "kps": kps, "t0": t0,
+            "dev": dev, "moge_dev": moge_dev, "kps": kps, "det": det, "t0": t0,
             "images": images, "paths": paths,
         }
 
@@ -391,11 +410,16 @@ class OfflineChunkCreator:
 
         poses_cw = np.asarray(se3_inverse(jnp.asarray(poses))).astype(np.float32)
 
+        det = pending["det"]
+        masks_kp = host["masks_kp"]
+        if det is not None:
+            masks_kp = masks_kp & np.asarray(det["valid"], bool)
+
         result = {
             "points": points_kp.astype(np.float16),
             "local_points": local_kp.astype(np.float16),
             "conf": host["conf_kp"].astype(np.float16),
-            "masks": host["masks_kp"],
+            "masks": masks_kp,
             "keypoints": kps.astype(np.float16),
             "colors": (host["colors_kp"] * 255).clip(0, 255).astype(np.uint8),
             "camera_poses": poses.astype(np.float32),
@@ -409,6 +433,9 @@ class OfflineChunkCreator:
             result["metric_scale"] = np.float32(scale_factor)
         if "intrinsics" in host:
             result["intrinsics"] = host["intrinsics"].astype(np.float32)
+        if det is not None:
+            result["keypoint_valid"] = np.asarray(det["valid"], bool)
+            result["descriptors"] = np.asarray(det["descriptors"], np.float16)
         for dense_key in ("points_dense", "local_points_dense", "conf_dense", "masks_dense"):
             if dense_key in host:
                 arr = host[dense_key]
@@ -463,8 +490,20 @@ class OfflineChunkCreator:
                 break
             except Exception:
                 continue
+        if self.mesh is not None:
+            # the old mesh holds device handles from the dead backend
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(
+                self.config.data_parallel_chunks, self.config.tensor_parallel
+            )
         self.params = jax.device_put(self._host_params)
         self._step_cache.clear()
+        if self.moge is not None:
+            if self.mesh is not None:
+                self.moge.shard_params(self.mesh)
+            else:
+                self.moge.reset()
 
     def process_and_save(self, image_paths: List) -> List[str]:
         if not image_paths:

@@ -44,9 +44,14 @@ def load_chunk_npz(path: str) -> Dict:
         "original_width": int(z["original_width"]),
         "original_height": int(z["original_height"]),
     }
-    for opt in ("intrinsics", "masks", "conf", "metric_scale", "start_idx", "end_idx"):
+    for opt in (
+        "intrinsics", "masks", "conf", "metric_scale", "start_idx", "end_idx",
+        "keypoint_valid",
+    ):
         if opt in z.files:
             chunk[opt] = z[opt]
+    if "descriptors" in z.files:
+        chunk["descriptors"] = z["descriptors"].astype(np.float32)
     return chunk
 
 

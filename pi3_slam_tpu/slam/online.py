@@ -112,6 +112,8 @@ class Pi3SLAMOnline:
                 config.data_parallel_chunks = dp
                 config.tensor_parallel = tp
                 print(f"online device mesh: dp={dp} x tp={tp} over {n_dev} devices")
+                if self.moge is not None:
+                    self.moge.shard_params(self.mesh)
             else:
                 config.data_parallel_chunks = 1
                 config.tensor_parallel = 1
@@ -153,8 +155,10 @@ class Pi3SLAMOnline:
         overlap they are materialized here (strictly serial device use)."""
         images = batch["images"]
         N, _, H, W = images.shape
+        det = None
         if self.keypoint_extractor is not None:  # ALIKED: per-frame learned
-            kps = self.keypoint_extractor.extract(images)["keypoints"].astype(np.float32)
+            det = self.keypoint_extractor.extract(images)
+            kps = det["keypoints"].astype(np.float32)
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints)
             kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
@@ -168,42 +172,61 @@ class Pi3SLAMOnline:
                 if moge_depth is not None:
                     moge_depth = np.asarray(moge_depth)
         self._produced += 1
-        return {"dev": dev, "moge_depth": moge_depth, "kps": kps, "batch": batch}
+        return {"dev": dev, "moge_depth": moge_depth, "kps": kps, "det": det,
+                "batch": batch}
 
-    def _dispatch_group(self, group: List[Dict], dp: int) -> List[Dict]:
+    def _dispatch_group(self, group: List[Dict], dp: int) -> Dict:
         """Multi-chip path: stack dp same-shape chunks, one sharded device
         step (batch padded by repeating the last chunk so the dp axis always
-        divides), then split into per-chunk consume items."""
+        divides). Outputs stay on device — the sharded step for group k+1
+        runs while the host consumes group k (mirroring the offline creator's
+        1-deep group pipeline, chunk_creator.py); _finish_group is the
+        synchronization point."""
         n_real = len(group)
         padded = group + [group[-1]] * (dp - n_real)
         images = np.stack([b["images"] for b in padded])  # (B, N, 3, H, W)
         B, N, _, H, W = images.shape
+        dets = None
         if self.keypoint_extractor is not None:
-            kps = np.stack(
-                [
-                    self.keypoint_extractor.extract(b["images"])["keypoints"]
-                    for b in padded
-                ]
-            ).astype(np.float32)
+            dets = [self.keypoint_extractor.extract(b["images"]) for b in padded]
+            kps = np.stack([d["keypoints"] for d in dets]).astype(np.float32)
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints)
             kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
 
         with self.timing.track("dispatch"):
             dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps))
-            moge_depths = [None] * n_real
-            if self.moge is not None:
-                moge_depths = [
-                    self.moge.infer_depth_async(b["images"][0]) for b in group
-                ]
-            host = {k: np.asarray(v) for k, v in dev.items()}
+            # one dp-sharded MoGe batch (every chunk's first frame on its own
+            # devices) queued behind the sharded step
+            moge_dev = (
+                self.moge.infer_depth_batch_async(images[:, 0])
+                if self.moge is not None
+                else None
+            )
         self._produced += n_real
+        # snapshot: the caller clears its accumulator list after dispatch
+        return {"dev": dev, "moge_dev": moge_dev, "kps": kps, "dets": dets,
+                "group": list(group), "n_real": n_real}
+
+    def _finish_group(self, pending: Dict) -> List[Dict]:
+        """Materialize a dispatched group into per-chunk consume items (the
+        device->host pull is the pipeline's synchronization point)."""
+        n_real = pending["n_real"]
+        with self.timing.track("materialize"):
+            host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+            moge_host = (
+                np.asarray(pending["moge_dev"])
+                if pending["moge_dev"] is not None
+                else None
+            )
+        dets = pending["dets"]
         return [
             {
                 "dev": {k: v[b] for k, v in host.items()},
-                "moge_depth": moge_depths[b],
-                "kps": kps[b],
-                "batch": group[b],
+                "moge_depth": moge_host[b] if moge_host is not None else None,
+                "kps": pending["kps"][b],
+                "det": dets[b] if dets is not None else None,
+                "batch": pending["group"][b],
             }
             for b in range(n_real)
         ]
@@ -238,6 +261,12 @@ class Pi3SLAMOnline:
         }
         if "intrinsics" in host:
             chunk["intrinsics"] = host["intrinsics"].astype(np.float64)
+        det = pending.get("det")
+        if det is not None:
+            # ALIKED: sub-threshold filler slots must not spawn live tracks;
+            # descriptors enable feature-based cross-chunk matching
+            chunk["keypoint_valid"] = np.asarray(det["valid"], bool)
+            chunk["descriptors"] = np.asarray(det["descriptors"], np.float32)
 
         with self.timing.track("reconstruction"):
             recon = build_chunk_reconstruction(
@@ -289,6 +318,18 @@ class Pi3SLAMOnline:
                 continue
         if self.mesh is None:
             self.params = jax.device_put(self._host_params)
+        else:
+            # the old mesh holds device handles from the dead backend
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(
+                self.config.data_parallel_chunks, self.config.tensor_parallel
+            )
+        if self.moge is not None:
+            if self.mesh is not None:
+                self.moge.shard_params(self.mesh)
+            else:
+                self.moge.reset()
         self._make_steps()  # re-shards params itself in mesh mode
 
     # ----- drive loops -----
@@ -358,7 +399,11 @@ class Pi3SLAMOnline:
                 self._recover_backend()
                 self._produced -= 1  # re-dispatch below re-counts it
                 if self.mesh is not None:
-                    redo = self._dispatch_group([item["batch"]], self.config.data_parallel_chunks)[0]
+                    redo = self._finish_group(
+                        self._dispatch_group(
+                            [item["batch"]], self.config.data_parallel_chunks
+                        )
+                    )[0]
                 else:
                     redo = dispatch_with_recovery(item["batch"])
                 self._consume(redo)
@@ -368,14 +413,51 @@ class Pi3SLAMOnline:
         if dp > 1:
             # multi-chip: group dp same-shape chunks per sharded device step,
             # consume strictly in order (chunks are independent at inference;
-            # alignment order is preserved on the host side)
+            # alignment order is preserved on the host side). Groups pipeline
+            # 1-deep: group k+1's sharded step is dispatched BEFORE group k is
+            # materialized/consumed, so device and host overlap exactly like
+            # the reference's producer/consumer split
+            # (slam/online_reconstructor.py:761-954).
             group: List[Dict] = []
+            pending_group: List[Dict] = []  # dispatched, unconsumed; len <= 1
+
+            def finish_group_pending():
+                while pending_group:
+                    pg = pending_group.pop(0)
+                    try:
+                        items = self._finish_group(pg)
+                    except Exception as e:
+                        if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                            raise
+                        print(f"device failure at group finish ({str(e)[:80]}); resetting, redoing group")
+                        self._recover_backend()
+                        self._produced -= pg["n_real"]  # re-dispatch re-counts
+                        items = self._finish_group(
+                            self._dispatch_group(pg["group"], dp)
+                        )
+                    for item in items:
+                        consume_with_recovery(item)
 
             def flush_group():
                 if not group:
                     return
-                for item in self._dispatch_group(group, dp):
-                    consume_with_recovery(item)
+                try:
+                    disp = self._dispatch_group(group, dp)
+                except Exception as e:
+                    if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
+                        raise
+                    print(f"device failure at group dispatch ({str(e)[:80]}); resetting backend")
+                    redo = pending_group.pop(0) if pending_group else None
+                    self._recover_backend()
+                    if redo is not None:
+                        self._produced -= redo["n_real"]
+                        for item in self._finish_group(
+                            self._dispatch_group(redo["group"], dp)
+                        ):
+                            consume_with_recovery(item)
+                    disp = self._dispatch_group(group, dp)
+                finish_group_pending()
+                pending_group.append(disp)
                 group.clear()
 
             for batch in loader:
@@ -385,6 +467,7 @@ class Pi3SLAMOnline:
                 if len(group) == dp:
                     flush_group()
             flush_group()
+            finish_group_pending()
         else:
             depth = 1 if pipelined else 0
             for batch in loader:

@@ -134,6 +134,8 @@ class ALIKEDExtractor:
 
     def extract_with_colors(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         out = self.extract(images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
         maps = jnp.asarray(images.transpose(0, 2, 3, 1))
         cols = np.asarray(
             grid_sample_frames(maps, jnp.asarray(out["keypoints"]), mode="bilinear")

@@ -115,6 +115,70 @@ def test_align_chunks_with_refine_and_noise(rng):
             np.testing.assert_allclose(rb.centers[j], ra.centers[i], atol=0.05)
 
 
+def test_keypoint_valid_gates_tracks(rng):
+    """ALIKED sub-threshold filler slots (keypoint_valid False) must enter as
+    dead tracks: zero BA weight, no observations, excluded from matching."""
+    chunk, _ = make_chunk(rng, ["f0", "f1"], n_kp=10)
+    valid = np.ones((2, 10), bool)
+    valid[:, 7:] = False
+    chunk["keypoint_valid"] = valid
+    r = build_chunk_reconstruction(chunk, run_ba=False)
+    tv = r.track_valid.reshape(2, 10)
+    assert (tv[:, 7:] == 0).all() and (tv[:, :7] == 1).all()
+    assert (r.obs_valid[r.track_valid == 0] == 0).all()
+
+    # dead tracks never match across chunks: B's frame 0 repeats A's frame 1
+    # detections exactly, so the 7 live slots join and the 3 dead ones don't
+    chunk_b = dict(
+        chunk,
+        image_paths=["f1.png", "f2.png"],
+        keypoints=np.stack([chunk["keypoints"][1]] * 2),
+        points=np.stack([chunk["points"][1]] * 2),
+    )
+    rb = build_chunk_reconstruction(chunk_b, run_ba=False)
+    ids_a, ids_b = find_common_tracks(r, rb)
+    assert ids_a.size == 7
+    assert np.isin(ids_a, np.nonzero(r.track_valid == 0)[0]).sum() == 0
+
+
+def _frame_descriptors(names, n_kp, dim=16):
+    """Deterministic per-(frame name, kp index) unit descriptors: the same
+    physical frame re-detected in another chunk gets identical descriptors."""
+    import zlib
+
+    out = np.zeros((len(names), n_kp, dim), np.float32)
+    for i, nm in enumerate(names):
+        r = np.random.default_rng(zlib.crc32(nm.encode()))
+        d = r.standard_normal((n_kp, dim)).astype(np.float32)
+        out[i] = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return out
+
+
+def test_descriptor_matching_recovers_subpixel_jitter(rng):
+    """Learned keypoints are not bitwise-reproducible across chunks: with
+    sub-pixel jitter the 0.25 px position join finds nothing, but the
+    descriptor mutual-NN path recovers the common tracks."""
+    names_a = ["f0", "f1", "f2", "f3"]
+    names_b = ["f2", "f3", "f4", "f5"]
+    chunk_a, seed = make_chunk(rng, names_a)
+    chunk_b, _ = make_chunk(rng, names_b, seed_points=seed, start=2)
+    chunk_a["descriptors"] = _frame_descriptors(names_a, 40)
+    chunk_b["descriptors"] = _frame_descriptors(names_b, 40)
+    # jitter B's detections by up to 1.5 px — same physical detections,
+    # different soft-argmax refinement
+    chunk_b["keypoints"] = chunk_b["keypoints"] + rng.uniform(
+        0.4, 1.5, chunk_b["keypoints"].shape
+    )
+    ra = build_chunk_reconstruction(chunk_a, run_ba=False)
+    rb = build_chunk_reconstruction(chunk_b, run_ba=False)
+    assert ra.track_desc is not None and rb.track_desc is not None
+
+    ids_a, ids_b = find_common_tracks(ra, rb)
+    assert ids_a.size >= 70  # 2 shared frames x 40 kp, near-complete recovery
+    # matched tracks carry the same world point
+    np.testing.assert_allclose(ra.points[ids_a], rb.points[ids_b], atol=1e-4)
+
+
 def test_align_chunks_insufficient_overlap(rng):
     chunk_a, _ = make_chunk(rng, ["a0", "a1", "a2"])
     chunk_b, _ = make_chunk(rng, ["b0", "b1", "b2"])

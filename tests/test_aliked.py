@@ -274,9 +274,33 @@ def test_offline_creator_with_aliked(tmp_path):
     assert kp.shape == (4, 20, 2)
     # per-frame learned keypoints differ across frames (unlike the grid)
     assert not np.allclose(kp[0], kp[1])
+    # the validity mask and descriptors are persisted for track gating and
+    # feature-based cross-chunk matching
+    assert z["keypoint_valid"].shape == (4, 20) and z["keypoint_valid"].dtype == np.bool_
+    assert z["descriptors"].shape == (4, 20, TINY.dim)
+    assert z["descriptors"].dtype == np.float16
 
     rec = OfflineReconstructor(
         ReconstructorConfig(chunk_dir=out, output_dir=str(tmp_path / "rec"), ba_iterations=2)
     )
     result = rec.run()
     assert len(result["reconstructions"]) == 3
+    r0 = result["reconstructions"][0]
+    # descriptors thread into the reconstruction; invalid slots become dead tracks
+    assert r0.track_desc is not None and r0.track_desc.shape[1] == TINY.dim
+    valid0 = z["keypoint_valid"].reshape(-1)
+    assert (r0.track_valid[~valid0] == 0).all()
+    # cross-chunk matching finds the overlap tracks through the learned
+    # keypoints (position join + descriptor mutual-NN union). Matching is
+    # checked pre-BA: with random Pi3 weights the geometry is noise, so
+    # outlier pruning legitimately kills every track post-BA.
+    from pi3_slam_tpu.sfm.alignment import find_common_tracks
+    from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
+    from pi3_slam_tpu.slam.offline_reconstructor import load_chunk_npz
+
+    ra = build_chunk_reconstruction(load_chunk_npz(saved[0]), run_ba=False)
+    rb = build_chunk_reconstruction(load_chunk_npz(saved[1]), run_ba=False)
+    ids_a, ids_b = find_common_tracks(ra, rb)
+    assert ids_a.size > 0
+    # matched tracks live in the 2-frame overlap and share pixel positions
+    np.testing.assert_allclose(ra.track_uv[ids_a], rb.track_uv[ids_b], atol=1e-3)

@@ -60,6 +60,26 @@ def test_single_pass_kernel_interpret_parity(rng):
     np.testing.assert_allclose(np.asarray(o), np.asarray(sdpa_reference(q, k, v)), atol=2e-5)
 
 
+def test_flash_kernel_non_lattice_blocks(rng):
+    """Tunable block combos where the q superblock does not divide
+    max(qb_super, blk_k) must still cover every row: T is padded to the
+    lcm of the q superblock and blk_k (regression: blk_q=128, nw=3,
+    blk_k=512 used to truncate the grid and NaN rows past 768)."""
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    q = jnp.asarray(rng.normal(size=(1, 1000, 2, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 1000, 2, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 1000, 2, 64)).astype(np.float32))
+    o = flash_attention_tpu(
+        q, k, v, blk_q=128, blk_k=512, n_interleave=3, interpret=True
+    )
+    assert np.isfinite(np.asarray(o)).all()
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(sdpa_reference(q, k, v)), atol=2e-5
+    )
+
+
 @pytest.mark.skipif(jax.default_backend() == "cpu", reason="needs TPU")
 def test_pallas_kernel_matches_reference_on_tpu(rng):
     from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu

@@ -259,6 +259,55 @@ def test_online_chunk_dp_matches_single(image_dir, tmp_path):
     assert status["data_parallel_chunks"] == 2
 
 
+def test_online_dp_group_pipeline_overlap(image_dir, tmp_path):
+    """The multi-chip online path pipelines 1-deep: group k+1's sharded step
+    is dispatched (device outputs still in flight) BEFORE group k is
+    materialized and consumed — the reference's producer/consumer overlap
+    (slam/online_reconstructor.py:761-954)."""
+    import glob
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=20, compute_dtype="float32",
+        output_dir=str(tmp_path / "dp_pipe"), data_parallel_chunks=2,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam._host_params = make_tiny_params()
+    slam.params = slam._host_params
+    slam._make_steps()
+
+    events = []
+    orig_dispatch = slam._dispatch_group
+    orig_finish = slam._finish_group
+
+    def spy_dispatch(group, dp):
+        out = orig_dispatch(group, dp)
+        # deferred materialization: outputs are still device arrays
+        assert all(isinstance(v, jax.Array) for v in out["dev"].values())
+        events.append(("dispatch", out["n_real"]))
+        return out
+
+    def spy_finish(pg):
+        events.append(("finish", pg["n_real"]))
+        return orig_finish(pg)
+
+    slam._dispatch_group = spy_dispatch
+    slam._finish_group = spy_finish
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    r = slam.process_image_paths(paths)
+    assert r["num_chunks"] == 4
+    kinds = [k for k, _ in events]
+    assert kinds.count("dispatch") == kinds.count("finish")
+    # overlap: the second dispatch happens before the first finish
+    assert kinds.index("dispatch", kinds.index("dispatch") + 1) < kinds.index("finish")
+    assert slam.queue_status()["chunks_consumed"] == 4
+
+
 def test_online_overlap_defers_materialization(image_dir, tmp_path):
     """With overlap_device_host the dispatch stage must NOT materialize device
     outputs (np.asarray happens at consume) — the in-flight forward is the

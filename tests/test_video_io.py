@@ -55,6 +55,47 @@ def test_bulk_reads_match_single_and_restore_order(video_path):
         assert abs(_frame_value(got) - want * 2) < 6
 
 
+def test_reader_cache_evicts_lru(video_path, tmp_path):
+    """A cache miss at capacity must evict the least-recently-used decoder
+    (regression: dict.popitem() evicted the newest entry, so the hot decoder
+    was re-opened on every miss while stale ones stayed pinned forever)."""
+    def make_clip(name):
+        p = str(tmp_path / name)
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+        for i in range(4):
+            w.write(np.full((48, 64, 3), 10 * i, np.uint8))
+        w.release()
+        return p
+
+    cold = [make_clip(f"clip{j}.avi") for j in range(image_io._READER_CACHE_MAX - 1)]
+    extra = make_clip("extra.avi")
+
+    image_io._thread_videos.cache = {}
+    for p in cold:
+        image_io.read_video_frame(p, 0)
+    image_io.read_video_frame(video_path, 0)  # hot; cache now at capacity
+    n0 = image_io.VIDEO_OPEN_COUNT["n"]
+    for i in range(1, 4):
+        for p in cold:
+            image_io.read_video_frame(p, i)
+        image_io.read_video_frame(video_path, i)
+    assert image_io.VIDEO_OPEN_COUNT["n"] == n0  # all hits, zero reopens
+    image_io.read_video_frame(extra, 0)  # miss at capacity
+    cache = image_io._thread_videos.cache
+    assert video_path in cache and extra in cache  # hot + newcomer survive
+    assert cold[0] not in cache  # the LRU entry was the one evicted
+
+
+def test_metadata_probe_releases_decoder(video_path):
+    """_first_image_dims / list_video_frames must not pin a persistent
+    decoder on the calling thread."""
+    image_io._thread_videos.cache = {}
+    assert image_io._first_image_dims((video_path, 0)) == (64, 48)
+    frames = image_io.list_video_frames(video_path, stride=10)
+    assert len(frames) == 12
+    assert getattr(image_io._thread_videos, "cache", {}) == {}
+
+
 def test_chunk_loading_uses_bulk_path(video_path):
     image_io._thread_videos.cache = {}
     n0 = image_io.VIDEO_OPEN_COUNT["n"]

@@ -119,13 +119,58 @@ def bench_frame():
         dt = bench(f, q, k, v, label="einsum reference")
         report("einsum reference", dt, B, T, H, D)
 
-        try:
-            from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
-            f = jax.jit(lambda q, k, v: attention_single_pass_tpu(q, k, v))
-            dt = bench(f, q, k, v, label="ours single-pass kernel")
-            report("ours single-pass kernel", dt, B, T, H, D)
-        except Exception as e:
-            print("ours single-pass FAILED:", str(e)[:100])
+        from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
+
+        for nw in (1, 2, 4, 8, 16):
+            if (B * H) % nw:
+                continue
+            try:
+                f = jax.jit(lambda q, k, v, n=nw: attention_single_pass_tpu(q, k, v, n_interleave=n))
+                dt = bench(f, q, k, v, label=f"ours single-pass nw={nw}")
+                report(f"ours single-pass nw={nw}", dt, B, T, H, D)
+            except Exception as e:
+                print(f"ours single-pass nw={nw} FAILED:", str(e)[:100])
+
+
+def bench_block():
+    """One decoder block at the global shape: full block() (LN + qkv + qk-norm
+    + RoPE + flash + proj + MLP) vs the flash kernel alone — quantifies the
+    non-kernel overhead per global block."""
+    from pi3_slam_tpu.models.layers import block
+    from pi3_slam_tpu.models.pi3 import _init_block_stack
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
+    from pi3_slam_tpu.ops.rope import make_patch_positions
+    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
+
+    B, N, hw, C, Hh, D = 1, 100, 643, 1024, 16, 64
+    T = N * hw
+    bp = {
+        k: jnp.asarray(v[0]).astype(jnp.bfloat16)
+        for k, v in _init_block_stack(0, 1, C, 4, True, 0.01, jnp.bfloat16).items()
+    }
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    pos = make_patch_positions(N, 22, 29, num_special=5, offset=1).reshape(1, T, 2)
+
+    f = jax.jit(lambda x, p: block(x, p, num_heads=Hh, positions=pos))
+    dt = bench(f, x, bp, label="global block() full (LN+qkv+norm+rope+flash+proj+mlp)")
+
+    q, k, v = make_qkv(B, T, Hh, D)
+    fk = jax.jit(flash_attention_tpu)
+    dtk = bench(fk, q, k, v, label="flash kernel alone")
+    report("flash kernel alone", dtk, B, T, Hh, D)
+    print(f"non-kernel overhead per global block: {(dt-dtk)*1e3:.1f} ms")
+
+    # frame-shape block (even decoder layers / encoder)
+    xf = jnp.asarray(rng.standard_normal((N, hw, C)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    posf = make_patch_positions(N, 22, 29, num_special=5, offset=1)
+    ff = jax.jit(lambda x, p: block(x, p, num_heads=Hh, positions=posf))
+    dtf = bench(ff, xf, bp, label="frame block() full")
+    qf, kf, vf = make_qkv(N, hw, Hh, D)
+    from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
+    fsk = jax.jit(lambda q, k, v: attention_single_pass_tpu(q, k, v))
+    dtfk = bench(fsk, qf, kf, vf, label="single-pass kernel alone")
+    print(f"non-kernel overhead per frame block: {(dtf-dtfk)*1e3:.1f} ms")
 
 
 def bench_stages():
@@ -223,6 +268,8 @@ if __name__ == "__main__":
         bench_global()
     if which in ("frame", "all"):
         bench_frame()
+    if which in ("block", "all"):
+        bench_block()
     if which in ("stages", "all"):
         bench_stages()
     if which in ("forward", "all"):
