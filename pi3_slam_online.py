@@ -62,6 +62,10 @@ def main(argv=None):
     g_out.add_argument("--save-debug-projections", action="store_true",
                        help="Write per-chunk reprojection-debug GIFs (observed vs "
                             "reprojected keypoints) under <output>/debug_projections")
+    g_out.add_argument("--debug-overlap", action="store_true",
+                       help="Print per-alignment overlap diagnostics (overlap frame "
+                            "ids, common-track counts, conf stats) and append them "
+                            "to <output>/overlap_debug.jsonl")
     g_out.add_argument("--tum-integer-timestamps", action="store_true",
                        help="Write integer frame-index timestamps in the TUM export "
                             "(the reference's --tum_integer_timestamp; matches the "
@@ -113,6 +117,7 @@ def main(argv=None):
         viz_port=args.viz_port,
         output_dir=args.output,
         save_debug_projections=args.save_debug_projections,
+        debug_overlap=args.debug_overlap,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)

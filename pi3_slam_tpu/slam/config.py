@@ -58,6 +58,10 @@ class ReconstructorConfig:
     use_inverse_depth: bool = False
     optimize_focal: bool = False
     ba_iterations: int = 10
+    # pose-prior refinement after each Sim3 alignment (reference runs 50
+    # Huber-3.0 iterations, utils/reconstruction_alignment.py:137-159)
+    align_refine: bool = True
+    align_refine_iterations: int = 50
     save_debug: bool = False  # also saves per-chunk recon_XXXXXX.npz (.sfm analog)
 
 
@@ -83,6 +87,11 @@ class OnlineConfig:
     # per-chunk reprojection-debug GIFs (observed vs reprojected keypoints),
     # the reference's --save_debug_projections (chunk_reconstruction.py:224-443)
     save_debug_projections: bool = False
+    # per-alignment overlap diagnostic (overlap frame ids, common-track
+    # counts, point/conf stats) printed and appended to overlap_debug.jsonl —
+    # the reference's _debug_print_overlap_indices
+    # (slam/online_reconstructor.py:1754-1810)
+    debug_overlap: bool = False
     # infer/recon overlap: keep the next chunk's forward in flight on the
     # accelerator while the host runs this chunk's reconstruction. SfM solvers
     # are pinned to the CPU backend ('auto' = cpu whenever the model runs on

@@ -107,7 +107,12 @@ class OfflineReconstructor:
                     recon, os.path.join(self.output_dir, f"recon_{i:06d}.npz")
                 )
             if recons:
-                res = align_chunks(recons[-1], recon)
+                res = align_chunks(
+                    recons[-1],
+                    recon,
+                    refine=self.config.align_refine,
+                    refine_iterations=self.config.align_refine_iterations,
+                )
                 align_stats.append(res)
                 status = "ok" if res.success else "FAILED"
                 print(

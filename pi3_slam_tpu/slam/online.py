@@ -273,9 +273,12 @@ class Pi3SLAMOnline:
                 chunk, max_observations_per_track=self.config.max_observations_per_track
             )
         with self.timing.track("alignment"):
+            res = None
             if self.reconstructions:
                 res = align_chunks(self.reconstructions[-1], recon)
                 self.alignment_results.append(res)
+        if self.config.debug_overlap and self.reconstructions:
+            self._dump_overlap_debug(self.reconstructions[-1], recon, res, host)
         self.reconstructions.append(recon)
         self._consumed += 1
         if self.config.save_debug_projections:
@@ -301,6 +304,46 @@ class Pi3SLAMOnline:
                 frame = (frame * 255.0).clip(0, 255).astype(np.uint8)
             self.visualizer.update(recon, frame=frame, keypoints=pending["kps"][-1])
         return recon
+
+    def _dump_overlap_debug(self, prev, recon, res, host) -> None:
+        """Overlap diagnostic at alignment time: overlap frame ids on both
+        sides, common counts, point/conf stats. Console + one JSON line per
+        alignment in <output_dir>/overlap_debug.jsonl (the reference's
+        _debug_print_overlap_indices, slam/online_reconstructor.py:1754-1810,
+        as a persistent artifact instead of print-only)."""
+        import json as _json
+        import os as _os
+
+        common = set(prev.frame_names) & set(recon.frame_names)
+        entry = {
+            "chunk": self._consumed,
+            "prev_overlap_frames": [n for n in prev.frame_names if n in common],
+            "cur_overlap_frames": [n for n in recon.frame_names if n in common],
+            "num_common_frames": len(common),
+            "num_common_tracks": int(res.num_common_tracks) if res else 0,
+            "num_used_tracks": int(res.num_used_tracks) if res else 0,
+            "alignment_success": bool(res.success) if res else False,
+            "num_keypoints_per_frame": int(recon.num_tracks // max(1, recon.num_frames)),
+            "num_points": int(recon.num_tracks),
+            "num_live_points": int((recon.track_valid > 0).sum()),
+            "mean_conf": float(np.asarray(host["conf_kp"]).mean()),
+            "overlap": int(self.config.overlap),
+            "chunk_length": int(self.config.chunk_length),
+        }
+        print(
+            f"CHUNK OVERLAP DEBUG: chunk {entry['chunk']} | common frames "
+            f"{entry['num_common_frames']} {entry['cur_overlap_frames']} | "
+            f"common tracks {entry['num_common_tracks']} "
+            f"(used {entry['num_used_tracks']}, "
+            f"{'ok' if entry['alignment_success'] else 'FAILED'}) | "
+            f"points {entry['num_live_points']}/{entry['num_points']} | "
+            f"mean conf {entry['mean_conf']:.3f}"
+        )
+        _os.makedirs(self.config.output_dir, exist_ok=True)
+        with open(
+            _os.path.join(self.config.output_dir, "overlap_debug.jsonl"), "a"
+        ) as f:
+            f.write(_json.dumps(entry) + "\n")
 
     def _recover_backend(self) -> None:
         try:

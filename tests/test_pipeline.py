@@ -418,6 +418,33 @@ def test_profile_dir_captures_trace(image_dir, tmp_path):
     assert any(f.is_file() for f in trace_files)  # something was captured
 
 
+def test_online_debug_overlap_dump(image_dir, tmp_path):
+    """--debug-overlap appends one JSON line per alignment with overlap frame
+    ids and common-track stats (reference _debug_print_overlap_indices)."""
+    import glob
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=12, compute_dtype="float32",
+        output_dir=str(tmp_path / "ovl"), debug_overlap=True,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:6]
+    r = slam.process_image_paths(paths)
+    assert r["num_chunks"] == 3  # windows (0,4),(2,6),(4,6)
+
+    dump = tmp_path / "ovl" / "overlap_debug.jsonl"
+    assert dump.exists()
+    lines = [json.loads(ln) for ln in dump.read_text().splitlines()]
+    assert len(lines) == 2  # one line per alignment
+    e = lines[0]
+    assert e["num_common_frames"] == 2  # overlap=2 shared frames by name
+    assert e["overlap"] == 2 and e["chunk_length"] == 4
+    assert e["prev_overlap_frames"] == e["cur_overlap_frames"]
+    assert e["num_points"] > 0 and np.isfinite(e["mean_conf"])
+
+
 def test_online_debug_projections(image_dir, tmp_path):
     """--save-debug-projections writes a per-chunk reprojection GIF."""
     import glob

@@ -6,6 +6,15 @@ Chunks are generated directly from a synthetic trajectory + landmark field
 with per-chunk gauge corruption (random Sim3 per chunk, like Pi3's per-chunk
 arbitrary frame) and measurement noise; the reconstructor must bundle-adjust
 and stitch them back into one consistent trajectory.
+
+Two scales:
+  * quick: 14 frames / 3 chunks — smoke-level, runs in seconds.
+  * eval-scale: 5 chunks x 100 frames, 400 keypoints, overlap 20,
+    confidence-correlated outliers and per-chunk metric-scale perturbation —
+    the exact shapes and conditioning of the 7-Scenes protocol
+    (reference scripts/eval_7scenes.sh:59-181: chunk_size 100, overlap 20,
+    max_keypoints 400). BA/refine iteration counts are reduced to keep CI
+    bounded; the Schur solve and track fan run at full eval width.
 """
 
 import json
@@ -19,22 +28,25 @@ from pi3_slam_tpu.slam import OfflineReconstructor, ReconstructorConfig
 from pi3_slam_tpu.utils.evaluation import ape_translation
 
 
-def make_synthetic_sequence(rng, n_frames=14, n_landmarks=300, width=640, height=480):
+def make_synthetic_sequence(
+    rng, n_frames=14, n_landmarks=300, width=640, height=480, step=0.4,
+    yaw_rate=0.02,
+):
     """Smooth forward trajectory with yaw, landmarks ahead of the cameras."""
     f = 500.0
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
     centers = np.stack(
         [
-            0.4 * np.arange(n_frames),
+            step * np.arange(n_frames),
             0.05 * np.sin(np.arange(n_frames) * 0.4),
-            0.02 * np.arange(n_frames),
+            0.05 * step * np.arange(n_frames),
         ],
         axis=1,
     )
-    rots = [Rotation.from_euler("y", 0.02 * i).as_matrix() for i in range(n_frames)]
+    rots = [Rotation.from_euler("y", yaw_rate * i).as_matrix() for i in range(n_frames)]
     landmarks = np.stack(
         [
-            rng.uniform(-4, 4 + 0.4 * n_frames, n_landmarks),
+            rng.uniform(-4, 4 + step * n_frames, n_landmarks),
             rng.uniform(-3, 3, n_landmarks),
             rng.uniform(4, 10, n_landmarks),
         ],
@@ -53,26 +65,47 @@ def project(K, R_wc, center, pts):
     return uv, z
 
 
-def write_synthetic_chunks(tmp_path, rng, chunk_length=6, overlap=2, noise_px=0.3):
-    K, centers, rots, landmarks = make_synthetic_sequence(rng)
+def write_synthetic_chunks(
+    tmp_path,
+    rng,
+    n_frames=14,
+    n_landmarks=300,
+    chunk_length=6,
+    overlap=2,
+    n_kp=120,
+    noise_px=0.3,
+    step=0.4,
+    yaw_rate=0.02,
+    conf_outliers=False,
+):
+    """conf_outliers: per-keypoint confidence in [0.2, 1]; pixel and 3D noise
+    scale with (1.5 - conf), and low-confidence keypoints occasionally become
+    gross outliers (tens of px + corrupted 3D point) — the error structure of
+    real Pi3 confidence maps."""
+    K, centers, rots, landmarks = make_synthetic_sequence(
+        rng, n_frames=n_frames, n_landmarks=n_landmarks, step=step,
+        yaw_rate=yaw_rate,
+    )
     n = len(centers)
     from pi3_slam_tpu.data.datasets import chunk_windows
 
     windows = chunk_windows(n, chunk_length, overlap)
     chunks_dir = tmp_path / "chunks"
     os.makedirs(chunks_dir, exist_ok=True)
-    n_kp = 120
 
     for ci, (s, e) in enumerate(windows):
         frames = list(range(s, e))
         nf = len(frames)
-        # per-chunk gauge corruption: random Sim3 applied to this chunk's world
+        # per-chunk gauge corruption: random Sim3 applied to this chunk's
+        # world — the scale factor doubles as metric-scale drift between
+        # chunks (MoGe ratio noise in the real pipeline)
         g_s = rng.uniform(0.7, 1.4)
         g_R = Rotation.from_rotvec(rng.normal(size=3) * 0.1).as_matrix()
         g_t = rng.normal(size=3) * 0.5
 
         kps = np.zeros((nf, n_kp, 2), np.float32)
         pts = np.zeros((nf, n_kp, 3), np.float32)
+        confs = np.ones((nf, n_kp, 1), np.float32)
         poses = np.tile(np.eye(4), (nf, 1, 1))
         for j, fidx in enumerate(frames):
             uv, z = project(K, rots[fidx], centers[fidx], landmarks)
@@ -83,10 +116,23 @@ def write_synthetic_chunks(tmp_path, rng, chunk_length=6, overlap=2, noise_px=0.
             vis_ids = np.nonzero(vis)[0]
             sel = vis_ids[sel_rng.permutation(len(vis_ids))[:n_kp]]
             sel = np.concatenate([sel, np.repeat(sel[-1:], n_kp - len(sel))])
-            kps[j] = uv[sel] + sel_rng.normal(size=(n_kp, 2)) * noise_px
+            if conf_outliers:
+                conf = sel_rng.uniform(0.2, 1.0, n_kp)
+                confs[j, :, 0] = conf
+                px_sigma = noise_px * (1.5 - conf)[:, None]
+                pt_sigma = 0.005 * (1.5 - conf)[:, None]
+                gross = (conf < 0.4) & (sel_rng.uniform(size=n_kp) < 0.15)
+            else:
+                px_sigma = noise_px
+                pt_sigma = 0.005
+                gross = np.zeros(n_kp, bool)
+            kps[j] = uv[sel] + sel_rng.normal(size=(n_kp, 2)) * px_sigma
             # world points in the CHUNK's corrupted gauge
             pw = g_s * landmarks[sel] @ g_R.T + g_t
-            pts[j] = pw + rng.normal(size=pw.shape) * 0.005
+            pts[j] = pw + rng.normal(size=pw.shape) * pt_sigma
+            if gross.any():
+                kps[j, gross] += sel_rng.normal(size=(gross.sum(), 2)) * 40.0
+                pts[j, gross] += rng.normal(size=(gross.sum(), 3)) * (2.0 * g_s)
             c_corrupt = g_s * g_R @ centers[fidx] + g_t
             poses[j, :3, :3] = g_R @ rots[fidx]
             poses[j, :3, 3] = c_corrupt
@@ -103,7 +149,7 @@ def write_synthetic_chunks(tmp_path, rng, chunk_length=6, overlap=2, noise_px=0.
             original_width=640,
             original_height=480,
             masks=np.ones((nf, n_kp), bool),
-            conf=np.ones((nf, n_kp, 1), np.float16),
+            conf=confs.astype(np.float16),
         )
     with open(tmp_path / "chunk_metadata.json", "w") as fjson:
         json.dump({"chunk_length": chunk_length, "overlap": overlap, "target_size": [480, 640]}, fjson)
@@ -130,3 +176,50 @@ def test_offline_chain_ape_gate(tmp_path, rng):
     ape = ape_translation(gt_centers, traj["positions"], align_sim3=True)
     # trajectory spans ~5.2m; gate well under the reference's 7-Scenes regime
     assert ape.rmse < 0.05, f"system APE RMSE {ape.rmse:.4f} m"
+
+
+def test_offline_chain_ape_gate_eval_scale(tmp_path, rng):
+    """Eval-shaped system gate: 5 chunks x 100 frames x 400 keypoints,
+    overlap 20 — the 100-frame Schur conditioning, 400-kp track fans, and
+    20+-frame overlap stitching of the 7-Scenes protocol, with
+    confidence-correlated outliers and per-chunk metric-scale drift."""
+    n_frames = 420  # chunk_windows(420, 100, 20) -> 5 windows
+    gt_centers = write_synthetic_chunks(
+        tmp_path,
+        rng,
+        n_frames=n_frames,
+        n_landmarks=5000,
+        chunk_length=100,
+        overlap=20,
+        n_kp=400,
+        noise_px=0.4,
+        step=0.08,
+        yaw_rate=0.0007,  # ~17 deg total pan; keeps the field in view
+        conf_outliers=True,
+    )
+    rec = OfflineReconstructor(
+        ReconstructorConfig(
+            chunk_dir=str(tmp_path),
+            output_dir=str(tmp_path / "recon"),
+            max_observations_per_track=10,
+            ba_iterations=3,  # reduced to bound CI runtime; eval uses 10
+            align_refine_iterations=10,  # eval uses 50
+        )
+    )
+    result = rec.run()
+    n_align = len(result["alignment"])
+    assert n_align == len(result["reconstructions"]) - 1 >= 4
+    ok = sum(1 for a in result["alignment"] if a.success)
+    assert ok == n_align, f"alignment success {ok}/{n_align}"
+    # every alignment must find a healthy share of the 20x400 overlap tracks
+    for a in result["alignment"]:
+        assert a.num_common_tracks > 2000, a
+
+    from pi3_slam_tpu.io import read_tum_trajectory
+
+    traj = read_tum_trajectory(result["artifacts"]["trajectory"])
+    assert traj["positions"].shape[0] == n_frames
+    ape = ape_translation(gt_centers, traj["positions"], align_sim3=True)
+    # ~34 m trajectory; the 7-Scenes gate is mean APE <= 0.07 m on room-scale
+    # scenes — hold the same absolute bar at 6x the trajectory span
+    assert ape.rmse < 0.07, f"eval-scale system APE RMSE {ape.rmse:.4f} m"
