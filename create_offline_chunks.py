@@ -60,8 +60,12 @@ def main(argv=None):
                         help="Chunks per sharded device step over the mesh dp axis "
                              "(multi-chip scaling; 1 = single-chip)")
     parser.add_argument("--tensor-parallel", type=int, default=1,
-                        help="Tensor parallelism over heads/hidden (Megatron split); "
-                             "dp x tp devices are used per step")
+                        help="Tensor parallelism over heads/hidden (Megatron split; "
+                             "dp x tp devices per step). For offline throughput "
+                             "prefer --data-parallel-chunks: chunk-dp is "
+                             "collective-free while tp=2 costs ~13%% throughput in "
+                             "ICI psums (PARITY.md comm analysis); tp only cuts "
+                             "single-chunk latency")
     parser.add_argument("--skip-start", type=int, default=0)
     parser.add_argument("--skip-end", type=int, default=0)
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)

@@ -34,7 +34,10 @@ def main(argv=None):
     g_proc.add_argument("--data-parallel-chunks", type=int, default=1,
                         help="Chunks per sharded device step over the mesh dp axis")
     g_proc.add_argument("--tensor-parallel", type=int, default=1,
-                        help="Tensor parallelism over heads/hidden (dp x tp devices per step)")
+                        help="Tensor parallelism over heads/hidden (dp x tp devices "
+                             "per step). tp=2 cuts single-chunk latency ~1.7x at "
+                             "~13%% throughput cost — worthwhile online when fewer "
+                             "chunks than chips are in flight (PARITY.md analysis)")
     g_proc.add_argument("--no-overlap", dest="overlap_device_host", action="store_false",
                         help="Disable the infer/reconstruction overlap (strictly serial)")
     g_proc.add_argument("--metric-depth", action="store_true", default=True)

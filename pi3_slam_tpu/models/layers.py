@@ -17,7 +17,6 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import sdpa
 from ..ops.rope import rope_2d
 
 
@@ -68,7 +67,11 @@ def attention(
     if positions is not None:
         q = rope_2d(q, positions, rope_base)
         k = rope_2d(k, positions, rope_base)
-    out = sdpa(q, k, v).reshape(b, t, c)
+    # head-sharded under an active tp mesh (parallel/context.py); plain sdpa
+    # otherwise — GSPMD alone would all-gather qkv and replicate attention
+    from ..parallel.context import sharded_sdpa
+
+    out = sharded_sdpa(q, k, v).reshape(b, t, c)
     return linear(out, p["proj_kernel"], p["proj_bias"])
 
 
@@ -85,6 +88,9 @@ def block(
     LayerScale applied iff 'ls1' in params; qk-norm iff 'q_norm_scale' in the
     attn params; RoPE iff positions is not None.
     """
+    from ..parallel.context import replicate_over_tp
+
+    x = replicate_over_tp(x)
     h = attention(
         layer_norm(x, p["norm1_scale"], p["norm1_bias"], norm_eps),
         p,
@@ -94,8 +100,10 @@ def block(
     )
     if "ls1" in p:
         h = h * p["ls1"].astype(h.dtype)
-    x = x + h
+    # identity off-mesh; under tp pins the canonical Megatron pattern (one
+    # activation psum per residual) — see parallel/context.py
+    x = replicate_over_tp(x + h)
     h = mlp(layer_norm(x, p["norm2_scale"], p["norm2_bias"], norm_eps), p)
     if "ls2" in p:
         h = h * p["ls2"].astype(h.dtype)
-    return x + h
+    return replicate_over_tp(x + h)

@@ -1,0 +1,85 @@
+"""Tensor-parallel tracing context.
+
+GSPMD propagates the Megatron column/row sharding cleanly through the
+matmuls, but it has no partitioning rule for the attention itself: the
+(B, T, 3, H, D) reshape + SDPA (a Pallas call on TPU) makes XLA all-gather
+the full qkv on every block and run attention replicated — measured on the
+compiled HLO of the dp×tp step (all-gather of the 3C activation per block,
+zero attention speedup from tp). The fix is the standard one: run SDPA under
+``shard_map`` over the tp axis so each device computes its own H/tp heads and
+the Pallas kernel stays a single-device program per shard.
+
+The mesh is made available to ``models/layers.attention`` through a
+context variable set by the sharded-step builders while they trace — model
+code stays a pure function with no mesh argument threading.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+
+_TP_MESH: contextvars.ContextVar = contextvars.ContextVar("pi3_tp_mesh", default=None)
+
+
+@contextlib.contextmanager
+def tp_mesh_context(mesh):
+    """Activate head-sharded attention for traces started inside. A mesh
+    without a >1 'tp' axis deactivates (plain single-device attention)."""
+    active = (
+        mesh is not None
+        and "tp" in getattr(mesh, "axis_names", ())
+        and mesh.shape["tp"] > 1
+    )
+    token = _TP_MESH.set(mesh if active else None)
+    try:
+        yield
+    finally:
+        _TP_MESH.reset(token)
+
+
+def current_tp_mesh():
+    return _TP_MESH.get()
+
+
+def replicate_over_tp(x):
+    """Constrain a (B, T, C) activation to be tp-replicated (batch stays on
+    dp). Identity without an active tp mesh.
+
+    Placed on each transformer block's residual output: without it GSPMD
+    keeps activations C-sharded between blocks and reduces the partial sums
+    at the NEXT block's qkv matmul — an all-reduce of the 3C tensor, 3x the
+    payload of reducing the row-parallel proj/fc2 outputs directly (measured
+    in the compiled HLO of the dp×tp step).
+    """
+    mesh = current_tp_mesh()
+    if mesh is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bdim = "dp" if "dp" in mesh.axis_names and x.shape[0] % mesh.shape["dp"] == 0 else None
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(bdim, *([None] * (x.ndim - 1))))
+    )
+
+
+def sharded_sdpa(q, k, v):
+    """SDPA head-sharded over the active tp mesh (identity wrapper when no
+    tp mesh is active). q/k/v: (B, T, H, D); H must divide the tp axis."""
+    from ..ops.attention import sdpa
+
+    mesh = current_tp_mesh()
+    if mesh is None or q.shape[2] % mesh.shape["tp"] != 0:
+        return sdpa(q, k, v)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # batch stays dp-sharded (chunk data parallelism), heads shard on tp —
+    # a None batch spec would all-gather the chunk batch across dp
+    bdim = "dp" if "dp" in mesh.axis_names and q.shape[0] % mesh.shape["dp"] == 0 else None
+    spec = P(bdim, None, "tp", None)
+    return shard_map(
+        sdpa, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )(q, k, v)

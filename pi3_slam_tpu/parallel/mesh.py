@@ -42,8 +42,16 @@ def _block_stack_spec(has_qk_norm: bool, has_ls: bool) -> Dict[str, P]:
     """
     spec = {
         "norm1_scale": P(), "norm1_bias": P(),
-        "qkv_kernel": P(None, None, "tp"),
-        "qkv_bias": P(None, "tp"),
+        # qkv stays REPLICATED: the packed [q|k|v] column layout shards 3C at
+        # 1.5C, which GSPMD cannot reconcile with per-tensor head sharding —
+        # a column-sharded qkv forced an all-gather of the full 3C activation
+        # per block (measured in the compiled HLO). Recomputing the qkv
+        # matmul per tp shard (~2 ms/block at Pi3 shapes) is cheaper than
+        # gathering its 395 MB output (~8 ms/block on ICI). Attention then
+        # runs head-sharded via shard_map (parallel/context.py) and proj's
+        # row-parallel contraction issues the single Megatron psum.
+        "qkv_kernel": P(),
+        "qkv_bias": P(),
         "proj_kernel": P(None, "tp", None),
         "proj_bias": P(),
         "norm2_scale": P(), "norm2_bias": P(),
@@ -129,14 +137,22 @@ def make_sharded_pi3_step(params, cfg, mesh: Mesh, compute_dtype=jnp.bfloat16):
     full forward with dp over chunks and tp over heads/hidden.
     """
     from ..models.pi3 import pi3_forward
+    from .context import tp_mesh_context
 
     param_shardings = pi3_param_shardings(params, mesh)
     sharded_params = jax.device_put(params, param_shardings)
     in_img = pi3_input_sharding(mesh)
 
-    step = jax.jit(
+    jitted = jax.jit(
         lambda p, x: pi3_forward(p, x, cfg, compute_dtype=compute_dtype),
         in_shardings=(param_shardings, in_img),
         out_shardings=NamedSharding(mesh, P("dp")),
     )
+
+    def step(p, x):
+        # tp context active while the jitted forward traces: attention runs
+        # head-sharded via shard_map instead of GSPMD's all-gather+replicate
+        with tp_mesh_context(mesh):
+            return jitted(p, x)
+
     return step, sharded_params

@@ -110,6 +110,7 @@ def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..parallel.context import tp_mesh_context
     from ..parallel.mesh import pi3_param_shardings
 
     base = make_chunk_step(cfg, compute_dtype, conf_threshold, edge_rtol, estimate_intrinsics)
@@ -122,7 +123,10 @@ def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float
     def step(params, images, keypoints):
         images = jax.device_put(images, dp)
         keypoints = jax.device_put(keypoints, dp)
-        return base(params, images, keypoints)
+        # tp context active while the jitted base traces: attention runs
+        # head-sharded via shard_map instead of GSPMD's all-gather+replicate
+        with tp_mesh_context(mesh):
+            return base(params, images, keypoints)
 
     return step, shard_params
 
