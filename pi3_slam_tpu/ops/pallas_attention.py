@@ -213,16 +213,71 @@ def _attn_single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int, nw: int)
         o_ref[w] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _attn_single_pass_bound_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, n_pad: int, nw: int
+):
+    """Bound-stabilized single-pass softmax, nw slices per grid step.
+
+    The (Tp, Tp) fp32 logits tile dominates this kernel's cost through VMEM
+    traffic, not FLOPs (measured ~12 TF/s vs the 98.5 cap at the frame
+    shapes). Two passes over it are removed versus the max-based variant:
+
+      * the row max is replaced by the Cauchy–Schwarz bound
+        m̂_r = |q_r| · max_c|k_c|  >=  max_c (q_r . k_c),
+        computed from the (Tp, D) operands alone — no read of the logits
+        tile. Softmax is shift-invariant, so any upper bound works; the
+        bound is loose by at most |q||k|/(q.k), keeping 2^(l - m̂) well
+        inside fp32/bf16 range (both have 8-bit exponents) for any real
+        attention input.
+      * the denominator row-sum rides the PV matmul on the MXU: v is
+        augmented with a ones column inside the kernel, so sum_c p_rc
+        appears as column D of p @ [v | 1] — no separate lane-reduction
+        pass over p. Padded keys contribute exactly 2^(0 - m̂_r) each and
+        are subtracted at finalize (module docstring).
+    """
+    ones_col = jnp.ones((v_ref.shape[1], 1), v_ref.dtype)
+    for w in range(nw):
+        q = q_ref[w]  # (Tp, D) bf16, pre-scaled by sm_scale * log2(e)
+        k = k_ref[w]
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        # row bound: |q_r| * max_c |k_c|  (in base-2 log units, q pre-scaled)
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))  # (Tp, 1)
+        kn = jnp.sqrt(jnp.max(jnp.sum(k32 * k32, axis=1)))  # scalar
+        # +1 keeps p strictly < 1 under the bound (free headroom). The CS
+        # bound is loose by up to |q||k|/(q.k); clamping it at 120 keeps
+        # 2^(l - m̂) inside fp32/bf16 range on BOTH sides for any remotely
+        # physical logits (exact while max_logit <= 247 and
+        # max_logit >= m̂ - 130 — base-2 logits beyond that are e^+-90
+        # softmax saturation territory)
+        m_hat = jnp.minimum(qn * kn + 1.0, 120.0)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp2(logits - m_hat).astype(v_ref.dtype)
+        pv = jax.lax.dot_general(
+            p,
+            jnp.concatenate([v_ref[w], ones_col], axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tp, D+1): PV | row-sum
+        l = pv[:, -1:] - n_pad * jnp.exp2(-m_hat)
+        o_ref[w] = (pv[:, :-1] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 # (Tp, Tp) fp32 logits + exp tile must fit VMEM alongside q/k/v/o blocks.
 SINGLE_PASS_MAX_T = 1280
 
 
-@functools.partial(jax.jit, static_argnames=("n_interleave", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_interleave", "variant", "interpret")
+)
 def attention_single_pass_tpu(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     n_interleave: int | None = None,
+    variant: str = "bound",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for (B, T, H, D) with T <= SINGLE_PASS_MAX_T.
@@ -231,6 +286,11 @@ def attention_single_pass_tpu(
     largest of 8/4/2/1 dividing B*H); whole (Tp, Tp) logits tiles live in
     VMEM for a plain (non-online) softmax. Zero-padded keys are corrected
     exactly in the denominator (module docstring).
+
+    variant 'bound' (default) stabilizes with the Cauchy–Schwarz row bound
+    and folds the denominator into the PV matmul (two fewer passes over the
+    logits tile — the kernel is VMEM-bandwidth-bound); 'max' is the exact
+    running-max formulation.
     """
     B, T, H, D = q.shape
     scale = D**-0.5 * LOG2_E
@@ -251,8 +311,12 @@ def attention_single_pass_tpu(
     kf = to_bhtd(k)
     vf = to_bhtd(v)
 
+    kernel = (
+        _attn_single_pass_bound_kernel if variant == "bound"
+        else _attn_single_pass_kernel
+    )
     out = pl.pallas_call(
-        functools.partial(_attn_single_pass_kernel, n_pad=Tp - T, nw=nw),
+        functools.partial(kernel, n_pad=Tp - T, nw=nw),
         grid=(B * H // nw,),
         in_specs=[
             pl.BlockSpec((nw, Tp, D), lambda i: (i, 0, 0)),

@@ -60,6 +60,26 @@ def test_single_pass_kernel_interpret_parity(rng):
     np.testing.assert_allclose(np.asarray(o), np.asarray(sdpa_reference(q, k, v)), atol=2e-5)
 
 
+def test_single_pass_variants_agree(rng):
+    """'bound' (Cauchy–Schwarz shift + MXU-fused denominator) must match the
+    exact 'max' formulation, including with large-magnitude logits where the
+    bound is loose."""
+    from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    # amp 3 -> logits to ~65 base-2 units with the CS bound ~40 bits loose
+    # (well inside the kernel's contract: exact for base-2 logits <= 247)
+    for amp in (1.0, 3.0):
+        q = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32) * amp)
+        k = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32) * amp)
+        v = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
+        ob = attention_single_pass_tpu(q, k, v, variant="bound", interpret=True)
+        om = attention_single_pass_tpu(q, k, v, variant="max", interpret=True)
+        ref = sdpa_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(ref), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(om), atol=3e-5)
+
+
 def test_flash_kernel_non_lattice_blocks(rng):
     """Tunable block combos where the q superblock does not divide
     max(qb_super, blk_k) must still cover every row: T is padded to the

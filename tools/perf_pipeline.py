@@ -1,0 +1,105 @@
+"""End-to-end steady-state chunk-creation throughput on the real chip.
+
+Measures what BENCH's forward-only number does not: the full
+OfflineChunkCreator.process_and_save path — threaded uint8 decode+prefetch,
+host->device upload, jitted chunk step (forward + masking + keypoint
+interpolation), optional MoGe metric scale, npz compression — at the
+7-Scenes eval configuration (chunk 100, overlap 20, pixel budget 127500,
+400 grid keypoints). The reference's analogous metric is the steady-state
+median chunk FPS it prints per run (slam/offline_chunk_creator.py:333-345).
+
+Prints one JSON line: steady-state chunk FPS, per-chunk FPS list, and the
+ratio to the forward-only measurement (pass --forward-fps with the current
+bench.py value, default 17.5).
+
+Usage: python tools/perf_pipeline.py [--frames 420] [--workdir DIR]
+       [--moge-checkpoint X.npz] [--forward-fps 17.5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_frames(d: str, n: int, height=480, width=640) -> list:
+    """Synthetic moving-texture PNGs (decode cost matters: real loader work)."""
+    from PIL import Image
+
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (height, width * 2, 3)).astype(np.uint8)
+    for i in range(n):
+        p = os.path.join(d, f"frame_{i:05d}.png")
+        paths.append(p)
+        if not os.path.exists(p):
+            off = (3 * i) % width
+            Image.fromarray(base[:, off : off + width]).save(p)
+    return paths
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=420)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--moge-checkpoint", default=None)
+    ap.add_argument("--forward-fps", type=float, default=17.5)
+    ap.add_argument("--chunk-length", type=int, default=100)
+    ap.add_argument("--overlap", type=int, default=20)
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="pi3_perf_pipeline_")
+    frames_dir = os.path.join(work, "frames")
+    print(f"workdir: {work}")
+    paths = make_frames(frames_dir, args.frames)
+
+    from pi3_slam_tpu.slam import OfflineChunkCreator, OfflineCreatorConfig
+
+    cfg = OfflineCreatorConfig(
+        output_dir=os.path.join(work, "chunks_out"),
+        chunk_length=args.chunk_length,
+        overlap=args.overlap,
+        pixel_limit=127500,
+        use_metric_depth=args.moge_checkpoint is not None,
+        moge_checkpoint_path=args.moge_checkpoint,
+        max_keypoints=400,
+        compute_dtype="bfloat16",
+        num_loader_workers=2,
+    )
+    creator = OfflineChunkCreator(cfg)
+    per_chunk = []
+    emit_orig = creator._finish_chunk
+
+    def finish_and_record(pending):
+        r = emit_orig(pending)
+        per_chunk.append(round(r["_metrics"]["fps"], 2))
+        return r
+
+    creator._finish_chunk = finish_and_record
+    creator.process_and_save(paths)
+
+    full = [f for f in per_chunk[1:]]  # drop the compile/first-dispatch chunk
+    steady = sorted(full)[len(full) // 2] if full else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "steady_state_chunk_creation_fps",
+                "value": steady,
+                "per_chunk_fps": per_chunk,
+                "forward_only_fps": args.forward_fps,
+                "pipeline_vs_forward": round(steady / args.forward_fps, 3)
+                if args.forward_fps
+                else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
