@@ -112,8 +112,111 @@ def _flash_fwd_kernel(
         o_ref[0] = (acc_ref[:] / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "interpret"))
-def flash_attention_tpu(
+def _flash_fwd_bound_kernel(
+    kn_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, mh_ref, *, blk_q: int, nw: int, n_pad: int
+):
+    """Bound-stabilized FlashAttention step (see _attn_single_pass_bound_kernel
+    for the math). With m̂ fixed per q row before the k loop there is no
+    running-max state: no per-step max lane-reduce, no acc rescale, no
+    separate l reduction — the denominator accumulates as column D of
+    p @ [v | 1] on the MXU. Removes all per-step VPU reductions, which are
+    what kept the exact kernel at ~82 of the 98.5 TF/s cap.
+    """
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    kn = kn_ref[pl.program_id(0)]  # SMEM scalar: this head's max |k|
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q32 = q_ref[0].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
+        mh_ref[:, :1] = jnp.minimum(qn * kn + 1.0, 120.0)
+
+    kb = k_ref[0]  # (blk_k, D)
+    vb_aug = jnp.concatenate(
+        [v_ref[0], jnp.ones((v_ref.shape[1], 1), v_ref.dtype)], axis=1
+    )  # (blk_k, D+1): PV and the row-sum ride one MXU pass
+
+    logits = [
+        jax.lax.dot_general(
+            q_ref[0, w * blk_q : (w + 1) * blk_q],
+            kb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for w in range(nw)
+    ]
+    for w in range(nw):
+        sl = slice(w * blk_q, (w + 1) * blk_q)
+        p = jnp.exp2(logits[w] - mh_ref[sl, :1]).astype(vb_aug.dtype)
+        acc_ref[sl] += jax.lax.dot_general(
+            p, vb_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, D+1)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        # exact pad correction: each zero-padded key contributed 2^(0 - m̂)
+        denom = acc_ref[:, -1:] - n_pad * jnp.exp2(-mh_ref[:, :1])
+        o_ref[0] = (acc_ref[:, :-1] / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_fwd_bound_kernel_4d(
+    kn_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, mh_ref, *, blk_q: int, nw: int, n_pad: int
+):
+    """4D-layout twin of _flash_fwd_bound_kernel: blocks are (1, blk, 1, D)
+    slices of the (B, Tp, H, D) arrays — the kernel reads the model's native
+    layout directly, so the (B,T,H,D)->(B*H,Tp,D) transpose materialization
+    before/after the kernel disappears (only a cheap contiguous pad remains,
+    which XLA fuses into the producing elementwise op)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    kn = kn_ref[pl.program_id(0)]  # SMEM scalar: this head's max |k|
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q32 = q_ref[0, :, 0, :].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
+        mh_ref[:, :1] = jnp.minimum(qn * kn + 1.0, 120.0)
+
+    kb = k_ref[0, :, 0, :]  # (blk_k, D)
+    vb = v_ref[0, :, 0, :]
+    vb_aug = jnp.concatenate(
+        [vb, jnp.ones((vb.shape[0], 1), vb.dtype)], axis=1
+    )
+
+    logits = [
+        jax.lax.dot_general(
+            q_ref[0, w * blk_q : (w + 1) * blk_q, 0, :],
+            kb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for w in range(nw)
+    ]
+    for w in range(nw):
+        sl = slice(w * blk_q, (w + 1) * blk_q)
+        p = jnp.exp2(logits[w] - mh_ref[sl, :1]).astype(vb_aug.dtype)
+        acc_ref[sl] += jax.lax.dot_general(
+            p, vb_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        denom = acc_ref[:, -1:] - n_pad * jnp.exp2(-mh_ref[:, :1])
+        o_ref[0, :, 0, :] = (
+            acc_ref[:, :-1] / jnp.maximum(denom, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "interpret")
+)
+def flash_attention_tpu_nt(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -122,11 +225,78 @@ def flash_attention_tpu(
     n_interleave: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Transpose-free flash attention (bound variant): the kernel indexes the
+    (B, T, H, D) layout directly via 4D block specs instead of materializing
+    (B*H, Tp, D) copies of q/k/v and the output. Semantics identical to
+    flash_attention_tpu(variant='bound')."""
+    B, T, H, D = q.shape
+    nw = n_interleave
+    qb_super = blk_q * nw
+    Tp = _ceil_to(T, math.lcm(qb_super, blk_k))
+    scale = D**-0.5 * LOG2_E
+
+    qp = jnp.pad(
+        q * jnp.asarray(scale, q.dtype), ((0, 0), (0, Tp - T), (0, 0), (0, 0))
+    )
+    kp = jnp.pad(k, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    kn = jnp.sqrt(
+        jnp.max(jnp.sum(kp.astype(jnp.float32) ** 2, axis=3), axis=1)
+    ).reshape(B * H)  # row-major (b, h) order
+
+    grid = (B * H, Tp // qb_super, Tp // blk_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_bound_kernel_4d, blk_q=blk_q, nw=nw, n_pad=Tp - T
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb_super, 1, D), lambda bh, iq, ik: (bh // H, iq, bh % H, 0)),
+            pl.BlockSpec((1, blk_k, 1, D), lambda bh, iq, ik: (bh // H, ik, bh % H, 0)),
+            pl.BlockSpec((1, blk_k, 1, D), lambda bh, iq, ik: (bh // H, ik, bh % H, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qb_super, 1, D), lambda bh, iq, ik: (bh // H, iq, bh % H, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, H, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((qb_super, D + 1), jnp.float32),
+            pltpu.VMEM((qb_super, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kn, qp, kp, vp)
+    return out[:, :T]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "variant", "interpret")
+)
+def flash_attention_tpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    blk_q: int = 256,
+    blk_k: int = 1024,
+    n_interleave: int = 4,
+    variant: str = "bound",
+    interpret: bool = False,
+) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v for (B, T, H, D) tensors on TPU.
 
     Returns (B, T, H, D) in the input dtype. T is padded to the q-superblock
     (blk_q * n_interleave) / blk_k lattice; padded keys are corrected exactly
     in the softmax denominator (module docstring).
+
+    variant 'bound' (default) fixes the softmax shift per q row from the
+    Cauchy–Schwarz bound before the k loop — no running max, no acc rescale,
+    denominator fused into the PV matmul (same contract as the single-pass
+    bound kernel: exact for base-2 logits <= 247). 'max' is the exact
+    online-softmax formulation.
     """
     B, T, H, D = q.shape
     nw = n_interleave
@@ -150,31 +320,61 @@ def flash_attention_tpu(
     vf = to_bhtd(v)
 
     grid = (B * H, Tp // qb_super, Tp // blk_k)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_fwd_kernel, blk_q=blk_q, nw=nw, n_pad=Tp - T
-        ),
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, qb_super, D), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, blk_k, D), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, blk_k, D), lambda bh, iq, ik: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, qb_super, D), lambda bh, iq, ik: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Tp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((qb_super, D), jnp.float32),
-            pltpu.VMEM((qb_super, 128), jnp.float32),
-            pltpu.VMEM((qb_super, 128), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            # (bh, iq) grid cells are independent; only the k axis carries
-            # online-softmax state
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )
+    qkv_specs = [
+        pl.BlockSpec((1, qb_super, D), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, blk_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+        pl.BlockSpec((1, blk_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+    ]
+    out_spec = pl.BlockSpec((1, qb_super, D), lambda bh, iq, ik: (bh, iq, 0))
+    if variant == "bound":
+        # per-(b,h) global max key norm, computed once outside the kernel
+        # and read from SMEM inside (scalars are not tileable VMEM blocks)
+        kn = jnp.sqrt(
+            jnp.max(jnp.sum(kf.astype(jnp.float32) ** 2, axis=2), axis=1)
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_bound_kernel, blk_q=blk_q, nw=nw, n_pad=Tp - T
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM)
+            ] + qkv_specs,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((qb_super, D + 1), jnp.float32),
+                pltpu.VMEM((qb_super, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            **common,
+        )(kn, qf, kf, vf)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_kernel, blk_q=blk_q, nw=nw, n_pad=Tp - T
+            ),
+            in_specs=qkv_specs,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((qb_super, D), jnp.float32),
+                pltpu.VMEM((qb_super, 128), jnp.float32),
+                pltpu.VMEM((qb_super, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # (bh, iq) grid cells are independent; only the k axis carries
+                # online-softmax state
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            **common,
+        )(qf, kf, vf)
 
     out = out.reshape(B, H, Tp, D).transpose(0, 2, 1, 3)
     return out[:, :T]
