@@ -57,6 +57,8 @@ def attention(
 
     x: (B, T, C). Params may contain q_norm_scale/k_norm_scale for qk-norm.
     """
+    import jax as _jax
+
     b, t, c = x.shape
     d = c // num_heads
     qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)
@@ -67,10 +69,45 @@ def attention(
     if positions is not None:
         q = rope_2d(q, positions, rope_base)
         k = rope_2d(k, positions, rope_base)
-    # head-sharded under an active tp mesh (parallel/context.py); plain sdpa
-    # otherwise — GSPMD alone would all-gather qkv and replicate attention
-    from ..parallel.context import sharded_sdpa
 
+    from ..parallel.context import current_tp_mesh, sharded_sdpa
+
+    if (
+        current_tp_mesh() is None
+        and _jax.default_backend() == "tpu"
+        and d == 64
+        and num_heads % 2 == 0
+    ):
+        # packed transpose-free path: qk-norm/RoPE/scale/pad fuse into the
+        # single packed-qkv write, the Pallas kernels read the native
+        # (B, T, 3*H*D) layout and emit (B, T, C) directly for proj. The
+        # (B,T,H,D)->(B*H,Tp,D) relayouts this kills cost more than the
+        # softmax they fed (28 ms/18 ms per global/frame block, measured).
+        from ..ops.attention import (
+            LONG_SEQUENCE_THRESHOLD,
+            MEDIUM_SEQUENCE_THRESHOLD,
+        )
+        from ..ops.pallas_attention import (
+            LOG2_E,
+            SINGLE_PASS_MAX_T,
+            attention_single_pass_packed_tpu,
+            flash_attention_packed_tpu,
+        )
+
+        if t >= MEDIUM_SEQUENCE_THRESHOLD:
+            qs = q * jnp.asarray(d**-0.5 * LOG2_E, q.dtype)
+            packed = jnp.concatenate(
+                [qs.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c)],
+                axis=-1,
+            )
+            if t <= SINGLE_PASS_MAX_T:
+                out = attention_single_pass_packed_tpu(packed, num_heads)
+            else:
+                out = flash_attention_packed_tpu(packed, num_heads)
+            return linear(out, p["proj_kernel"], p["proj_bias"])
+
+    # mesh-sharded under an active mesh (parallel/context.py); plain sdpa
+    # otherwise — GSPMD alone would all-gather qkv and replicate attention
     out = sharded_sdpa(q, k, v).reshape(b, t, c)
     return linear(out, p["proj_kernel"], p["proj_bias"])
 

@@ -381,6 +381,242 @@ def flash_attention_tpu(
 
 
 # ---------------------------------------------------------------------------
+# packed-qkv kernels: transpose-free attention on the model's native layout
+# ---------------------------------------------------------------------------
+#
+# The (B,T,H,D)->(B*H,Tp,D) relayout around the kernels costs more than the
+# softmax it feeds: measured 28 ms of non-kernel time per global block vs a
+# 204 ms kernel, and 18 ms per frame block vs a 15 ms kernel — strided
+# transposes of the 64-lane-minor layout run far below HBM bandwidth.
+#
+# These kernels instead read ONE packed (B, Tp, 3*H*D) array — the fused
+# qkv projection's own output order (3, H, D) — and write (B, Tp, H*D),
+# exactly the layout the output projection consumes. No transposes exist on
+# either side; the only pre-kernel op is a fused elementwise pass
+# (qk-norm + RoPE + scale + pad) that XLA folds into one write.
+#
+# TPU block specs require the last block dim to be a multiple of 128 lanes,
+# so heads are addressed in PAIRS: lane-block j of the 3072-wide array holds
+# heads (2j, 2j+1) of q (j < H/2), of k (H/2 <= j < H), of v (j >= H).
+# Each grid step slices its two heads from the 128-lane block and runs two
+# interleaved attentions (the lane slice is a cheap VMEM relayout; the MXU
+# work is unchanged). Requires D == 64 and H even — the Pi3/DINOv2 shapes.
+
+
+def _packed_offsets(H: int):
+    """Lane-block offsets of q, k, v head-pair j in the packed array."""
+    return 0, H // 2, H
+
+
+def _flash_packed_kernel(
+    kn_ref, qkv_q, qkv_k, qkv_v, o_ref, acc_ref, mh_ref, *, n_pad: int
+):
+    """Bound-variant flash step on a packed head-pair (2 heads per step).
+
+    q block (qb_super, 128) = two heads' q side by side; k/v blocks
+    (blk_k, 128) likewise. acc scratch (qb_super, 2*(D+1)); mh (qb_super, 2)
+    columns are the two heads' row bounds.
+    """
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    g = pl.program_id(0)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for s in range(2):
+            q32 = qkv_q[0][:, s * 64 : (s + 1) * 64].astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
+            kn = kn_ref[2 * g + s]
+            mh_ref[:, s : s + 1] = jnp.minimum(qn * kn + 1.0, 120.0)
+
+    kb = qkv_k[0]  # (blk_k, 128): two heads' keys
+    vb = qkv_v[0]
+    ones = jnp.ones((vb.shape[0], 1), vb.dtype)
+
+    logits = [
+        jax.lax.dot_general(
+            qkv_q[0][:, s * 64 : (s + 1) * 64],
+            kb[:, s * 64 : (s + 1) * 64],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for s in range(2)
+    ]
+    for s in range(2):
+        p = jnp.exp2(logits[s] - mh_ref[:, s : s + 1]).astype(vb.dtype)
+        vs = jnp.concatenate([vb[:, s * 64 : (s + 1) * 64], ones], axis=1)
+        acc_ref[:, s * 65 : (s + 1) * 65] += jax.lax.dot_general(
+            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        outs = []
+        for s in range(2):
+            a = acc_ref[:, s * 65 : (s + 1) * 65]
+            denom = a[:, -1:] - n_pad * jnp.exp2(-mh_ref[:, s : s + 1])
+            outs.append(a[:, :-1] / jnp.maximum(denom, 1e-30))
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "blk_q", "blk_k", "interpret"))
+def flash_attention_packed_tpu(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    blk_q: int = 1024,
+    blk_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention over a packed (B, T, 3*H*D) qkv tensor -> (B, T, H*D).
+
+    qkv lane order is (3, H, D) with D == 64 and H even; q must already be
+    SCALED by sm_scale*log2(e) and carry qk-norm/RoPE (the producer fuses
+    those into its single elementwise write). Bound-variant softmax (module
+    docstring): exact for base-2 logits <= 247.
+    """
+    B, T, C3 = qkv.shape
+    H = num_heads
+    D = C3 // (3 * H)
+    assert D == 64 and H % 2 == 0, (H, D)
+    qb_super = blk_q
+    Tp = _ceil_to(T, math.lcm(qb_super, blk_k))
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+
+    # per-head max |k| (base for the CS bound), shaped (B*H,) in (b, h) order
+    kf = qkv_p.reshape(B, Tp, 3, H, D)[:, :, 1].astype(jnp.float32)
+    kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=3), axis=1)).reshape(B * H)
+
+    oq, ok, ov = _packed_offsets(H)
+    grid = (B * H // 2, Tp // qb_super, Tp // blk_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_packed_kernel, n_pad=Tp - T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, qb_super, 128),
+                lambda g, iq, ik, H=H: (g // (H // 2), iq, oq + g % (H // 2)),
+            ),
+            pl.BlockSpec(
+                (1, blk_k, 128),
+                lambda g, iq, ik, H=H: (g // (H // 2), ik, ok + g % (H // 2)),
+            ),
+            pl.BlockSpec(
+                (1, blk_k, 128),
+                lambda g, iq, ik, H=H: (g // (H // 2), ik, ov + g % (H // 2)),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qb_super, 128),
+            lambda g, iq, ik, H=H: (g // (H // 2), iq, g % (H // 2)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, H * D), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((qb_super, 2 * (D + 1)), jnp.float32),
+            pltpu.VMEM((qb_super, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kn, qkv_p, qkv_p, qkv_p)
+    return out[:, :T]
+
+
+def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: int):
+    """Single-pass bound softmax over nw packed head-pairs per grid step.
+
+    Blocks are (1, Tp, nw*128): 2*nw heads side by side in the lane dim.
+    All QK^T matmuls issue first so each head's softmax (VPU) overlaps the
+    neighbours' PV matmuls (MXU).
+    """
+    nsub = nw * 2
+    ones = jnp.ones((qkv_v.shape[1], 1), qkv_v.dtype)
+
+    def head(ref, i):
+        return ref[0][:, i * 64 : (i + 1) * 64]
+
+    logits = [
+        jax.lax.dot_general(
+            head(qkv_q, i), head(qkv_k, i), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for i in range(nsub)
+    ]
+    outs = []
+    for i in range(nsub):
+        q32 = head(qkv_q, i).astype(jnp.float32)
+        k32 = head(qkv_k, i).astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
+        kn = jnp.sqrt(jnp.max(jnp.sum(k32 * k32, axis=1)))
+        m_hat = jnp.minimum(qn * kn + 1.0, 120.0)
+        p = jnp.exp2(logits[i] - m_hat).astype(qkv_v.dtype)
+        vs = jnp.concatenate([head(qkv_v, i), ones], axis=1)
+        pv = jax.lax.dot_general(
+            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        l = pv[:, -1:] - n_pad * jnp.exp2(-m_hat)
+        outs.append(pv[:, :-1] / jnp.maximum(l, 1e-30))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_interleave", "interpret"))
+def attention_single_pass_packed_tpu(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    n_interleave: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-pass attention over packed (B, T, 3*H*D) qkv -> (B, T, H*D).
+
+    Same contract as flash_attention_packed_tpu; for T <= SINGLE_PASS_MAX_T.
+    Each grid step handles ``n_interleave`` head-pairs of one batch row.
+    """
+    B, T, C3 = qkv.shape
+    H = num_heads
+    D = C3 // (3 * H)
+    assert D == 64 and H % 2 == 0 and (H // 2) % n_interleave == 0, (H, D)
+    nw = n_interleave
+    Tp = _ceil_to(T, 128)
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+
+    oq, ok, ov = _packed_offsets(H)
+    hp = H // 2  # head pairs per batch row
+    grid = (B * hp // nw,)
+    out = pl.pallas_call(
+        functools.partial(_single_pass_packed_kernel, n_pad=Tp - T, nw=nw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, Tp, nw * 128),
+                lambda g, hp=hp, nw=nw: (g // (hp // nw), 0, (oq + nw * (g % (hp // nw))) // nw),
+            ),
+            pl.BlockSpec(
+                (1, Tp, nw * 128),
+                lambda g, hp=hp, nw=nw: (g // (hp // nw), 0, (ok + nw * (g % (hp // nw))) // nw),
+            ),
+            pl.BlockSpec(
+                (1, Tp, nw * 128),
+                lambda g, hp=hp, nw=nw: (g // (hp // nw), 0, (ov + nw * (g % (hp // nw))) // nw),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Tp, nw * 128),
+            lambda g, hp=hp, nw=nw: (g // (hp // nw), 0, g % (hp // nw)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, H * D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p)
+    return out[:, :T]
+
+
+# ---------------------------------------------------------------------------
 # medium-sequence single-pass kernel
 # ---------------------------------------------------------------------------
 

@@ -19,18 +19,21 @@ from __future__ import annotations
 import contextlib
 import contextvars
 
+import numpy as np
+
 _TP_MESH: contextvars.ContextVar = contextvars.ContextVar("pi3_tp_mesh", default=None)
 
 
 @contextlib.contextmanager
 def tp_mesh_context(mesh):
-    """Activate head-sharded attention for traces started inside. A mesh
-    without a >1 'tp' axis deactivates (plain single-device attention)."""
-    active = (
-        mesh is not None
-        and "tp" in getattr(mesh, "axis_names", ())
-        and mesh.shape["tp"] > 1
-    )
+    """Activate mesh-sharded attention for traces started inside.
+
+    Active whenever the mesh parallelizes anything (dp > 1 and/or tp > 1):
+    a pallas_call is opaque to GSPMD, so even pure chunk-dp would otherwise
+    all-gather the batch around the kernel and compute attention replicated
+    on every device — attention must run under shard_map on ANY mesh.
+    """
+    active = mesh is not None and int(np.prod(tuple(mesh.shape.values()))) > 1
     token = _TP_MESH.set(mesh if active else None)
     try:
         yield
@@ -40,6 +43,10 @@ def tp_mesh_context(mesh):
 
 def current_tp_mesh():
     return _TP_MESH.get()
+
+
+def _tp_degree(mesh) -> int:
+    return mesh.shape["tp"] if "tp" in mesh.axis_names else 1
 
 
 def replicate_over_tp(x):
@@ -53,7 +60,7 @@ def replicate_over_tp(x):
     in the compiled HLO of the dp×tp step).
     """
     mesh = current_tp_mesh()
-    if mesh is None:
+    if mesh is None or _tp_degree(mesh) == 1:
         return x
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -70,7 +77,8 @@ def sharded_sdpa(q, k, v):
     from ..ops.attention import sdpa
 
     mesh = current_tp_mesh()
-    if mesh is None or q.shape[2] % mesh.shape["tp"] != 0:
+    tp = _tp_degree(mesh) if mesh is not None else 1
+    if mesh is None or q.shape[2] % tp != 0:
         return sdpa(q, k, v)
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -78,7 +86,8 @@ def sharded_sdpa(q, k, v):
     # batch stays dp-sharded (chunk data parallelism), heads shard on tp —
     # a None batch spec would all-gather the chunk batch across dp
     bdim = "dp" if "dp" in mesh.axis_names and q.shape[0] % mesh.shape["dp"] == 0 else None
-    spec = P(bdim, None, "tp", None)
+    hdim = "tp" if tp > 1 else None
+    spec = P(bdim, None, hdim, None)
     return shard_map(
         sdpa, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_rep=False,

@@ -118,6 +118,42 @@ def test_flash_nt_matches_transposed(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def _pack_qkv(q, k, v):
+    from pi3_slam_tpu.ops.pallas_attention import LOG2_E
+
+    B, T, H, D = q.shape
+    qs = q * (D**-0.5 * LOG2_E)
+    return jnp.concatenate(
+        [qs.reshape(B, T, H * D), k.reshape(B, T, H * D), v.reshape(B, T, H * D)],
+        axis=-1,
+    )
+
+
+def test_packed_kernels_match_reference(rng):
+    """Packed-qkv kernels (transpose-free, head-pairs in 128-lane blocks)
+    must match plain SDPA; output comes back as (B, T, H*D)."""
+    from pi3_slam_tpu.ops.pallas_attention import (
+        attention_single_pass_packed_tpu,
+        flash_attention_packed_tpu,
+    )
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    B, T, H, D = 2, 300, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    ref = np.asarray(sdpa_reference(q, k, v)).reshape(B, T, H * D)
+    qkv = _pack_qkv(q, k, v)
+
+    o1 = attention_single_pass_packed_tpu(qkv, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), ref, atol=3e-5)
+    o1b = attention_single_pass_packed_tpu(qkv, num_heads=H, n_interleave=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1b), ref, atol=3e-5)
+
+    o2 = flash_attention_packed_tpu(qkv, num_heads=H, blk_q=128, blk_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(o2), ref, atol=3e-5)
+
+
 def test_flash_kernel_non_lattice_blocks(rng):
     """Tunable block combos where the q superblock does not divide
     max(qb_super, blk_k) must still cover every row: T is padded to the
