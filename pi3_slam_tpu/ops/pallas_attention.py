@@ -464,8 +464,8 @@ def _flash_packed_kernel(
 def flash_attention_packed_tpu(
     qkv: jnp.ndarray,
     num_heads: int,
-    blk_q: int = 1024,
-    blk_k: int = 1024,
+    blk_q: int = 2048,
+    blk_k: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention over a packed (B, T, 3*H*D) qkv tensor -> (B, T, H*D).
@@ -566,17 +566,21 @@ def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: in
 def attention_single_pass_packed_tpu(
     qkv: jnp.ndarray,
     num_heads: int,
-    n_interleave: int = 1,
+    n_interleave: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-pass attention over packed (B, T, 3*H*D) qkv -> (B, T, H*D).
 
     Same contract as flash_attention_packed_tpu; for T <= SINGLE_PASS_MAX_T.
-    Each grid step handles ``n_interleave`` head-pairs of one batch row.
+    Each grid step handles ``n_interleave`` head-pairs of one batch row
+    (auto: 2 when H/2 is even — measured ~9% faster than 1 at the frame
+    shape; more buys nothing).
     """
     B, T, C3 = qkv.shape
     H = num_heads
     D = C3 // (3 * H)
+    if n_interleave is None:
+        n_interleave = 2 if (H // 2) % 2 == 0 else 1
     assert D == 64 and H % 2 == 0 and (H // 2) % n_interleave == 0, (H, D)
     nw = n_interleave
     Tp = _ceil_to(T, 128)
