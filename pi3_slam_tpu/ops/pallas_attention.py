@@ -162,117 +162,6 @@ def _flash_fwd_bound_kernel(
         o_ref[0] = (acc_ref[:, :-1] / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_fwd_bound_kernel_4d(
-    kn_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, mh_ref, *, blk_q: int, nw: int, n_pad: int
-):
-    """4D-layout twin of _flash_fwd_bound_kernel: blocks are (1, blk, 1, D)
-    slices of the (B, Tp, H, D) arrays — the kernel reads the model's native
-    layout directly, so the (B,T,H,D)->(B*H,Tp,D) transpose materialization
-    before/after the kernel disappears (only a cheap contiguous pad remains,
-    which XLA fuses into the producing elementwise op)."""
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    kn = kn_ref[pl.program_id(0)]  # SMEM scalar: this head's max |k|
-
-    @pl.when(ik == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        q32 = q_ref[0, :, 0, :].astype(jnp.float32)
-        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
-        mh_ref[:, :1] = jnp.minimum(qn * kn + 1.0, 120.0)
-
-    kb = k_ref[0, :, 0, :]  # (blk_k, D)
-    vb = v_ref[0, :, 0, :]
-    vb_aug = jnp.concatenate(
-        [vb, jnp.ones((vb.shape[0], 1), vb.dtype)], axis=1
-    )
-
-    logits = [
-        jax.lax.dot_general(
-            q_ref[0, w * blk_q : (w + 1) * blk_q, 0, :],
-            kb,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for w in range(nw)
-    ]
-    for w in range(nw):
-        sl = slice(w * blk_q, (w + 1) * blk_q)
-        p = jnp.exp2(logits[w] - mh_ref[sl, :1]).astype(vb_aug.dtype)
-        acc_ref[sl] += jax.lax.dot_general(
-            p, vb_aug, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(ik == nk - 1)
-    def _finalize():
-        denom = acc_ref[:, -1:] - n_pad * jnp.exp2(-mh_ref[:, :1])
-        o_ref[0, :, 0, :] = (
-            acc_ref[:, :-1] / jnp.maximum(denom, 1e-30)
-        ).astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "interpret")
-)
-def flash_attention_tpu_nt(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    blk_q: int = 256,
-    blk_k: int = 1024,
-    n_interleave: int = 4,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Transpose-free flash attention (bound variant): the kernel indexes the
-    (B, T, H, D) layout directly via 4D block specs instead of materializing
-    (B*H, Tp, D) copies of q/k/v and the output. Semantics identical to
-    flash_attention_tpu(variant='bound')."""
-    B, T, H, D = q.shape
-    nw = n_interleave
-    qb_super = blk_q * nw
-    Tp = _ceil_to(T, math.lcm(qb_super, blk_k))
-    scale = D**-0.5 * LOG2_E
-
-    qp = jnp.pad(
-        q * jnp.asarray(scale, q.dtype), ((0, 0), (0, Tp - T), (0, 0), (0, 0))
-    )
-    kp = jnp.pad(k, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
-    kn = jnp.sqrt(
-        jnp.max(jnp.sum(kp.astype(jnp.float32) ** 2, axis=3), axis=1)
-    ).reshape(B * H)  # row-major (b, h) order
-
-    grid = (B * H, Tp // qb_super, Tp // blk_k)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_fwd_bound_kernel_4d, blk_q=blk_q, nw=nw, n_pad=Tp - T
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, qb_super, 1, D), lambda bh, iq, ik: (bh // H, iq, bh % H, 0)),
-            pl.BlockSpec((1, blk_k, 1, D), lambda bh, iq, ik: (bh // H, ik, bh % H, 0)),
-            pl.BlockSpec((1, blk_k, 1, D), lambda bh, iq, ik: (bh // H, ik, bh % H, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, qb_super, 1, D), lambda bh, iq, ik: (bh // H, iq, bh % H, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, H, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((qb_super, D + 1), jnp.float32),
-            pltpu.VMEM((qb_super, 128), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(kn, qp, kp, vp)
-    return out[:, :T]
-
-
 @functools.partial(
     jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "variant", "interpret")
 )

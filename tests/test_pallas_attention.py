@@ -100,24 +100,6 @@ def test_flash_variants_agree(rng):
     np.testing.assert_allclose(np.asarray(om), np.asarray(ref), atol=3e-5)
 
 
-def test_flash_nt_matches_transposed(rng):
-    """The transpose-free 4D-layout kernel must match the (B*H, Tp, D)
-    kernel bit-for-bit semantics (same bound variant, same blocks)."""
-    from pi3_slam_tpu.ops.pallas_attention import (
-        flash_attention_tpu,
-        flash_attention_tpu_nt,
-    )
-
-    q = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(2, 300, 2, 64)).astype(np.float32))
-    a = flash_attention_tpu_nt(q, k, v, blk_q=128, blk_k=128, n_interleave=1, interpret=True)
-    b = flash_attention_tpu(
-        q, k, v, blk_q=128, blk_k=128, n_interleave=1, variant="bound", interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-
-
 def _pack_qkv(q, k, v):
     from pi3_slam_tpu.ops.pallas_attention import LOG2_E
 
