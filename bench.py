@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Measures the hot loop of the reference pipeline — Pi3 forward over a full
 chunk at the eval resolution (pixel budget 127500 => 308x406 for 4:3 input,
 the 7-Scenes configuration; SURVEY §2.5, utils/image_utils.py:13-50) — in
-frames/sec/chip. bf16 trunk, fp32 heads, blockwise global attention.
+frames/sec/chip. bf16 trunk, fp32 heads, packed-qkv Pallas attention.
 
 vs_baseline: the reference publishes no FPS numbers (only APE); its pipeline
 prints per-chunk FPS at runtime. We normalize against a nominal 15 frames/sec

@@ -298,17 +298,20 @@ def _packed_offsets(H: int):
 
 
 def _flash_packed_kernel(
-    kn_ref, qkv_q, qkv_k, qkv_v, o_ref, acc_ref, mh_ref, *, n_pad: int
+    kn_ref, qkv_q, qkv_k, qkv_v, o_ref, acc_ref, mh_ref, *, n_pad: int, nq: int
 ):
     """Bound-variant flash step on a packed head-pair (2 heads per step).
 
     q block (qb_super, 128) = two heads' q side by side; k/v blocks
     (blk_k, 128) likewise. acc scratch (qb_super, 2*(D+1)); mh (qb_super, 2)
-    columns are the two heads' row bounds.
+    columns are the two heads' row bounds. ``nq`` splits the q superblock
+    into sub-blocks so 2*nq independent QK^T matmuls issue before the
+    per-unit softmax/PV — more VPU/MXU overlap for Mosaic to schedule.
     """
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
     g = pl.program_id(0)
+    sub = qkv_q.shape[1] // nq
 
     @pl.when(ik == 0)
     def _init():
@@ -323,20 +326,25 @@ def _flash_packed_kernel(
     vb = qkv_v[0]
     ones = jnp.ones((vb.shape[0], 1), vb.dtype)
 
+    units = [(s, w) for s in range(2) for w in range(nq)]
     logits = [
         jax.lax.dot_general(
-            qkv_q[0][:, s * 64 : (s + 1) * 64],
+            qkv_q[0][w * sub : (w + 1) * sub, s * 64 : (s + 1) * 64],
             kb[:, s * 64 : (s + 1) * 64],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        for s, w in units
+    ]
+    vs = [
+        jnp.concatenate([vb[:, s * 64 : (s + 1) * 64], ones], axis=1)
         for s in range(2)
     ]
-    for s in range(2):
-        p = jnp.exp2(logits[s] - mh_ref[:, s : s + 1]).astype(vb.dtype)
-        vs = jnp.concatenate([vb[:, s * 64 : (s + 1) * 64], ones], axis=1)
-        acc_ref[:, s * 65 : (s + 1) * 65] += jax.lax.dot_general(
-            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    for i, (s, w) in enumerate(units):
+        rows = slice(w * sub, (w + 1) * sub)
+        p = jnp.exp2(logits[i] - mh_ref[rows, s : s + 1]).astype(vb.dtype)
+        acc_ref[rows, s * 65 : (s + 1) * 65] += jax.lax.dot_general(
+            p, vs[s], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     @pl.when(ik == nk - 1)
@@ -349,12 +357,15 @@ def _flash_packed_kernel(
         o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "blk_q", "blk_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "blk_q", "blk_k", "n_q_blocks", "interpret")
+)
 def flash_attention_packed_tpu(
     qkv: jnp.ndarray,
     num_heads: int,
     blk_q: int = 2048,
     blk_k: int = 2048,
+    n_q_blocks: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention over a packed (B, T, 3*H*D) qkv tensor -> (B, T, H*D).
@@ -379,7 +390,7 @@ def flash_attention_packed_tpu(
     oq, ok, ov = _packed_offsets(H)
     grid = (B * H // 2, Tp // qb_super, Tp // blk_k)
     out = pl.pallas_call(
-        functools.partial(_flash_packed_kernel, n_pad=Tp - T),
+        functools.partial(_flash_packed_kernel, n_pad=Tp - T, nq=n_q_blocks),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -132,15 +132,49 @@ def bench_frame():
                 print(f"ours single-pass nw={nw} FAILED:", str(e)[:100])
 
 
+def bench_packed():
+    """Tunable sweeps of the packed-qkv kernels (the production path)."""
+    from pi3_slam_tpu.ops.pallas_attention import (
+        attention_single_pass_packed_tpu,
+        flash_attention_packed_tpu,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, H, D = 100, 660, 16, 64
+    qkv = jnp.asarray(
+        rng.standard_normal((B, T, 3 * H * D)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    fl = attn_flops(B, T, H, D)
+    for nw in (1, 2, 4):
+        f = jax.jit(lambda x, n=nw: attention_single_pass_packed_tpu(x, num_heads=H, n_interleave=n))
+        dt = bench(f, qkv, label=f"single packed nw={nw}")
+        report(f"single packed nw={nw}", dt, B, T, H, D)
+
+    B2, T2 = 1, 66000
+    qkv2 = jnp.asarray(
+        rng.standard_normal((B2, T2, 3 * H * D)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    for bq, bk, nq in [(2048, 2048, 1), (1024, 1024, 1), (2048, 2048, 2)]:
+        f = jax.jit(
+            lambda x, a=bq, b=bk, n=nq: flash_attention_packed_tpu(
+                x, num_heads=H, blk_q=a, blk_k=b, n_q_blocks=n
+            )
+        )
+        dt = bench(f, qkv2, label=f"flash packed bq={bq} bk={bk} nq={nq}")
+        report(f"flash packed bq={bq} bk={bk} nq={nq}", dt, B2, T2, H, D)
+
+
 def bench_block():
-    """One decoder block at the global shape: full block() (LN + qkv + qk-norm
-    + RoPE + flash + proj + MLP) vs the flash kernel alone — quantifies the
-    non-kernel overhead per global block."""
+    """One decoder block at the global/frame shapes: full block() (LN + qkv +
+    qk-norm + RoPE + packed kernel + proj + MLP) vs the packed kernel alone —
+    quantifies the non-kernel overhead per block."""
     from pi3_slam_tpu.models.layers import block
     from pi3_slam_tpu.models.pi3 import _init_block_stack
-    from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
+    from pi3_slam_tpu.ops.pallas_attention import (
+        attention_single_pass_packed_tpu,
+        flash_attention_packed_tpu,
+    )
     from pi3_slam_tpu.ops.rope import make_patch_positions
-    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
 
     B, N, hw, C, Hh, D = 1, 100, 643, 1024, 16, 64
     T = N * hw
@@ -153,23 +187,26 @@ def bench_block():
     pos = make_patch_positions(N, 22, 29, num_special=5, offset=1).reshape(1, T, 2)
 
     f = jax.jit(lambda x, p: block(x, p, num_heads=Hh, positions=pos))
-    dt = bench(f, x, bp, label="global block() full (LN+qkv+norm+rope+flash+proj+mlp)")
+    dt = bench(f, x, bp, label="global block() full (LN+qkv+norm+rope+attn+proj+mlp)")
 
-    q, k, v = make_qkv(B, T, Hh, D)
-    fk = jax.jit(flash_attention_tpu)
-    dtk = bench(fk, q, k, v, label="flash kernel alone")
-    report("flash kernel alone", dtk, B, T, Hh, D)
+    qkv = jnp.asarray(
+        rng.standard_normal((B, T, 3 * C)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    fk = jax.jit(lambda x: flash_attention_packed_tpu(x, num_heads=Hh))
+    dtk = bench(fk, qkv, label="packed flash kernel alone")
+    report("packed flash kernel alone", dtk, B, T, Hh, D)
     print(f"non-kernel overhead per global block: {(dt-dtk)*1e3:.1f} ms")
 
-    # frame-shape block (even decoder layers / encoder)
+    # frame-shape block (even decoder layers / encoder / heads)
     xf = jnp.asarray(rng.standard_normal((N, hw, C)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
     posf = make_patch_positions(N, 22, 29, num_special=5, offset=1)
     ff = jax.jit(lambda x, p: block(x, p, num_heads=Hh, positions=posf))
     dtf = bench(ff, xf, bp, label="frame block() full")
-    qf, kf, vf = make_qkv(N, hw, Hh, D)
-    from pi3_slam_tpu.ops.pallas_attention import attention_single_pass_tpu
-    fsk = jax.jit(lambda q, k, v: attention_single_pass_tpu(q, k, v))
-    dtfk = bench(fsk, qf, kf, vf, label="single-pass kernel alone")
+    qkvf = jnp.asarray(
+        rng.standard_normal((N, hw, 3 * C)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    fsk = jax.jit(lambda x: attention_single_pass_packed_tpu(x, num_heads=Hh))
+    dtfk = bench(fsk, qkvf, label="packed single-pass kernel alone")
     print(f"non-kernel overhead per frame block: {(dtf-dtfk)*1e3:.1f} ms")
 
 
@@ -270,6 +307,8 @@ if __name__ == "__main__":
         bench_frame()
     if which in ("block", "all"):
         bench_block()
+    if which in ("packed", "all"):
+        bench_packed()
     if which in ("stages", "all"):
         bench_stages()
     if which in ("forward", "all"):
