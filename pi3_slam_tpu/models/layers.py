@@ -57,8 +57,6 @@ def attention(
 
     x: (B, T, C). Params may contain q_norm_scale/k_norm_scale for qk-norm.
     """
-    import jax as _jax
-
     b, t, c = x.shape
     d = c // num_heads
     qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)
@@ -70,11 +68,12 @@ def attention(
         q = rope_2d(q, positions, rope_base)
         k = rope_2d(k, positions, rope_base)
 
+    from ..ops.attention import on_tpu_platform
     from ..parallel.context import current_tp_mesh, sharded_sdpa
 
     if (
         current_tp_mesh() is None
-        and _jax.default_backend() == "tpu"
+        and on_tpu_platform()
         and d == 64
         and num_heads % 2 == 0
     ):

@@ -22,6 +22,18 @@ LONG_SEQUENCE_THRESHOLD = 4096
 MEDIUM_SEQUENCE_THRESHOLD = 256
 
 
+def on_tpu_platform() -> bool:
+    """True when work dispatched here lands on TPU. Respects an active
+    ``jax.default_device`` override (e.g. sfm/device.py pinning solvers to
+    the CPU backend inside a TPU process) — the process-global
+    ``jax.default_backend()`` alone would route those traces into Pallas
+    kernels that cannot lower on CPU."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -30,7 +42,7 @@ def sdpa(
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v over (B, T, H, D) tensors -> (B, T, H, D)."""
     T = q.shape[1]
-    on_tpu = jax.default_backend() == "tpu" and q.shape[-1] % 64 == 0
+    on_tpu = on_tpu_platform() and q.shape[-1] % 64 == 0
     if T >= LONG_SEQUENCE_THRESHOLD:
         if on_tpu:
             from .pallas_attention import flash_attention_tpu

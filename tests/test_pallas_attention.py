@@ -156,6 +156,53 @@ def test_flash_kernel_non_lattice_blocks(rng):
     )
 
 
+def test_router_respects_default_device_override(rng):
+    """sdpa must NOT route into Pallas kernels for work pinned to the CPU
+    backend via jax.default_device inside a TPU process (sfm/device.py) —
+    pallas_call cannot lower on CPU."""
+    from pi3_slam_tpu.ops.attention import on_tpu_platform
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        assert not on_tpu_platform()
+        q = jnp.asarray(rng.normal(size=(1, 300, 2, 64)).astype(np.float32))
+        out = sdpa(q, q, q)  # would raise on CPU if routed to pallas
+        assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu", reason="needs TPU")
+def test_full_model_packed_path_matches_cpu_on_tpu():
+    """Whole-model numerics of the packed TPU path vs the CPU reference
+    forward (fp32, D=64 heads so the packed kernels engage). Verified on
+    v5e 2026-08-17: maxabs <= 5.2e-6 across all four outputs."""
+    from pi3_slam_tpu.models import Pi3Config, init_pi3_params, pi3_forward
+    from pi3_slam_tpu.models.dinov2 import DinoV2Config
+
+    enc = DinoV2Config(depth=2, embed_dim=128, num_heads=2, mlp_ratio=2)
+    cfg = Pi3Config(
+        encoder=enc, dec_embed_dim=128, dec_num_heads=2, dec_depth=4,
+        mlp_ratio=2, head_dim=128, head_depth=2, head_num_heads=2,
+        camera_dim=128,
+    )
+    params = init_pi3_params(0, cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 3, 3, 224, 238)).astype(np.float32)
+    )
+    with jax.default_matmul_precision("float32"):
+        out_tpu = jax.jit(
+            lambda p, x: pi3_forward(p, x, cfg, compute_dtype=jnp.float32)
+        )(params, imgs)
+        out_tpu = {k: np.asarray(v) for k, v in out_tpu.items()}
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), jax.default_matmul_precision("float32"):
+        out_cpu = jax.jit(
+            lambda p, x: pi3_forward(p, x, cfg, compute_dtype=jnp.float32)
+        )(params, imgs)
+        out_cpu = {k: np.asarray(v) for k, v in out_cpu.items()}
+    for k in out_cpu:
+        np.testing.assert_allclose(out_tpu[k], out_cpu[k], atol=1e-4)
+
+
 @pytest.mark.skipif(jax.default_backend() == "cpu", reason="needs TPU")
 def test_pallas_kernel_matches_reference_on_tpu(rng):
     from pi3_slam_tpu.ops.pallas_attention import flash_attention_tpu
