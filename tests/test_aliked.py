@@ -290,6 +290,28 @@ def test_offline_creator_with_aliked(tmp_path):
     assert r0.track_desc is not None and r0.track_desc.shape[1] == TINY.dim
     valid0 = z["keypoint_valid"].reshape(-1)
     assert (r0.track_valid[~valid0] == 0).all()
+    # dp-group path carries the same ALIKED artifacts per chunk
+    import jax
+
+    if len(jax.devices()) >= 2:
+        out_dp = str(tmp_path / "chunks_dp")
+        cfg_dp = OfflineCreatorConfig(
+            output_dir=out_dp, chunk_length=4, overlap=2, pixel_limit=4000,
+            use_metric_depth=False, keypoint_type="aliked",
+            aliked_checkpoint_path=wpath, max_keypoints=20,
+            compute_dtype="float32", data_parallel_chunks=2,
+        )
+        creator_dp = OfflineChunkCreator(cfg_dp, pi3_config=PI3_TINY)
+        creator_dp.params = make_tiny_params()
+        creator_dp.keypoint_extractor.cfg = TINY
+        saved_dp = creator_dp.process_and_save(paths)
+        zdp = np.load(saved_dp[0])
+        assert zdp["keypoint_valid"].shape == (4, 20)
+        assert zdp["descriptors"].shape == (4, 20, TINY.dim)
+        np.testing.assert_array_equal(
+            zdp["keypoint_valid"], z["keypoint_valid"]
+        )
+
     # cross-chunk matching finds the overlap tracks through the learned
     # keypoints (position join + descriptor mutual-NN union). Matching is
     # checked pre-BA: with random Pi3 weights the geometry is noise, so
