@@ -20,6 +20,7 @@ import contextlib
 import contextvars
 
 import numpy as np
+import jax.numpy as jnp
 
 _TP_MESH: contextvars.ContextVar = contextvars.ContextVar("pi3_tp_mesh", default=None)
 
@@ -72,9 +73,14 @@ def replicate_over_tp(x):
 
 
 def sharded_sdpa(q, k, v):
-    """SDPA head-sharded over the active tp mesh (identity wrapper when no
-    tp mesh is active). q/k/v: (B, T, H, D); H must divide the tp axis."""
-    from ..ops.attention import sdpa
+    """SDPA sharded over the active mesh (identity wrapper when none).
+
+    q/k/v: (B, T, H, D). Batch shards on dp, heads on tp, and — when the
+    mesh has an ``sp`` axis and the sequence is long — tokens shard on sp
+    with exact ring attention (parallel/ring.py) rotating k/v shards over
+    ICI neighbours.
+    """
+    from ..ops.attention import LONG_SEQUENCE_THRESHOLD, sdpa
 
     mesh = current_tp_mesh()
     tp = _tp_degree(mesh) if mesh is not None else 1
@@ -87,6 +93,25 @@ def sharded_sdpa(q, k, v):
     # a None batch spec would all-gather the chunk batch across dp
     bdim = "dp" if "dp" in mesh.axis_names and q.shape[0] % mesh.shape["dp"] == 0 else None
     hdim = "tp" if tp > 1 else None
+
+    sp = mesh.shape["sp"] if "sp" in mesh.axis_names else 1
+    if sp > 1 and q.shape[1] >= LONG_SEQUENCE_THRESHOLD:
+        from .ring import ring_attention
+
+        T = q.shape[1]
+        Tp = (T + sp - 1) // sp * sp
+        pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
+        qp = jnp.pad(q, pad) if Tp > T else q
+        kp = jnp.pad(k, pad) if Tp > T else k
+        vp = jnp.pad(v, pad) if Tp > T else v
+        spec = P(bdim, "sp", hdim, None)
+        out = shard_map(
+            lambda a, b, c: ring_attention(a, b, c, "sp", n_pad=Tp - T),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_rep=False,
+        )(qp, kp, vp)
+        return out[:, :T]
+
     spec = P(bdim, None, hdim, None)
     return shard_map(
         sdpa, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

@@ -26,10 +26,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_dp: int, n_tp: int, devices=None) -> Mesh:
+def make_mesh(n_dp: int, n_tp: int, devices=None, *, n_sp: int = 1) -> Mesh:
+    """(dp, tp[, sp]) device mesh. sp — sequence parallelism for ring
+    attention over very long chunks (parallel/ring.py) — is only added as a
+    mesh axis when > 1 so dp/tp-only programs keep their 2D mesh shape."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= n_dp * n_tp, f"need {n_dp * n_tp} devices, have {len(devices)}"
-    arr = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
+    n = n_dp * n_tp * n_sp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if n_sp > 1:
+        arr = np.asarray(devices[:n]).reshape(n_dp, n_tp, n_sp)
+        return Mesh(arr, axis_names=("dp", "tp", "sp"))
+    arr = np.asarray(devices[:n]).reshape(n_dp, n_tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
