@@ -66,6 +66,10 @@ def main(argv=None):
                              "collective-free while tp=2 costs ~13%% throughput in "
                              "ICI psums (PARITY.md comm analysis); tp only cuts "
                              "single-chunk latency")
+    parser.add_argument("--sequence-parallel", type=int, default=1,
+                        help="Ring attention over the sp mesh axis for chunks whose "
+                             "global-attention sequence exceeds one chip (e.g. "
+                             "1000-frame chunks); dp x tp x sp devices per step")
     parser.add_argument("--skip-start", type=int, default=0)
     parser.add_argument("--skip-end", type=int, default=0)
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
@@ -106,6 +110,7 @@ def main(argv=None):
         resume=args.resume,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
+        sequence_parallel=args.sequence_parallel,
         profile_dir=args.profile_dir,
     )
     creator = OfflineChunkCreator(config)

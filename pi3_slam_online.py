@@ -38,6 +38,9 @@ def main(argv=None):
                              "per step). tp=2 cuts single-chunk latency ~1.7x at "
                              "~13%% throughput cost — worthwhile online when fewer "
                              "chunks than chips are in flight (PARITY.md analysis)")
+    g_proc.add_argument("--sequence-parallel", type=int, default=1,
+                        help="Ring attention over the sp mesh axis for very long "
+                             "chunks (dp x tp x sp devices per step)")
     g_proc.add_argument("--no-overlap", dest="overlap_device_host", action="store_false",
                         help="Disable the infer/reconstruction overlap (strictly serial)")
     g_proc.add_argument("--metric-depth", action="store_true", default=True)
@@ -115,6 +118,7 @@ def main(argv=None):
         num_loader_workers=args.num_workers,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
+        sequence_parallel=args.sequence_parallel,
         overlap_device_host=args.overlap_device_host,
         visualize=args.visualize,
         viz_port=args.viz_port,

@@ -191,22 +191,29 @@ class OfflineChunkCreator:
 
         self._step_cache: Dict[tuple, callable] = {}
         self.mesh = None
-        if config.data_parallel_chunks > 1 or config.tensor_parallel > 1:
+        if (
+            config.data_parallel_chunks > 1
+            or config.tensor_parallel > 1
+            or config.sequence_parallel > 1
+        ):
             n_dev = len(jax.devices())
-            tp = max(1, min(config.tensor_parallel, n_dev))
-            dp = max(1, min(config.data_parallel_chunks, n_dev // tp))
-            if dp * tp > 1:
+            sp = max(1, min(config.sequence_parallel, n_dev))
+            tp = max(1, min(config.tensor_parallel, n_dev // sp))
+            dp = max(1, min(config.data_parallel_chunks, n_dev // (tp * sp)))
+            if dp * tp * sp > 1:
                 from ..parallel import make_mesh
 
-                self.mesh = make_mesh(dp, tp)
+                self.mesh = make_mesh(dp, tp, n_sp=sp)
                 config.data_parallel_chunks = dp
                 config.tensor_parallel = tp
-                print(f"device mesh: dp={dp} x tp={tp} over {n_dev} devices")
+                config.sequence_parallel = sp
+                print(f"device mesh: dp={dp} x tp={tp} x sp={sp} over {n_dev} devices")
                 if self.moge is not None:
                     self.moge.shard_params(self.mesh)
             else:
                 config.data_parallel_chunks = 1
                 config.tensor_parallel = 1
+                config.sequence_parallel = 1
 
     def _get_step(self):
         dense = self.config.keypoint_type == "none"
@@ -499,7 +506,9 @@ class OfflineChunkCreator:
             from ..parallel import make_mesh
 
             self.mesh = make_mesh(
-                self.config.data_parallel_chunks, self.config.tensor_parallel
+                self.config.data_parallel_chunks,
+                self.config.tensor_parallel,
+                n_sp=self.config.sequence_parallel,
             )
         self.params = jax.device_put(self._host_params)
         self._step_cache.clear()

@@ -43,6 +43,10 @@ class OfflineCreatorConfig:
     # tensor parallelism over attention heads / MLP hidden (Megatron split,
     # parallel/mesh.py); dp * tp devices are used per step
     tensor_parallel: int = 1
+    # sequence parallelism: ring attention over the sp mesh axis for chunks
+    # whose global-attention sequence exceeds one chip (parallel/ring.py);
+    # dp * tp * sp devices are used per step
+    sequence_parallel: int = 1
     # capture a jax.profiler trace of one steady-state chunk into this dir
     # (viewable with tensorboard/xprof); None = off
     profile_dir: Optional[str] = None
@@ -104,3 +108,5 @@ class OnlineConfig:
     data_parallel_chunks: int = 1
     # tensor parallelism over heads/hidden (dp * tp devices per step)
     tensor_parallel: int = 1
+    # sequence parallelism: ring attention over sp for very long chunks
+    sequence_parallel: int = 1

@@ -101,22 +101,29 @@ class Pi3SLAMOnline:
             set_sfm_backend(config.sfm_backend)
 
         self.mesh = None
-        if config.data_parallel_chunks > 1 or config.tensor_parallel > 1:
+        if (
+            config.data_parallel_chunks > 1
+            or config.tensor_parallel > 1
+            or config.sequence_parallel > 1
+        ):
             n_dev = len(jax.devices())
-            tp = max(1, min(config.tensor_parallel, n_dev))
-            dp = max(1, min(config.data_parallel_chunks, n_dev // tp))
-            if dp * tp > 1:
+            sp = max(1, min(config.sequence_parallel, n_dev))
+            tp = max(1, min(config.tensor_parallel, n_dev // sp))
+            dp = max(1, min(config.data_parallel_chunks, n_dev // (tp * sp)))
+            if dp * tp * sp > 1:
                 from ..parallel import make_mesh
 
-                self.mesh = make_mesh(dp, tp)
+                self.mesh = make_mesh(dp, tp, n_sp=sp)
                 config.data_parallel_chunks = dp
                 config.tensor_parallel = tp
-                print(f"online device mesh: dp={dp} x tp={tp} over {n_dev} devices")
+                config.sequence_parallel = sp
+                print(f"online device mesh: dp={dp} x tp={tp} x sp={sp} over {n_dev} devices")
                 if self.moge is not None:
                     self.moge.shard_params(self.mesh)
             else:
                 config.data_parallel_chunks = 1
                 config.tensor_parallel = 1
+                config.sequence_parallel = 1
         self._make_steps()
         self.reconstructions: List[ChunkReconstruction] = []
         self.alignment_results = []
@@ -366,7 +373,9 @@ class Pi3SLAMOnline:
             from ..parallel import make_mesh
 
             self.mesh = make_mesh(
-                self.config.data_parallel_chunks, self.config.tensor_parallel
+                self.config.data_parallel_chunks,
+                self.config.tensor_parallel,
+                n_sp=self.config.sequence_parallel,
             )
         if self.moge is not None:
             if self.mesh is not None:

@@ -53,6 +53,48 @@ def test_batched_chunk_step_consistent_with_single(rng):
         )
 
 
+def test_creator_with_sequence_parallel_mesh(rng, tmp_path):
+    """A dp x sp mesh compiles and produces the same chunk artifacts as the
+    single-device creator (ring attention engages only past the long-sequence
+    threshold; at tiny shapes this validates the 3-axis mesh pipeline)."""
+    import glob
+    import os
+
+    from PIL import Image
+
+    from pi3_slam_tpu.slam import OfflineChunkCreator, OfflineCreatorConfig
+    from test_pi3_model import TINY as PI3_TINY, make_tiny_params
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    np_rng = np.random.default_rng(9)
+    base = np_rng.integers(30, 220, (64, 84, 3)).astype(np.uint8)
+    for i in range(8):
+        Image.fromarray(np.roll(base, 3 * i, axis=1)).save(d / f"f_{i:03d}.png")
+    paths = sorted(glob.glob(os.path.join(str(d), "*.png")))
+
+    outs = {}
+    for sp in (1, 2):
+        cfg = OfflineCreatorConfig(
+            output_dir=str(tmp_path / f"sp{sp}"), chunk_length=4, overlap=2,
+            pixel_limit=4000, use_metric_depth=False, max_keypoints=20,
+            compute_dtype="float32", data_parallel_chunks=2 if sp > 1 else 1,
+            sequence_parallel=sp,
+        )
+        creator = OfflineChunkCreator(cfg, pi3_config=PI3_TINY)
+        creator.params = make_tiny_params()
+        if sp > 1:
+            assert creator.mesh is not None and "sp" in creator.mesh.axis_names
+        outs[sp] = creator.process_and_save(paths)
+
+    for p1, p2 in zip(outs[1], outs[2]):
+        z1, z2 = np.load(p1), np.load(p2)
+        np.testing.assert_allclose(z1["camera_poses"], z2["camera_poses"], atol=2e-4)
+
+
 def test_sharded_chunk_step_with_tensor_parallel(rng):
     """dp x tp mesh: the chunk step with Megatron-sharded parameters matches
     the single-device step (GSPMD inserts the collectives)."""
