@@ -162,6 +162,127 @@ def _flash_fwd_bound_kernel(
         o_ref[0] = (acc_ref[:, :-1] / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_fwd_partial_kernel(
+    kn_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, mh_ref, *, blk_q: int, nw: int, n_pad: int
+):
+    """Bound-softmax PARTIAL attention: identical accumulation to
+    _flash_fwd_bound_kernel, but finalize emits the unnormalized numerator
+    and denominator instead of dividing — partials over different key shards
+    (computed with the same global kn, hence the same per-row shift m̂) sum
+    exactly, which is what ring attention (parallel/ring.py) needs. Output
+    lanes: [0:D) numerator, D the denominator (local zero-pad keys already
+    subtracted), rest zero."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    kn = kn_ref[pl.program_id(0)]  # SMEM scalar: GLOBAL max |k| for this head
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q32 = q_ref[0].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
+        mh_ref[:, :1] = jnp.minimum(qn * kn + 1.0, 120.0)
+
+    kb = k_ref[0]
+    vb_aug = jnp.concatenate(
+        [v_ref[0], jnp.ones((v_ref.shape[1], 1), v_ref.dtype)], axis=1
+    )
+
+    logits = [
+        jax.lax.dot_general(
+            q_ref[0, w * blk_q : (w + 1) * blk_q],
+            kb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for w in range(nw)
+    ]
+    for w in range(nw):
+        sl = slice(w * blk_q, (w + 1) * blk_q)
+        p = jnp.exp2(logits[w] - mh_ref[sl, :1]).astype(vb_aug.dtype)
+        acc_ref[sl] += jax.lax.dot_general(
+            p, vb_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        d = acc_ref.shape[1] - 1
+        l = acc_ref[:, -1:] - n_pad * jnp.exp2(-mh_ref[:, :1])
+        pad_cols = o_ref.shape[2] - (d + 1)
+        o_ref[0] = jnp.concatenate(
+            [acc_ref[:, :-1], l, jnp.zeros((acc_ref.shape[0], pad_cols), jnp.float32)],
+            axis=1,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "interpret")
+)
+def flash_attention_partial_tpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kn: jnp.ndarray,
+    blk_q: int = 256,
+    blk_k: int = 1024,
+    n_interleave: int = 4,
+    interpret: bool = False,
+):
+    """Unnormalized bound-softmax partial attention for ring / sharded keys.
+
+    q: (B, Tq, H, D) local queries (unscaled); k/v: (B, Tk, H, D) one key
+    shard; kn: (B, H) GLOBAL max key L2 norm over ALL shards (one pmax).
+    Returns (acc, l): (B, Tq, H, D) fp32 numerator and (B, Tq, H) fp32
+    denominator with shift 2^(-m̂_r), m̂_r = min(|q_r|*scale*kn + 1, 120).
+    Partials from different shards sum exactly; divide once at the end
+    (subtracting any GLOBAL zero-pad count * 2^(-m̂) from l)."""
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    nw = n_interleave
+    qb_super = blk_q * nw
+    Tqp = _ceil_to(Tq, qb_super)
+    Tkp = _ceil_to(Tk, blk_k)
+    scale = D**-0.5 * LOG2_E
+
+    def to_bhtd(x, Tp, scale_by=None):
+        if scale_by is not None:
+            x = x * jnp.asarray(scale_by, x.dtype)
+        x = jnp.pad(x, ((0, 0), (0, Tp - x.shape[1]), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3).reshape(B * H, Tp, x.shape[-1])
+
+    qf = to_bhtd(q, Tqp, scale)
+    kf = to_bhtd(k, Tkp)
+    vf = to_bhtd(v, Tkp)
+
+    grid = (B * H, Tqp // qb_super, Tkp // blk_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_partial_kernel, blk_q=blk_q, nw=nw, n_pad=Tkp - Tk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb_super, D), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, blk_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, blk_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qb_super, 128), lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tqp, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((qb_super, D + 1), jnp.float32),
+            pltpu.VMEM((qb_super, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kn.reshape(B * H), qf, kf, vf)
+    out = out.reshape(B, H, Tqp, 128).transpose(0, 2, 1, 3)[:, :Tq]
+    return out[..., :D], out[..., D]
+
+
 @functools.partial(
     jax.jit, static_argnames=("blk_q", "blk_k", "n_interleave", "variant", "interpret")
 )

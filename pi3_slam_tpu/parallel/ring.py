@@ -60,16 +60,29 @@ def ring_attention(
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
     perm = [(i, (i + 1) % sp) for i in range(sp)]
 
+    # per-step partials at kernel speed on TPU; XLA einsum elsewhere — both
+    # compute the same fixed-shift accumulation, so they sum identically
+    from ..ops.attention import on_tpu_platform
+
+    use_kernel = D == 64 and on_tpu_platform()
+    if use_kernel:
+        from ..ops.pallas_attention import flash_attention_partial_tpu
+
     def step(carry, _):
         acc, l, kc, vc = carry
-        logits = jnp.einsum(
-            "bqhd,bkhd->bqhk", qs, kc, preferred_element_type=jnp.float32
-        )
-        p = jnp.exp2(logits - m_hat).astype(vc.dtype)
-        acc = acc + jnp.einsum(
-            "bqhk,bkhd->bqhd", p, vc, preferred_element_type=jnp.float32
-        )
-        l = l + jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        if use_kernel:
+            acc_i, l_i = flash_attention_partial_tpu(q, kc, vc, kn)
+            acc = acc + acc_i
+            l = l + l_i[..., None]
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bqhk", qs, kc, preferred_element_type=jnp.float32
+            )
+            p = jnp.exp2(logits - m_hat).astype(vc.dtype)
+            acc = acc + jnp.einsum(
+                "bqhk,bkhd->bqhd", p, vc, preferred_element_type=jnp.float32
+            )
+            l = l + jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
         return (acc, l, kc, vc), None

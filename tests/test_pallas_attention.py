@@ -156,6 +156,33 @@ def test_flash_kernel_non_lattice_blocks(rng):
     )
 
 
+def test_partial_kernel_shards_sum_to_full_attention(rng):
+    """Ring-attention building block: bound-softmax partials over key shards
+    (computed with the same global kn) must sum to full attention."""
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_partial_tpu
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    B, T, H, D = 1, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k32 = np.asarray(k, np.float32)
+    kn = jnp.asarray(np.sqrt((k32**2).sum(-1).max(axis=1)))  # (B, H) global
+
+    acc = jnp.zeros((B, T, H, D), jnp.float32)
+    l = jnp.zeros((B, T, H), jnp.float32)
+    for s in range(2):  # two key shards of 128
+        ks, vs = k[:, s * 128 : (s + 1) * 128], v[:, s * 128 : (s + 1) * 128]
+        a_i, l_i = flash_attention_partial_tpu(
+            q, ks, vs, kn, blk_q=128, blk_k=128, n_interleave=1, interpret=True
+        )
+        acc = acc + a_i
+        l = l + l_i
+    out = acc / l[..., None]
+    ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_router_respects_default_device_override(rng):
     """sdpa must NOT route into Pallas kernels for work pinned to the CPU
     backend via jax.default_device inside a TPU process (sfm/device.py) —
