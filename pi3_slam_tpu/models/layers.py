@@ -82,10 +82,7 @@ def attention(
         # (B, T, 3*H*D) layout and emit (B, T, C) directly for proj. The
         # (B,T,H,D)->(B*H,Tp,D) relayouts this kills cost more than the
         # softmax they fed (28 ms/18 ms per global/frame block, measured).
-        from ..ops.attention import (
-            LONG_SEQUENCE_THRESHOLD,
-            MEDIUM_SEQUENCE_THRESHOLD,
-        )
+        from ..ops.attention import MEDIUM_SEQUENCE_THRESHOLD
         from ..ops.pallas_attention import (
             LOG2_E,
             SINGLE_PASS_MAX_T,

@@ -46,19 +46,37 @@ class MoGeRunner:
             return moge_infer_depth(p, img, self.cfg)
 
         self._infer = jax.jit(infer)
+        self._infer_one = infer
         self._infer_batch = jax.jit(
             lambda p, imgs: jax.vmap(lambda im: infer(p, im))(imgs)
         )
+        self._infer_batch_sharded = None
         self._mesh = None
 
     def shard_params(self, mesh) -> None:
         """Replicate parameters over a device mesh so batched inference can
         dp-shard its input (chunk-dp groups: one first frame per chunk)."""
         import jax
+        from jax.experimental.shard_map import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self._mesh = mesh
         self.params = jax.device_put(self._host_params, NamedSharding(mesh, P()))
+        # batch forwards are embarrassingly parallel over chunks: shard_map at
+        # the TOP (replicated params, dp-sharded batch) so each dp group runs
+        # its chunks as plain single-device programs — no collectives, and the
+        # Pallas attention kernels (opaque to GSPMD, which would otherwise
+        # all-gather the batch and replicate the encoder) stay legal inside
+        infer = self._infer_one
+        self._infer_batch_sharded = jax.jit(
+            shard_map(
+                lambda p, imgs: jax.vmap(lambda im: infer(p, im))(imgs),
+                mesh=mesh,
+                in_specs=(P(), P("dp")),
+                out_specs=P("dp"),
+                check_rep=False,
+            )
+        )
 
     def reset(self) -> None:
         """Re-pin parameters after a backend crash/reset (device buffers from
@@ -92,6 +110,7 @@ class MoGeRunner:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             imgs = jax.device_put(imgs, NamedSharding(self._mesh, P("dp")))
+            return self._infer_batch_sharded(self.params, imgs)
         return self._infer_batch(self.params, imgs)
 
     def infer_depth(self, image: np.ndarray) -> np.ndarray:

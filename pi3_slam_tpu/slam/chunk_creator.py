@@ -568,6 +568,8 @@ class OfflineChunkCreator:
                 "sharded step exports keypoint-sparse outputs only; dp disabled"
             )
         group: List[Dict] = []
+        profiled = {"done": False}  # one --profile-dir trace per run
+        flush_count = {"n": 0}
 
         # dp groups pipeline 1-deep like single chunks: the next group's
         # sharded step runs while the host writes this group's npz files
@@ -576,7 +578,7 @@ class OfflineChunkCreator:
         def finish_group_pending():
             if not pending_group:
                 return
-            real, padded, disp = pending_group.pop()
+            real, padded, disp = pending_group.pop(0)
             try:
                 results = self._finish_group(disp)[: len(real)]
             except Exception as e:
@@ -591,6 +593,24 @@ class OfflineChunkCreator:
         def flush_group():
             if not group:
                 return
+            if (
+                self.config.profile_dir is not None
+                and not profiled["done"]
+                and flush_count["n"] >= 1
+            ):
+                # profile the 2nd dispatched group: compiled, steady-state
+                from ..utils.profiling import trace as profiler_trace
+
+                finish_group_pending()  # isolate the traced group
+                with profiler_trace(self.config.profile_dir):
+                    _flush_group_now()
+                    finish_group_pending()
+                profiled["done"] = True
+            else:
+                _flush_group_now()
+            flush_count["n"] += 1
+
+        def _flush_group_now():
             # pad to the dp width by repeating the last chunk: keeps the
             # sharded step's batch shape static (no recompiles) and the
             # (1, ...) batch divisible by the mesh's dp axis
@@ -602,7 +622,7 @@ class OfflineChunkCreator:
                 if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                     raise
                 print(f"   device failure at group dispatch ({str(e)[:80]}); resetting backend")
-                redo = pending_group.pop() if pending_group else None
+                redo = pending_group.pop(0) if pending_group else None
                 self._recover_backend()
                 if redo is not None:
                     real_p, padded_p, _ = redo
@@ -622,7 +642,7 @@ class OfflineChunkCreator:
         def finish_pending():
             if not pending:
                 return
-            b, disp = pending.pop()
+            b, disp = pending.pop(0)
             try:
                 result = self._finish_chunk(disp)
             except Exception as e:
@@ -678,7 +698,9 @@ class OfflineChunkCreator:
                 emit(chunk_idx, batch, result)
                 continue
             profiling = (
-                self.config.profile_dir is not None and chunk_idx == 1
+                self.config.profile_dir is not None
+                and chunk_idx == 1
+                and not profiled["done"]
             )  # chunk 1: compiled, steady-state
             if profiling:
                 from ..utils.profiling import trace as profiler_trace
@@ -698,7 +720,7 @@ class OfflineChunkCreator:
                 # the in-flight chunk died with the backend: redo it
                 # synchronously after recovery, then re-dispatch this one
                 print(f"   device failure at dispatch ({str(e)[:80]}); resetting backend")
-                redo = pending.pop() if pending else None
+                redo = pending.pop(0) if pending else None
                 self._recover_backend()
                 if redo is not None:
                     b_prev = redo[0]

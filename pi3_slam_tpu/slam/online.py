@@ -469,12 +469,16 @@ class Pi3SLAMOnline:
             # 1-deep: group k+1's sharded step is dispatched BEFORE group k is
             # materialized/consumed, so device and host overlap exactly like
             # the reference's producer/consumer split
-            # (slam/online_reconstructor.py:761-954).
+            # (slam/online_reconstructor.py:761-954). pipelined=False or
+            # overlap_device_host=False disable the overlap (strictly serial
+            # device use — the flags exist because two in-flight programs
+            # pressure HBM on fragile backends).
+            group_depth = 1 if (pipelined and self.config.overlap_device_host) else 0
             group: List[Dict] = []
-            pending_group: List[Dict] = []  # dispatched, unconsumed; len <= 1
+            pending_group: List[Dict] = []  # dispatched, unconsumed
 
-            def finish_group_pending():
-                while pending_group:
+            def finish_group_pending(depth=0):
+                while len(pending_group) > depth:
                     pg = pending_group.pop(0)
                     try:
                         items = self._finish_group(pg)
@@ -508,9 +512,9 @@ class Pi3SLAMOnline:
                         ):
                             consume_with_recovery(item)
                     disp = self._dispatch_group(group, dp)
-                finish_group_pending()
                 pending_group.append(disp)
                 group.clear()
+                finish_group_pending(depth=group_depth)
 
             for batch in loader:
                 if group and group[0]["images"].shape != batch["images"].shape:

@@ -135,3 +135,27 @@ def test_moge_runner_via_pipeline_interface(tmp_path, reference_moge):
 
     with pytest.raises(FileNotFoundError):
         MoGeRunner(None)
+
+
+def test_moge_batched_dp_matches_single(tmp_path, reference_moge):
+    """The dp-sharded batch path (shard_map at the top: replicated params,
+    batch over dp, zero collectives) must match per-image inference."""
+    from pi3_slam_tpu.models.moge import MoGeRunner
+    from pi3_slam_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    params = convert_moge_state_dict(reference_moge["state_dict"], MODEL_CONFIG)
+    path = str(tmp_path / "moge.npz")
+    save_params_npz(path, params)
+    runner = MoGeRunner(path)
+
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(size=(4, 3, 140, 140)).astype(np.float32)
+    single = np.stack([runner.infer_depth(im) for im in imgs])
+
+    runner.shard_params(make_mesh(2, 1))
+    batched = np.asarray(runner.infer_depth_batch_async(imgs))
+    assert batched.shape == single.shape
+    np.testing.assert_allclose(batched, single, atol=1e-4)

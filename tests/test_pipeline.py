@@ -307,6 +307,25 @@ def test_online_dp_group_pipeline_overlap(image_dir, tmp_path):
     assert kinds.index("dispatch", kinds.index("dispatch") + 1) < kinds.index("finish")
     assert slam.queue_status()["chunks_consumed"] == 4
 
+    # pipelined=False must be strictly serial even on the dp path: every
+    # dispatch is finished before the next dispatch
+    cfg2 = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=20, compute_dtype="float32",
+        output_dir=str(tmp_path / "dp_sync"), data_parallel_chunks=2,
+    )
+    slam2 = Pi3SLAMOnline(cfg2, pi3_config=TINY)
+    slam2._host_params = make_tiny_params()
+    slam2.params = slam2._host_params
+    slam2._make_steps()
+    events2 = []
+    od, of = slam2._dispatch_group, slam2._finish_group
+    slam2._dispatch_group = lambda g, dp: (events2.append("D"), od(g, dp))[1]
+    slam2._finish_group = lambda pg: (events2.append("F"), of(pg))[1]
+    slam2.process_image_paths(paths, pipelined=False)
+    for i in range(0, len(events2), 2):
+        assert events2[i] == "D" and events2[i + 1] == "F", events2
+
 
 def test_online_overlap_defers_materialization(image_dir, tmp_path):
     """With overlap_device_host the dispatch stage must NOT materialize device
@@ -416,6 +435,23 @@ def test_profile_dir_captures_trace(image_dir, tmp_path):
 
     trace_files = list(pathlib.Path(tmp_path / "trace").rglob("*"))
     assert any(f.is_file() for f in trace_files)  # something was captured
+
+    # dp path: --profile-dir captures the 2nd (steady-state) group
+    import jax
+
+    if len(jax.devices()) >= 2:
+        cfg_dp = OfflineCreatorConfig(
+            output_dir=str(tmp_path / "prof_dp"), chunk_length=4, overlap=2,
+            pixel_limit=4000, use_metric_depth=False, max_keypoints=20,
+            compute_dtype="float32", data_parallel_chunks=2,
+            profile_dir=str(tmp_path / "trace_dp"),
+        )
+        creator_dp = OfflineChunkCreator(cfg_dp, pi3_config=TINY)
+        creator_dp.params = make_tiny_params()
+        saved_dp = creator_dp.process_and_save(paths)
+        assert len(saved_dp) == 4
+        dp_files = list(pathlib.Path(tmp_path / "trace_dp").rglob("*"))
+        assert any(f.is_file() for f in dp_files)
 
 
 def test_online_debug_overlap_dump(image_dir, tmp_path):
