@@ -45,6 +45,12 @@ def mlp(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
     return linear(h, p["fc2_kernel"], p["fc2_bias"])
 
 
+def _pallas_mlp_supported(c: int, hidden: int) -> bool:
+    from ..ops.pallas_mlp import _n_hidden_blocks, mlp_fused_supported
+
+    return mlp_fused_supported(c, hidden) and _n_hidden_blocks(hidden, None) >= 2
+
+
 def attention(
     x: jnp.ndarray,
     p: Dict[str, Any],
@@ -136,6 +142,35 @@ def block(
     # identity off-mesh; under tp pins the canonical Megatron pattern (one
     # activation psum per residual) — see parallel/context.py
     x = replicate_over_tp(x + h)
+
+    from ..ops.attention import on_tpu_platform
+    from ..parallel.context import _tp_degree, current_tp_mesh, sharded_block_mlp
+
+    mesh = current_tp_mesh()
+    c, hidden = p["fc1_kernel"].shape[-2:]
+    if (
+        on_tpu_platform()
+        and (mesh is None or _tp_degree(mesh) == 1)
+        and _pallas_mlp_supported(c, hidden)
+    ):
+        # fused LN+MLP+LayerScale+residual kernel: the hidden (T, 4C) tensor
+        # never round-trips HBM and the LN/residual elementwise passes fold
+        # into the matmul pipeline (ops/pallas_mlp.py). Under a dp/sp mesh it
+        # runs inside shard_map on each device's row shard (a pallas_call is
+        # opaque to GSPMD); tp>1 keeps the plain matmuls for the Megatron
+        # fc1/fc2 split.
+        return sharded_block_mlp(
+            x,
+            p["norm2_scale"],
+            p["norm2_bias"],
+            p["fc1_kernel"],
+            p["fc1_bias"],
+            p["fc2_kernel"],
+            p["fc2_bias"],
+            ls=p.get("ls2"),
+            eps=norm_eps,
+        )
+
     h = mlp(layer_norm(x, p["norm2_scale"], p["norm2_bias"], norm_eps), p)
     if "ls2" in p:
         h = h * p["ls2"].astype(h.dtype)

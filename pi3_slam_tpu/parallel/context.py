@@ -72,6 +72,62 @@ def replicate_over_tp(x):
     )
 
 
+def sharded_block_mlp(
+    x,
+    norm_scale,
+    norm_bias,
+    w1,
+    b1,
+    w2,
+    b2,
+    ls=None,
+    eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """Fused LN+MLP+LayerScale+residual kernel under the active mesh.
+
+    The MLP half of a block is pointwise in rows, so under dp (batch) and/or
+    sp (token) sharding each device can run ops/pallas_mlp.block_mlp_fused_tpu
+    on its own shard with replicated weights — a pallas_call is opaque to
+    GSPMD, so without the shard_map the batch would be all-gathered around the
+    kernel. tp>1 callers must not use this (the Megatron fc1/fc2 split needs
+    the plain matmuls); layers.block gates on tp degree.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_mlp import block_mlp_fused_tpu
+
+    mesh = current_tp_mesh()
+    fused = partial(block_mlp_fused_tpu, eps=eps, interpret=interpret)
+    if mesh is None:
+        return fused(x, norm_scale, norm_bias, w1, b1, w2, b2, ls=ls)
+    bdim = (
+        "dp"
+        if "dp" in mesh.axis_names and x.shape[0] % mesh.shape["dp"] == 0
+        else None
+    )
+    tdim = (
+        "sp"
+        if "sp" in mesh.axis_names and x.shape[1] % mesh.shape["sp"] == 0
+        else None
+    )
+    spec = P(bdim, tdim, None)
+    rep1 = P(None)
+    rep2 = P(None, None)
+    if ls is None:
+        ls = jnp.ones((w1.shape[0],), jnp.float32)
+    return shard_map(
+        lambda xs, g, b, k1, c1, k2, c2, l: fused(xs, g, b, k1, c1, k2, c2, ls=l),
+        mesh=mesh,
+        in_specs=(spec, rep1, rep1, rep2, rep1, rep2, rep1, rep1),
+        out_specs=spec,
+        check_rep=False,
+    )(x, norm_scale, norm_bias, w1, b1, w2, b2, ls)
+
+
 def sharded_sdpa(q, k, v):
     """SDPA sharded over the active mesh (identity wrapper when none).
 

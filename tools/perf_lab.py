@@ -278,6 +278,69 @@ def bench_stages():
           f"(enc {t_enc:.2f}s dec {t_dec:.2f}s heads 3x{t_head:.2f}s dense {t_dense:.2f}s)")
 
 
+def bench_mlp(sweep: bool = False):
+    """XLA mlp vs the fused Pallas kernels at the block shape (T=65.5k rows,
+    C=1024, hidden=4096, bf16). FLOPs = 2 matmuls = 4*T*C*hidden."""
+    from pi3_slam_tpu.models.layers import layer_norm, mlp
+    from pi3_slam_tpu.ops.pallas_mlp import block_mlp_fused_tpu, mlp_fused_tpu
+
+    T, C, HID = 65500, 1024, 4096
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, T, C)).astype(np.float32) * 0.2).astype(
+        jnp.bfloat16
+    )
+    p = {
+        "fc1_kernel": jnp.asarray(
+            rng.standard_normal((C, HID)).astype(np.float32) * 0.02
+        ).astype(jnp.bfloat16),
+        "fc1_bias": jnp.asarray(rng.standard_normal((HID,)).astype(np.float32) * 0.02),
+        "fc2_kernel": jnp.asarray(
+            rng.standard_normal((HID, C)).astype(np.float32) * 0.02
+        ).astype(jnp.bfloat16),
+        "fc2_bias": jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.02),
+    }
+    scale = jnp.ones((C,), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+    ls = jnp.full((C,), 0.9, jnp.float32)
+    flops = 4 * T * C * HID
+
+    def rep(label, dt):
+        print(f"{label:55s} {dt * 1e3:9.2f} ms   {flops / dt / 1e12:7.1f} TFLOP/s")
+
+    xla_mlp = jax.jit(lambda a: mlp(a, p))
+    rep("XLA mlp (fc1+gelu fusion, fc2)", bench(xla_mlp, x, label="xla mlp"))
+    xla_blk = jax.jit(lambda a: a + ls.astype(a.dtype) * mlp(layer_norm(a, scale, bias, 1e-6), p))
+    rep("XLA ln+mlp+ls+residual", bench(xla_blk, x, label="xla block-mlp"))
+
+    combos = (
+        [(512, 8), (1024, 4), (1024, 8), (1024, 16), (2048, 4), (2048, 8)]
+        if sweep
+        else [(1024, 8), (2048, 8)]
+    )
+    for blk_rows, nj in combos:
+        f = jax.jit(
+            lambda a, br=blk_rows, n=nj: mlp_fused_tpu(
+                a, p["fc1_kernel"], p["fc1_bias"], p["fc2_kernel"],
+                p["fc2_bias"], blk_rows=br, n_hidden_blocks=n,
+            )
+        )
+        rep(
+            f"pallas mlp blk_rows={blk_rows} nj={nj}",
+            bench(f, x, label=f"pallas mlp {blk_rows}/{nj}"),
+        )
+    for blk_rows in (512, 1024, 2048) if sweep else (1024,):
+        f = jax.jit(
+            lambda a, br=blk_rows: block_mlp_fused_tpu(
+                a, scale, bias, p["fc1_kernel"], p["fc1_bias"],
+                p["fc2_kernel"], p["fc2_bias"], ls=ls, blk_rows=br,
+            )
+        )
+        rep(
+            f"pallas ln+mlp+ls+res blk_rows={blk_rows}",
+            bench(f, x, label=f"pallas block-mlp {blk_rows}"),
+        )
+
+
 def bench_forward():
     from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
     from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
@@ -311,5 +374,9 @@ if __name__ == "__main__":
         bench_packed()
     if which in ("stages", "all"):
         bench_stages()
+    if which in ("mlp", "all"):
+        bench_mlp()
+    if which == "mlp-sweep":
+        bench_mlp(sweep=True)
     if which in ("forward", "all"):
         bench_forward()
