@@ -65,6 +65,86 @@ def attention(
     """
     b, t, c = x.shape
     d = c // num_heads
+
+    from ..ops.attention import MEDIUM_SEQUENCE_THRESHOLD, on_tpu_platform
+    from ..parallel.context import current_tp_mesh, sharded_sdpa
+
+    use_packed = (
+        current_tp_mesh() is None
+        and on_tpu_platform()
+        and d == 64
+        and num_heads % 2 == 0
+        and t >= MEDIUM_SEQUENCE_THRESHOLD
+    )
+    if use_packed:
+        # packed transpose-free path: the Pallas kernels read the native
+        # (B, T, 3*H*D) qkv-projection layout and emit (B, T, C) directly
+        # for proj. The (B,T,H,D)->(B*H,Tp,D) relayouts this kills cost more
+        # than the softmax they fed (28 ms/18 ms per global/frame block,
+        # measured).
+        from ..ops.pallas_attention import (
+            LOG2_E,
+            SINGLE_PASS_MAX_T,
+            attention_single_pass_packed_tpu,
+            flash_attention_packed_tpu,
+        )
+
+        has_norm = "q_norm_scale" in p
+        scale = d**-0.5 * LOG2_E
+        if positions is None and not has_norm:
+            # no qk-norm / RoPE (DINOv2 encoder blocks): fold the softmax
+            # scale into the q third of the projection weights — the qkv
+            # matmul output IS the packed kernel input, with no slice/
+            # scale/concat round-trip over the (B, T, 3C) activation
+            # (measured ~5 ms/block of fusions+layout copies at the
+            # 100x643 encoder shape).
+            kq = jnp.concatenate(
+                [p["qkv_kernel"][:, :c] * scale, p["qkv_kernel"][:, c:]], axis=-1
+            )
+            bq = jnp.concatenate([p["qkv_bias"][:c] * scale, p["qkv_bias"][c:]])
+            packed = linear(x, kq, bq)
+            if t <= SINGLE_PASS_MAX_T:
+                out = attention_single_pass_packed_tpu(packed, num_heads)
+            else:
+                out = flash_attention_packed_tpu(packed, num_heads)
+            return linear(out, p["proj_kernel"], p["proj_bias"])
+
+        # qk-norm / RoPE producer (decoder + head blocks): per-head LN, the
+        # RoPE rotation, the softmax scale, the q|k|v pack AND the pad to the
+        # attention lattice all happen in one fused Pallas pass over the raw
+        # qkv projection (ops/pallas_producer.py) — replacing ~6 XLA loop
+        # fusions + layout copies per block (measured 12.4 ms per decoder
+        # pair-step, 5-6x the one-read-one-write HBM floor this kernel hits).
+        from ..ops.pallas_attention import flash_packed_lattice
+        from ..ops.pallas_producer import qkv_rope_producer_tpu
+        from ..ops.rope import rope_tables
+
+        if positions is not None:
+            cos, sin = rope_tables(positions, d, rope_base)
+        else:  # qk-norm without RoPE: identity rotation
+            cos = jnp.ones((b, t, d), jnp.float32)
+            sin = jnp.zeros((b, t, d), jnp.float32)
+        qkv_raw = linear(x, p["qkv_kernel"], p["qkv_bias"])
+        single = t <= SINGLE_PASS_MAX_T
+        out_t = -(-t // 128) * 128 if single else flash_packed_lattice(t)
+        packed = qkv_rope_producer_tpu(
+            qkv_raw,
+            cos,
+            sin,
+            num_heads,
+            out_t,
+            q_norm_scale=p.get("q_norm_scale"),
+            q_norm_bias=p.get("q_norm_bias"),
+            k_norm_scale=p.get("k_norm_scale"),
+            k_norm_bias=p.get("k_norm_bias"),
+            eps=qk_norm_eps,
+        )
+        if single:
+            out = attention_single_pass_packed_tpu(packed, num_heads, true_t=t)
+        else:
+            out = flash_attention_packed_tpu(packed, num_heads, true_t=t)
+        return linear(out, p["proj_kernel"], p["proj_bias"])
+
     qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if "q_norm_scale" in p:
@@ -73,40 +153,6 @@ def attention(
     if positions is not None:
         q = rope_2d(q, positions, rope_base)
         k = rope_2d(k, positions, rope_base)
-
-    from ..ops.attention import on_tpu_platform
-    from ..parallel.context import current_tp_mesh, sharded_sdpa
-
-    if (
-        current_tp_mesh() is None
-        and on_tpu_platform()
-        and d == 64
-        and num_heads % 2 == 0
-    ):
-        # packed transpose-free path: qk-norm/RoPE/scale/pad fuse into the
-        # single packed-qkv write, the Pallas kernels read the native
-        # (B, T, 3*H*D) layout and emit (B, T, C) directly for proj. The
-        # (B,T,H,D)->(B*H,Tp,D) relayouts this kills cost more than the
-        # softmax they fed (28 ms/18 ms per global/frame block, measured).
-        from ..ops.attention import MEDIUM_SEQUENCE_THRESHOLD
-        from ..ops.pallas_attention import (
-            LOG2_E,
-            SINGLE_PASS_MAX_T,
-            attention_single_pass_packed_tpu,
-            flash_attention_packed_tpu,
-        )
-
-        if t >= MEDIUM_SEQUENCE_THRESHOLD:
-            qs = q * jnp.asarray(d**-0.5 * LOG2_E, q.dtype)
-            packed = jnp.concatenate(
-                [qs.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c)],
-                axis=-1,
-            )
-            if t <= SINGLE_PASS_MAX_T:
-                out = attention_single_pass_packed_tpu(packed, num_heads)
-            else:
-                out = flash_attention_packed_tpu(packed, num_heads)
-            return linear(out, p["proj_kernel"], p["proj_bias"])
 
     # mesh-sharded under an active mesh (parallel/context.py); plain sdpa
     # otherwise — GSPMD alone would all-gather qkv and replicate attention

@@ -478,8 +478,15 @@ def _flash_packed_kernel(
         o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def flash_packed_lattice(t: int, blk_q: int = 2048, blk_k: int = 2048) -> int:
+    """Padded row count flash_attention_packed_tpu uses for logical length t —
+    the ``out_t`` a fused producer must emit when passing ``true_t``."""
+    return _ceil_to(t, math.lcm(blk_q, blk_k))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "blk_q", "blk_k", "n_q_blocks", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "blk_q", "blk_k", "n_q_blocks", "true_t", "interpret"),
 )
 def flash_attention_packed_tpu(
     qkv: jnp.ndarray,
@@ -487,6 +494,7 @@ def flash_attention_packed_tpu(
     blk_q: int = 2048,
     blk_k: int = 2048,
     n_q_blocks: int = 1,
+    true_t: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention over a packed (B, T, 3*H*D) qkv tensor -> (B, T, H*D).
@@ -495,14 +503,26 @@ def flash_attention_packed_tpu(
     SCALED by sm_scale*log2(e) and carry qk-norm/RoPE (the producer fuses
     those into its single elementwise write). Bound-variant softmax (module
     docstring): exact for base-2 logits <= 247.
+
+    ``true_t``: when the producer already emitted the padded lattice
+    (qkv_rope_producer_tpu with out_t = flash_packed_lattice(t)), pass the
+    logical length here — the internal pad is skipped, padded keys (exact
+    zeros by the producer's row mask) are corrected in the denominator as
+    usual, and the output is sliced back to true_t rows.
     """
     B, T, C3 = qkv.shape
     H = num_heads
     D = C3 // (3 * H)
     assert D == 64 and H % 2 == 0, (H, D)
     qb_super = blk_q
-    Tp = _ceil_to(T, math.lcm(qb_super, blk_k))
-    qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+    if true_t is not None:
+        assert T == flash_packed_lattice(true_t, blk_q, blk_k), (T, true_t)
+        Tp, t_out = T, true_t
+        qkv_p = qkv
+    else:
+        Tp = _ceil_to(T, math.lcm(qb_super, blk_k))
+        t_out = T
+        qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
 
     # per-head max |k| (base for the CS bound), shaped (B*H,) in (b, h) order
     kf = qkv_p.reshape(B, Tp, 3, H, D)[:, :, 1].astype(jnp.float32)
@@ -511,7 +531,7 @@ def flash_attention_packed_tpu(
     oq, ok, ov = _packed_offsets(H)
     grid = (B * H // 2, Tp // qb_super, Tp // blk_k)
     out = pl.pallas_call(
-        functools.partial(_flash_packed_kernel, n_pad=Tp - T, nq=n_q_blocks),
+        functools.partial(_flash_packed_kernel, n_pad=Tp - t_out, nq=n_q_blocks),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -543,7 +563,7 @@ def flash_attention_packed_tpu(
         ),
         interpret=interpret,
     )(kn, qkv_p, qkv_p, qkv_p)
-    return out[:, :T]
+    return out[:, :t_out]
 
 
 def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: int):
@@ -583,19 +603,23 @@ def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: in
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_interleave", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "n_interleave", "true_t", "interpret")
+)
 def attention_single_pass_packed_tpu(
     qkv: jnp.ndarray,
     num_heads: int,
     n_interleave: int | None = None,
+    true_t: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-pass attention over packed (B, T, 3*H*D) qkv -> (B, T, H*D).
 
-    Same contract as flash_attention_packed_tpu; for T <= SINGLE_PASS_MAX_T.
-    Each grid step handles ``n_interleave`` head-pairs of one batch row
-    (auto: 2 when H/2 is even — measured ~9% faster than 1 at the frame
-    shape; more buys nothing).
+    Same contract as flash_attention_packed_tpu (incl. ``true_t`` for
+    producer-padded input, lattice _ceil_to(t, 128)); for
+    T <= SINGLE_PASS_MAX_T. Each grid step handles ``n_interleave``
+    head-pairs of one batch row (auto: 2 when H/2 is even — measured ~9%
+    faster than 1 at the frame shape; more buys nothing).
     """
     B, T, C3 = qkv.shape
     H = num_heads
@@ -604,14 +628,20 @@ def attention_single_pass_packed_tpu(
         n_interleave = 2 if (H // 2) % 2 == 0 else 1
     assert D == 64 and H % 2 == 0 and (H // 2) % n_interleave == 0, (H, D)
     nw = n_interleave
-    Tp = _ceil_to(T, 128)
-    qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+    if true_t is not None:
+        assert T == _ceil_to(true_t, 128), (T, true_t)
+        Tp, t_out = T, true_t
+        qkv_p = qkv
+    else:
+        Tp = _ceil_to(T, 128)
+        t_out = T
+        qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
 
     oq, ok, ov = _packed_offsets(H)
     hp = H // 2  # head pairs per batch row
     grid = (B * hp // nw,)
     out = pl.pallas_call(
-        functools.partial(_single_pass_packed_kernel, n_pad=Tp - T, nw=nw),
+        functools.partial(_single_pass_packed_kernel, n_pad=Tp - t_out, nw=nw),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -638,7 +668,7 @@ def attention_single_pass_packed_tpu(
         ),
         interpret=interpret,
     )(qkv_p, qkv_p, qkv_p)
-    return out[:, :T]
+    return out[:, :t_out]
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,31 @@ def rope_2d(x: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0) -> jnp.
     return jnp.concatenate([y, xx], axis=-1)
 
 
+def rope_tables(
+    positions: jnp.ndarray, d: int, base: float = 100.0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token cos/sin tables for the fused producer kernel.
+
+    positions: (B, T, 2) integer (y, x). Returns (cos, sin), each (B, T, d)
+    float32 in the head-dim lane order rope_2d applies them:
+    [c_y | c_y | c_x | c_x] with quarters of d//4 — the y/x halves each repeat
+    their (d//4)-frequency vector over the GPT-NeoX rotation pairs. Identical
+    per head, so one 64-lane table serves every head (the kernel tiles it to
+    the 128-lane head pair).
+    """
+    dh = d // 2  # per-coordinate half
+    inv_freq = 1.0 / (base ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    ay = positions[..., 0, None].astype(jnp.float32) * inv_freq  # (B, T, d//4)
+    ax = positions[..., 1, None].astype(jnp.float32) * inv_freq
+    cos = jnp.concatenate(
+        [jnp.cos(ay), jnp.cos(ay), jnp.cos(ax), jnp.cos(ax)], axis=-1
+    )
+    sin = jnp.concatenate(
+        [jnp.sin(ay), jnp.sin(ay), jnp.sin(ax), jnp.sin(ax)], axis=-1
+    )
+    return cos, sin
+
+
 def make_patch_positions(
     batch: int, h: int, w: int, num_special: int = 0, offset: int = 0
 ) -> jnp.ndarray:

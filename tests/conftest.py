@@ -17,7 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("PI3_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
