@@ -235,8 +235,8 @@ def block_mlp_fused_tpu(
     b2: jnp.ndarray,
     ls: jnp.ndarray | None = None,
     eps: float = 1e-6,
-    blk_rows: int = 1024,
-    n_hidden_blocks: int | None = None,
+    blk_rows: int = 256,
+    n_hidden_blocks: int | None = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + ls * mlp(layer_norm(x)) in one pass over x (..., C).
