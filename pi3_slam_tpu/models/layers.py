@@ -126,7 +126,11 @@ def attention(
             sin = jnp.zeros((b, t, d), jnp.float32)
         qkv_raw = linear(x, p["qkv_kernel"], p["qkv_bias"])
         single = t <= SINGLE_PASS_MAX_T
-        out_t = -(-t // 128) * 128 if single else flash_packed_lattice(t)
+        # single-pass: T is never gridded, so the producer emits the exact
+        # unpadded length; flash: the producer writes straight onto the
+        # kernel's 2048-lattice and hands over the per-head k norms so the
+        # kernel skips its own k re-read (a T-minor layout copy in XLA)
+        out_t = t if single else flash_packed_lattice(t)
         packed = qkv_rope_producer_tpu(
             qkv_raw,
             cos,
@@ -138,11 +142,13 @@ def attention(
             k_norm_scale=p.get("k_norm_scale"),
             k_norm_bias=p.get("k_norm_bias"),
             eps=qk_norm_eps,
+            return_k_norms=not single,
         )
         if single:
-            out = attention_single_pass_packed_tpu(packed, num_heads, true_t=t)
+            out = attention_single_pass_packed_tpu(packed, num_heads)
         else:
-            out = flash_attention_packed_tpu(packed, num_heads, true_t=t)
+            packed, kn = packed
+            out = flash_attention_packed_tpu(packed, num_heads, true_t=t, kn=kn)
         return linear(out, p["proj_kernel"], p["proj_bias"])
 
     qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)

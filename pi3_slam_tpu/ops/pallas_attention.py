@@ -495,6 +495,7 @@ def flash_attention_packed_tpu(
     blk_k: int = 2048,
     n_q_blocks: int = 1,
     true_t: int | None = None,
+    kn: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention over a packed (B, T, 3*H*D) qkv tensor -> (B, T, H*D).
@@ -509,6 +510,12 @@ def flash_attention_packed_tpu(
     logical length here — the internal pad is skipped, padded keys (exact
     zeros by the producer's row mask) are corrected in the denominator as
     usual, and the output is sliced back to true_t rows.
+
+    ``kn``: optional (B*H,) f32 per-head max |k| (the producer's
+    return_k_norms output). Without it the kernel re-reads the k third of
+    the packed tensor to compute the Cauchy-Schwarz bound base — and XLA
+    lays that reduce out T-minor, inserting a full-tensor layout copy
+    (~21 ms at the chunk shape).
     """
     B, T, C3 = qkv.shape
     H = num_heads
@@ -524,9 +531,10 @@ def flash_attention_packed_tpu(
         t_out = T
         qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
 
-    # per-head max |k| (base for the CS bound), shaped (B*H,) in (b, h) order
-    kf = qkv_p.reshape(B, Tp, 3, H, D)[:, :, 1].astype(jnp.float32)
-    kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=3), axis=1)).reshape(B * H)
+    if kn is None:
+        # per-head max |k| (CS bound base), shaped (B*H,) in (b, h) order
+        kf = qkv_p.reshape(B, Tp, 3, H, D)[:, :, 1].astype(jnp.float32)
+        kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=3), axis=1)).reshape(B * H)
 
     oq, ok, ov = _packed_offsets(H)
     grid = (B * H // 2, Tp // qb_super, Tp // blk_k)
@@ -615,9 +623,14 @@ def attention_single_pass_packed_tpu(
 ) -> jnp.ndarray:
     """Single-pass attention over packed (B, T, 3*H*D) qkv -> (B, T, H*D).
 
-    Same contract as flash_attention_packed_tpu (incl. ``true_t`` for
-    producer-padded input, lattice _ceil_to(t, 128)); for
-    T <= SINGLE_PASS_MAX_T. Each grid step handles ``n_interleave``
+    Same contract as flash_attention_packed_tpu; for T <= SINGLE_PASS_MAX_T.
+    T needs NO alignment: the T dim is never gridded (whole-T blocks are
+    legal — a block dim may equal the array dim), so ragged sequences run
+    unpadded; the old pad-to-128 + slice-back cost a full HBM round trip of
+    the qkv tensor per call (pad.293 et al. in the compiled forward, ~1.3 ms
+    at the 100x643 encoder shape). ``true_t`` < T still accepts
+    producer-padded input whose pad rows are exact zeros (corrected via the
+    denominator as before). Each grid step handles ``n_interleave``
     head-pairs of one batch row (auto: 2 when H/2 is even — measured ~9%
     faster than 1 at the frame shape; more buys nothing).
     """
@@ -628,14 +641,10 @@ def attention_single_pass_packed_tpu(
         n_interleave = 2 if (H // 2) % 2 == 0 else 1
     assert D == 64 and H % 2 == 0 and (H // 2) % n_interleave == 0, (H, D)
     nw = n_interleave
-    if true_t is not None:
-        assert T == _ceil_to(true_t, 128), (T, true_t)
-        Tp, t_out = T, true_t
-        qkv_p = qkv
-    else:
-        Tp = _ceil_to(T, 128)
-        t_out = T
-        qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+    Tp = T
+    t_out = T if true_t is None else true_t
+    assert t_out <= T, (T, true_t)
+    qkv_p = qkv
 
     oq, ok, ov = _packed_offsets(H)
     hp = H // 2  # head pairs per batch row

@@ -128,22 +128,48 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, nj: int):
     )
 
 
+def _mlp_kernel3(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, nj: int):
+    o_ref[0] = _mlp_core(x_ref[0], w1_ref, b1_ref, w2_ref, b2_ref, nj).astype(
+        o_ref.dtype
+    )
+
+
+def _block_mlp_kernel3(
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, o_ref,
+    *, nj: int, eps: float
+):
+    _block_mlp_body(
+        x_ref[0], g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+        lambda v: o_ref.__setitem__(0, v), o_ref.dtype, nj, eps,
+    )
+
+
 def _block_mlp_kernel(
     x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, o_ref,
     *, nj: int, eps: float
 ):
+    _block_mlp_body(
+        x_ref[...], g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+        lambda v: o_ref.__setitem__(..., v), o_ref.dtype, nj, eps,
+    )
+
+
+def _block_mlp_body(
+    x, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, store, odt,
+    nj: int, eps: float
+):
     """o = x + ls * mlp(LN(x)); LN in fp32 like models/layers.layer_norm."""
-    x32 = x_ref[...].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=1, keepdims=True)
     var = jnp.mean((x32 - mean) * (x32 - mean), axis=1, keepdims=True)
     xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
     xn32 = xn32 * g_ref[0:1, :].astype(jnp.float32) + b_ref[0:1, :].astype(
         jnp.float32
     )
-    xn = xn32.astype(x_ref.dtype)  # layer_norm() casts back before the matmul
+    xn = xn32.astype(x.dtype)  # layer_norm() casts back before the matmul
     acc = _mlp_core(xn, w1_ref, b1_ref, w2_ref, b2_ref, nj)
     acc = acc * ls_ref[0:1, :].astype(jnp.float32)
-    o_ref[...] = (x32 + acc).astype(o_ref.dtype)
+    store((x32 + acc).astype(odt))
 
 
 def mlp_fused_supported(c: int, hidden: int) -> bool:
@@ -177,6 +203,27 @@ def _row_grid(x: jnp.ndarray, blk_rows: int):
     return x2, t, tp
 
 
+def _token_block(t: int, requested: int, lo: int = 256, hi: int = 2048) -> int | None:
+    """Exact token-dim block for the 3D path: T itself when small, else the
+    divisor of T closest to ``requested`` within [lo, hi]. None -> no exact
+    tiling exists and the caller must take the flatten+pad fallback.
+
+    Why exact tiling matters (measured in the compiled forward, PARITY round
+    3): flattening (B, T, C) to (B*T, C) physically re-tiles the (8, 128)
+    TPU layout when B > 1 (each (T, C) slab pads its own row tiles), and the
+    pad-to-block + slice-back around the row grid adds two more full HBM
+    round trips — together ~0.5-1.3 ms per MLP call at the 100x643 frame
+    shape, roughly 10% of the kernel itself.
+    """
+    if t <= hi:
+        return t
+    best = None
+    for d in range(lo, hi + 1):
+        if t % d == 0 and (best is None or abs(d - requested) < abs(best - requested)):
+            best = d
+    return best
+
+
 @functools.partial(
     jax.jit, static_argnames=("blk_rows", "n_hidden_blocks", "interpret")
 )
@@ -193,18 +240,36 @@ def mlp_fused_tpu(
     """fc2(gelu_erf(fc1(x))) for x (..., C), kernels (C, hidden)/(hidden, C)."""
     c, hidden = w1.shape
     nj = _n_hidden_blocks(hidden, n_hidden_blocks)
-    x2, t, tp = _row_grid(x, blk_rows)
     wd = x.dtype
+    args = (w1.astype(wd), b1.reshape(1, hidden), w2.astype(wd), b2.reshape(1, c))
+    pshapes = [(c, hidden), (1, hidden), (hidden, c), (1, c)]
+    t_tok = x.shape[-2] if x.ndim >= 2 else None
+    blk_t = _token_block(t_tok, blk_rows) if x.ndim >= 3 else None
+    if blk_t is not None:
+        # exact 3D tiling: no flatten (re-tiles the (8,128) layout when
+        # B > 1), no pad-to-block, no slice-back
+        xb = x.reshape(-1, t_tok, c)
+        bsz = xb.shape[0]
+        out = pl.pallas_call(
+            functools.partial(_mlp_kernel3, nj=nj),
+            grid=(bsz, t_tok // blk_t),
+            in_specs=[pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0))]
+            + [pl.BlockSpec(s, lambda b, i: (0, 0)) for s in pshapes],
+            out_specs=pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bsz, t_tok, c), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xb, *args)
+        return out.reshape(x.shape)
+    x2, t, tp = _row_grid(x, blk_rows)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, nj=nj),
         grid=(tp // blk_rows,),
-        in_specs=[
-            pl.BlockSpec((blk_rows, c), lambda i: (i, 0)),
-            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((blk_rows, c), lambda i: (i, 0))]
+        + [pl.BlockSpec(s, lambda i: (0, 0)) for s in pshapes],
         out_specs=pl.BlockSpec((blk_rows, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((tp, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -212,13 +277,7 @@ def mlp_fused_tpu(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        x2,
-        w1.astype(wd),
-        b1.reshape(1, hidden),
-        w2.astype(wd),
-        b2.reshape(1, c),
-    )
+    )(x2, *args)
     return out[:t].reshape(x.shape)
 
 
@@ -248,32 +307,10 @@ def block_mlp_fused_tpu(
     """
     c, hidden = w1.shape
     nj = _n_hidden_blocks(hidden, n_hidden_blocks)
-    x2, t, tp = _row_grid(x, blk_rows)
     wd = x.dtype
     if ls is None:
         ls = jnp.ones((c,), jnp.float32)
-    out = pl.pallas_call(
-        functools.partial(_block_mlp_kernel, nj=nj, eps=eps),
-        grid=(tp // blk_rows,),
-        in_specs=[
-            pl.BlockSpec((blk_rows, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((blk_rows, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((tp, c), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
-        x2,
+    args = (
         norm_scale.reshape(1, c),
         norm_bias.reshape(1, c),
         w1.astype(wd),
@@ -282,4 +319,39 @@ def block_mlp_fused_tpu(
         b2.reshape(1, c),
         ls.reshape(1, c),
     )
+    pshapes = [(1, c), (1, c), (c, hidden), (1, hidden), (hidden, c), (1, c), (1, c)]
+    t_tok = x.shape[-2] if x.ndim >= 2 else None
+    blk_t = _token_block(t_tok, blk_rows) if x.ndim >= 3 else None
+    if blk_t is not None:
+        # exact 3D tiling — see mlp_fused_tpu
+        xb = x.reshape(-1, t_tok, c)
+        bsz = xb.shape[0]
+        out = pl.pallas_call(
+            functools.partial(_block_mlp_kernel3, nj=nj, eps=eps),
+            grid=(bsz, t_tok // blk_t),
+            in_specs=[pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0))]
+            + [pl.BlockSpec(s, lambda b, i: (0, 0)) for s in pshapes],
+            out_specs=pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bsz, t_tok, c), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xb, *args)
+        return out.reshape(x.shape)
+    x2, t, tp = _row_grid(x, blk_rows)
+    out = pl.pallas_call(
+        functools.partial(_block_mlp_kernel, nj=nj, eps=eps),
+        grid=(tp // blk_rows,),
+        in_specs=[pl.BlockSpec((blk_rows, c), lambda i: (i, 0))]
+        + [pl.BlockSpec(s, lambda i: (0, 0)) for s in pshapes],
+        out_specs=pl.BlockSpec((blk_rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((tp, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2, *args)
     return out[:t].reshape(x.shape)

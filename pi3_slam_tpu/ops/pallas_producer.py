@@ -82,16 +82,19 @@ def _rope_rotate(xb: jnp.ndarray) -> jnp.ndarray:
 
 def _producer_kernel(
     qkv_ref, cos_ref, sin_ref, qs_ref, qb_ref, ks_ref, kb_ref, m_ref,
-    o_ref, *, hp: int, n_valid: int, blk_rows: int, eps: float,
+    o_ref, kn_ref, *, hp: int, n_valid: int, blk_rows: int, eps: float,
     has_norm: bool, scale: float,
 ):
     i = pl.program_id(1)
+    n_blk = pl.num_programs(1)
     x = qkv_ref[0]  # (blk_rows, 3C)
     cs = cos_ref[0]  # (blk_rows, 64)
     sn = sin_ref[0]
     cs2 = jnp.concatenate([cs, cs], axis=1)  # (blk_rows, 128): head pair
     sn2 = jnp.concatenate([sn, sn], axis=1)
     mavg = m_ref[...]  # (128, 128) f32
+    rows = i * blk_rows + jax.lax.broadcasted_iota(jnp.int32, (blk_rows, 1), 0)
+    valid = rows < n_valid
 
     norm_params = ((qs_ref, qb_ref), (ks_ref, kb_ref))
     outs = []
@@ -121,14 +124,36 @@ def _producer_kernel(
                     0:1, :
                 ].astype(jnp.float32)
                 xb = xn.astype(x.dtype)
+            if region == 1:
+                # per-head max squared k-norm (RoPE is a rotation, so the
+                # pre-rotation norm is the post-rotation norm): row sums per
+                # 64-lane half via the ones-block matmul, rows masked BEFORE
+                # the max so out-of-range garbage can't inflate the bound
+                xsq = jnp.where(valid, xb.astype(jnp.float32) ** 2, 0.0)
+                sq = jax.lax.dot_general(
+                    xsq, mavg * 64.0, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (blk_rows, 128): each lane = its half's row sq-norm
+                blk_max = jnp.max(sq, axis=0, keepdims=True)  # (1, 128)
+                prev = jnp.where(i > 0, kn_ref[0, j : j + 1, :], 0.0)
+                kn_ref[0, j : j + 1, :] = jnp.maximum(prev, blk_max)
             yb = xb * cs2 + _rope_rotate(xb) * sn2
             if region == 0:
                 yb = yb * jnp.asarray(scale, x.dtype)
             outs.append(yb)
     v = x[:, 2 * hp * 128 :]
     out = jnp.concatenate(outs + [v], axis=1)
-    rows = i * blk_rows + jax.lax.broadcasted_iota(jnp.int32, (blk_rows, 1), 0)
-    o_ref[0] = jnp.where(rows < n_valid, out, 0).astype(o_ref.dtype)
+    del n_blk
+    o_ref[0] = jnp.where(valid, out, 0).astype(o_ref.dtype)
+
+
+def head_k_norms(knsq: jnp.ndarray) -> jnp.ndarray:
+    """(B, hp, 128) per-pair max sq-norms -> (B*H,) per-head max |k|, the
+    flash kernels' Cauchy-Schwarz bound base (kn operand)."""
+    b, hp, _ = knsq.shape
+    pair = jnp.stack([knsq[:, :, 0], knsq[:, :, 64]], axis=-1)  # (B, hp, 2)
+    return jnp.sqrt(pair.reshape(b * hp * 2))
 
 
 def _pick_blk_rows(tp: int, t: int) -> int:
@@ -143,7 +168,9 @@ def _pick_blk_rows(tp: int, t: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "out_t", "eps", "apply_scale", "interpret"),
+    static_argnames=(
+        "num_heads", "out_t", "eps", "apply_scale", "return_k_norms", "interpret"
+    ),
 )
 def qkv_rope_producer_tpu(
     qkv: jnp.ndarray,
@@ -157,6 +184,7 @@ def qkv_rope_producer_tpu(
     k_norm_bias: jnp.ndarray | None = None,
     eps: float = 1e-5,
     apply_scale: bool = True,
+    return_k_norms: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused qk-norm + RoPE + scale + pad over packed qkv.
@@ -167,13 +195,19 @@ def qkv_rope_producer_tpu(
     (head decoder blocks). Returns (B, out_t, 3C): q third normed, rotated
     and scaled by D**-0.5 * log2(e) (the packed attention kernels' input
     contract), k third normed and rotated, v copied; rows >= T are exact
-    zeros (out_t is the consuming kernel's padded lattice, out_t >= T).
+    zeros (out_t is the consuming kernel's padded lattice, out_t >= T —
+    out_t == T runs fully unpadded). With ``return_k_norms`` also returns
+    the per-head max |k| as (B*H,) f32 (post-norm, pre-rotation — RoPE
+    preserves norms), ready to feed flash_attention_packed_tpu's ``kn``
+    operand so the flash path skips its own full re-read of k (a ~21 ms/
+    chunk layout copy: XLA laid the reduce input out T-minor, copying the
+    whole packed tensor — see PARITY round-3 table).
     """
     B, T, C3 = qkv.shape
     H = num_heads
     D = C3 // (3 * H)
     assert D == 64 and H % 2 == 0, (H, D)
-    assert out_t >= T and out_t % 128 == 0, (out_t, T)
+    assert out_t >= T, (out_t, T)
     hp = H // 2
     has_norm = q_norm_scale is not None
     blk_rows = _pick_blk_rows(out_t, T)
@@ -192,7 +226,7 @@ def qkv_rope_producer_tpu(
         return (b, jnp.minimum(i, n_in - 1), 0)
 
     grid = (B, out_t // blk_rows)
-    out = pl.pallas_call(
+    out, knsq = pl.pallas_call(
         functools.partial(
             _producer_kernel,
             hp=hp,
@@ -213,8 +247,14 @@ def qkv_rope_producer_tpu(
             pl.BlockSpec((1, 128), lambda b, i: (0, 0)),
             pl.BlockSpec((128, 128), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, blk_rows, C3), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, out_t, C3), dt),
+        out_specs=[
+            pl.BlockSpec((1, blk_rows, C3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, hp, 128), lambda b, i: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, out_t, C3), dt),
+            jax.ShapeDtypeStruct((B, hp, 128), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -230,4 +270,6 @@ def qkv_rope_producer_tpu(
         kb,
         jnp.asarray(_avg_matrix()),
     )
+    if return_k_norms:
+        return out, head_k_norms(knsq)
     return out

@@ -119,3 +119,33 @@ def test_shape_gates():
     assert _n_hidden_blocks(128, None) == 1
     with pytest.raises(ValueError):
         _n_hidden_blocks(4096, 3)
+
+
+def test_mlp_fused_2d_and_fallback_paths(rng):
+    """ndim==2 inputs and big-prime T take the flatten+pad fallback; both
+    must match the exact-3D path numerics."""
+    c, hidden = 128, 256
+    p = _params(rng, c, hidden)
+    # 2D input -> fallback row grid
+    x2 = jnp.asarray(rng.normal(size=(317, c)).astype(np.float32))
+    out2 = mlp_fused_tpu(
+        x2, p["fc1_kernel"], p["fc1_bias"], p["fc2_kernel"], p["fc2_bias"],
+        blk_rows=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(mlp(x2, p)), atol=2e-5, rtol=1e-5)
+    # 3D with prime T > hi -> no exact divisor -> fallback
+    x3 = jnp.asarray(rng.normal(size=(2, 2053, c)).astype(np.float32))
+    out3 = mlp_fused_tpu(
+        x3, p["fc1_kernel"], p["fc1_bias"], p["fc2_kernel"], p["fc2_bias"],
+        blk_rows=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(mlp(x3, p)), atol=2e-5, rtol=1e-5)
+
+
+def test_token_block_selection():
+    from pi3_slam_tpu.ops.pallas_mlp import _token_block
+
+    assert _token_block(643, 256) == 643          # small T: whole-T block
+    assert _token_block(64300, 256) == 643        # 100x643 chunk shape
+    assert _token_block(2048, 256) == 2048
+    assert _token_block(2053 * 2, 256) is None    # prime factors too large
