@@ -216,10 +216,14 @@ def _token_block(t: int, requested: int, lo: int = 256, hi: int = 2048) -> int |
     shape, roughly 10% of the kernel itself.
     """
     if t <= hi:
-        return t
+        return t  # block dim == array dim: always legal
     best = None
     for d in range(lo, hi + 1):
-        if t % d == 0 and (best is None or abs(d - requested) < abs(best - requested)):
+        # Mosaic accepts a second-minor block dim only when it divides the
+        # sublane tile (multiples of 8) or equals the array dim
+        if d % 8 == 0 and t % d == 0 and (
+            best is None or abs(d - requested) < abs(best - requested)
+        ):
             best = d
     return best
 

@@ -146,6 +146,9 @@ def test_token_block_selection():
     from pi3_slam_tpu.ops.pallas_mlp import _token_block
 
     assert _token_block(643, 256) == 643          # small T: whole-T block
-    assert _token_block(64300, 256) == 643        # 100x643 chunk shape
+    # 64300 = 2^2 * 5^2 * 643 has no 8-multiple divisor in range: the
+    # flattened chunk shape takes the pad fallback (B=1 flatten is free)
+    assert _token_block(64300, 256) is None
+    assert _token_block(64512, 256) == 256
     assert _token_block(2048, 256) == 2048
     assert _token_block(2053 * 2, 256) is None    # prime factors too large
