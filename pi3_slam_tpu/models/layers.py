@@ -92,21 +92,24 @@ def attention(
         has_norm = "q_norm_scale" in p
         scale = d**-0.5 * LOG2_E
         if positions is None and not has_norm:
-            # no qk-norm / RoPE (DINOv2 encoder blocks): fold the softmax
-            # scale into the q third of the projection weights — the qkv
-            # matmul output IS the packed kernel input, with no slice/
-            # scale/concat round-trip over the (B, T, 3C) activation
-            # (measured ~5 ms/block of fusions+layout copies at the
-            # 100x643 encoder shape).
-            kq = jnp.concatenate(
-                [p["qkv_kernel"][:, :c] * scale, p["qkv_kernel"][:, c:]], axis=-1
-            )
-            bq = jnp.concatenate([p["qkv_bias"][:c] * scale, p["qkv_bias"][c:]])
-            packed = linear(x, kq, bq)
+            # no qk-norm / RoPE (DINOv2 encoder blocks): the qkv matmul
+            # output IS the packed kernel input — no slice/scale/concat
+            # round-trip over the (B, T, 3C) activation (measured ~5 ms/
+            # block of fusions+layout copies at the 100x643 encoder shape).
+            # The softmax scale rides the kernel's f32 logits (q_scale);
+            # the rare long-T case folds it into the q projection weights.
             if t <= SINGLE_PASS_MAX_T:
-                out = attention_single_pass_packed_tpu(packed, num_heads)
+                packed = linear(x, p["qkv_kernel"], p["qkv_bias"])
+                out = attention_single_pass_packed_tpu(
+                    packed, num_heads, q_scale=scale
+                )
             else:
-                out = flash_attention_packed_tpu(packed, num_heads)
+                kq = jnp.concatenate(
+                    [p["qkv_kernel"][:, :c] * scale, p["qkv_kernel"][:, c:]],
+                    axis=-1,
+                )
+                bq = jnp.concatenate([p["qkv_bias"][:c] * scale, p["qkv_bias"][c:]])
+                out = flash_attention_packed_tpu(linear(x, kq, bq), num_heads)
             return linear(out, p["proj_kernel"], p["proj_bias"])
 
         # qk-norm / RoPE producer (decoder + head blocks): per-head LN, the

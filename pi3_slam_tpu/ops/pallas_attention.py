@@ -574,12 +574,16 @@ def flash_attention_packed_tpu(
     return out[:, :t_out]
 
 
-def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: int):
+def _single_pass_packed_kernel(
+    qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: int, q_scale: float = 1.0
+):
     """Single-pass bound softmax over nw packed head-pairs per grid step.
 
     Blocks are (1, Tp, nw*128): 2*nw heads side by side in the lane dim.
     All QK^T matmuls issue first so each head's softmax (VPU) overlaps the
-    neighbours' PV matmuls (MXU).
+    neighbours' PV matmuls (MXU). ``q_scale`` multiplies the f32 logits
+    (folded into the exp2 chain, effectively free) for callers whose q is
+    not pre-scaled — more accurate than scaling bf16 q values.
     """
     nsub = nw * 2
     ones = jnp.ones((qkv_v.shape[1], 1), qkv_v.dtype)
@@ -600,8 +604,9 @@ def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: in
         k32 = head(qkv_k, i).astype(jnp.float32)
         qn = jnp.sqrt(jnp.sum(q32 * q32, axis=1, keepdims=True))
         kn = jnp.sqrt(jnp.max(jnp.sum(k32 * k32, axis=1)))
-        m_hat = jnp.minimum(qn * kn + 1.0, 120.0)
-        p = jnp.exp2(logits[i] - m_hat).astype(qkv_v.dtype)
+        m_hat = jnp.minimum(qn * kn * q_scale + 1.0, 120.0)
+        li = logits[i] * q_scale if q_scale != 1.0 else logits[i]
+        p = jnp.exp2(li - m_hat).astype(qkv_v.dtype)
         vs = jnp.concatenate([head(qkv_v, i), ones], axis=1)
         pv = jax.lax.dot_general(
             p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -612,13 +617,15 @@ def _single_pass_packed_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, n_pad: int, nw: in
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "n_interleave", "true_t", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "n_interleave", "true_t", "q_scale", "interpret"),
 )
 def attention_single_pass_packed_tpu(
     qkv: jnp.ndarray,
     num_heads: int,
     n_interleave: int | None = None,
     true_t: int | None = None,
+    q_scale: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-pass attention over packed (B, T, 3*H*D) qkv -> (B, T, H*D).
@@ -650,7 +657,9 @@ def attention_single_pass_packed_tpu(
     hp = H // 2  # head pairs per batch row
     grid = (B * hp // nw,)
     out = pl.pallas_call(
-        functools.partial(_single_pass_packed_kernel, n_pad=Tp - t_out, nw=nw),
+        functools.partial(
+            _single_pass_packed_kernel, n_pad=Tp - t_out, nw=nw, q_scale=q_scale
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

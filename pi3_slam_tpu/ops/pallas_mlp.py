@@ -183,7 +183,9 @@ def _n_hidden_blocks(hidden: int, requested: int | None) -> int:
         if hidden % requested or (hidden // requested) % 128:
             raise ValueError(f"n_hidden_blocks={requested} for hidden={hidden}")
         return requested
-    for nj in (8, 4, 2, 1):
+    # 4 first: the tuned sweet spot at the Pi3 hidden=4096 shape (in-model
+    # sweep, PARITY round 3); smaller hidden dims fall through to what fits
+    for nj in (4, 8, 2, 1):
         if hidden % nj == 0 and (hidden // nj) % 128 == 0:
             return nj
     return 1
@@ -215,16 +217,17 @@ def _token_block(t: int, requested: int, lo: int = 256, hi: int = 2048) -> int |
     round trips — together ~0.5-1.3 ms per MLP call at the 100x643 frame
     shape, roughly 10% of the kernel itself.
     """
-    if t <= hi:
-        return t  # block dim == array dim: always legal
     best = None
-    for d in range(lo, hi + 1):
-        # Mosaic accepts a second-minor block dim only when it divides the
-        # sublane tile (multiples of 8) or equals the array dim
-        if d % 8 == 0 and t % d == 0 and (
+    for d in range(lo, min(hi, t) + 1):
+        # Mosaic's sublane tile is 16 rows for bf16 (8 for f32): only
+        # 16-multiple block dims are legal for every dtype unless the block
+        # equals the array dim
+        if d % 16 == 0 and t % d == 0 and (
             best is None or abs(d - requested) < abs(best - requested)
         ):
             best = d
+    if best is None and t <= hi:
+        return t  # whole-T block (block dim == array dim: always legal)
     return best
 
 
@@ -299,7 +302,7 @@ def block_mlp_fused_tpu(
     ls: jnp.ndarray | None = None,
     eps: float = 1e-6,
     blk_rows: int = 256,
-    n_hidden_blocks: int | None = 4,
+    n_hidden_blocks: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + ls * mlp(layer_norm(x)) in one pass over x (..., C).

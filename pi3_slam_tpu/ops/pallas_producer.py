@@ -45,11 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LOG2_E = 1.4426950408889634
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .pallas_attention import LOG2_E, _ceil_to  # shared kernel-contract constants
 
 
 @functools.lru_cache(maxsize=None)
@@ -86,7 +82,6 @@ def _producer_kernel(
     has_norm: bool, scale: float,
 ):
     i = pl.program_id(1)
-    n_blk = pl.num_programs(1)
     x = qkv_ref[0]  # (blk_rows, 3C)
     cs = cos_ref[0]  # (blk_rows, 64)
     sn = sin_ref[0]
@@ -144,7 +139,6 @@ def _producer_kernel(
             outs.append(yb)
     v = x[:, 2 * hp * 128 :]
     out = jnp.concatenate(outs + [v], axis=1)
-    del n_blk
     o_ref[0] = jnp.where(valid, out, 0).astype(o_ref.dtype)
 
 
@@ -211,6 +205,13 @@ def qkv_rope_producer_tpu(
     hp = H // 2
     has_norm = q_norm_scale is not None
     blk_rows = _pick_blk_rows(out_t, T)
+    if blk_rows > T:
+        # corner case (tiny T with a larger padded lattice): a block may not
+        # exceed an array dim, so bring the inputs up to one block first
+        pad = blk_rows - T
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        cos = jnp.pad(cos, ((0, 0), (0, pad), (0, 0)))
+        sin = jnp.pad(sin, ((0, 0), (0, pad), (0, 0)))
     n_in = -(-T // blk_rows)  # ceil: input row blocks (last may be ragged)
 
     dt = qkv.dtype

@@ -241,3 +241,26 @@ def test_pallas_kernel_matches_reference_on_tpu(rng):
     o = flash_attention_tpu(q, k, v, blk_q=128, blk_k=128)
     ref = sdpa_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-2)  # base-2 softmax + TPU default matmul precision
+
+
+def test_single_pass_packed_q_scale(rng):
+    """q_scale on the f32 logits == pre-scaling q (the encoder no-fold path)."""
+    from pi3_slam_tpu.ops.pallas_attention import (
+        LOG2_E,
+        attention_single_pass_packed_tpu,
+    )
+
+    b, t, h, d = 2, 300, 4, 64
+    c = h * d
+    raw = rng.standard_normal((3, b, t, h, d)).astype(np.float32) * 0.3
+    q, k, v = (jnp.asarray(a) for a in raw)
+    s = d**-0.5 * LOG2_E
+    packed_scaled = jnp.concatenate(
+        [(q * s).reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c)], -1
+    )
+    packed_raw = jnp.concatenate(
+        [q.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c)], -1
+    )
+    ref = attention_single_pass_packed_tpu(packed_scaled, h, interpret=True)
+    got = attention_single_pass_packed_tpu(packed_raw, h, q_scale=s, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

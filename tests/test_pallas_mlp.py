@@ -114,8 +114,9 @@ def test_shape_gates():
     assert mlp_fused_supported(1024, 4096)
     assert not mlp_fused_supported(1000, 4096)
     assert not mlp_fused_supported(1024, 4100)
-    assert _n_hidden_blocks(4096, None) == 8
+    assert _n_hidden_blocks(4096, None) == 4  # tuned default at the Pi3 shape
     assert _n_hidden_blocks(512, None) == 4
+    assert _n_hidden_blocks(1280, None) == 2  # 1280/4 not lane-aligned
     assert _n_hidden_blocks(128, None) == 1
     with pytest.raises(ValueError):
         _n_hidden_blocks(4096, 3)
@@ -150,5 +151,22 @@ def test_token_block_selection():
     # flattened chunk shape takes the pad fallback (B=1 flatten is free)
     assert _token_block(64300, 256) is None
     assert _token_block(64512, 256) == 256
-    assert _token_block(2048, 256) == 2048
+    assert _token_block(2048, 256) == 256  # prefer the tuned divisor over whole-T
     assert _token_block(2053 * 2, 256) is None    # prime factors too large
+
+
+def test_block_mlp_defaults_accept_any_gated_hidden(rng):
+    """The default n_hidden_blocks must be legal for every hidden dim the
+    layers.block gate admits (regression: an explicit default of 4 crashed
+    hidden=1280, whose only legal splits are 2 and 1)."""
+    c, hidden, t = 128, 1280, 64
+    p = _params(rng, c, hidden)
+    scale = jnp.ones((c,), jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, t, c)).astype(np.float32))
+    out = block_mlp_fused_tpu(
+        x, scale, bias, p["fc1_kernel"], p["fc1_bias"], p["fc2_kernel"],
+        p["fc2_bias"], interpret=True,
+    )
+    ref = x + mlp(layer_norm(x, scale, bias, 1e-6), p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5)
