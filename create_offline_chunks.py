@@ -52,6 +52,8 @@ def main(argv=None):
     parser.add_argument("--aliked-path", default=None,
                         help="Converted ALIKED weights (.npz) for --keypoints aliked")
     parser.add_argument("--max-kp", type=int, default=200)
+    parser.add_argument("--kp-threshold", type=float, default=0.005,
+                        help="ALIKED detection threshold (reference --kp-threshold)")
     parser.add_argument("--estimate-intrinsics", action="store_true", default=True)
     parser.add_argument("--num-workers", type=int, default=2,
                         help="Prefetch decode threads (2 is enough for the uint8 path; "
@@ -104,6 +106,7 @@ def main(argv=None):
         keypoint_type=args.keypoints,
         aliked_checkpoint_path=args.aliked_path,
         max_keypoints=args.max_kp,
+        keypoint_threshold=args.kp_threshold,
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,
         num_loader_workers=args.num_workers,

@@ -55,6 +55,8 @@ def main(argv=None):
     g_kp.add_argument("--aliked-path", default=None,
                       help="Converted ALIKED weights (.npz) for --keypoints aliked")
     g_kp.add_argument("--max-kp", type=int, default=1000)
+    g_kp.add_argument("--kp-threshold", type=float, default=0.005,
+                      help="ALIKED detection threshold (reference --kp-threshold)")
 
     g_rec = parser.add_argument_group("reconstruction")
     g_rec.add_argument("--max-observations-per-track", type=int, default=10)
@@ -112,6 +114,7 @@ def main(argv=None):
         keypoint_type=args.keypoints,
         aliked_checkpoint_path=args.aliked_path,
         max_keypoints=args.max_kp,
+        keypoint_threshold=args.kp_threshold,
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,
         max_observations_per_track=args.max_observations_per_track,

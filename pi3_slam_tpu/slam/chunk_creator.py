@@ -180,6 +180,7 @@ class OfflineChunkCreator:
             ex = create_keypoint_extractor(
                 "aliked",
                 max_num_keypoints=config.max_keypoints,
+                detection_threshold=config.keypoint_threshold,
                 aliked_checkpoint_path=config.aliked_checkpoint_path,
             )
             from ..utils.keypoints import ALIKEDExtractor

@@ -27,6 +27,7 @@ class OfflineCreatorConfig:
     # keypoints
     keypoint_type: str = "grid"
     max_keypoints: int = 1000
+    keypoint_threshold: float = 0.005  # ALIKED detection threshold (--kp-threshold)
     grid_spacing: Optional[int] = None
     aliked_checkpoint_path: Optional[str] = None  # converted ALIKED .npz
     # camera
@@ -80,6 +81,7 @@ class OnlineConfig:
     moge_checkpoint_path: Optional[str] = None
     keypoint_type: str = "grid"
     max_keypoints: int = 1000
+    keypoint_threshold: float = 0.005  # ALIKED detection threshold (--kp-threshold)
     aliked_checkpoint_path: Optional[str] = None  # converted ALIKED .npz
     estimate_camera_params: bool = True
     cam_dist_path: Optional[str] = None

@@ -84,6 +84,7 @@ class Pi3SLAMOnline:
             ex = create_keypoint_extractor(
                 "aliked",
                 max_num_keypoints=config.max_keypoints,
+                detection_threshold=config.keypoint_threshold,
                 aliked_checkpoint_path=config.aliked_checkpoint_path,
             )
             if isinstance(ex, ALIKEDExtractor):
