@@ -1,7 +1,20 @@
 """Custom Pallas TPU attention kernels.
 
-Two kernels cover the Pi3 / DINOv2 attention shapes (reference hot loop
-pi3/models/pi3.py:156-166, pi3/models/layers/attention.py:323-347):
+The kernel family covering the Pi3 / DINOv2 attention shapes (reference hot
+loop pi3/models/pi3.py:156-166, pi3/models/layers/attention.py:323-347):
+
+  * ``flash_attention_packed_tpu`` / ``attention_single_pass_packed_tpu`` —
+    the production pair: transpose-free attention over the packed
+    (B, T, 3·H·D) qkv-projection layout with bound-variant softmax (packed
+    section comment below; fed by ops/pallas_producer.py).
+  * ``flash_attention_tpu`` / ``attention_single_pass_tpu`` — the
+    (B, T, H, D)-layout originals, still used by the mesh-sharded paths
+    (parallel/context.py) and as oracles; design notes below.
+  * ``flash_attention_partial_tpu`` — unnormalized partial attention
+    (acc, bound, denominator) for the sequence-parallel ring steps
+    (parallel/ring.py).
+
+The original two-kernel design:
 
   * ``flash_attention_tpu`` — FlashAttention-2 schedule for the decoder's
     global blocks (~65k tokens at 100-frame chunks). XLA-level blockwise
