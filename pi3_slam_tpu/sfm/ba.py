@@ -52,6 +52,14 @@ class BAProblem(NamedTuple):
     prior_centers: jnp.ndarray  # (N, 3)
     prior_rot_weight: jnp.ndarray  # (N,) 1/sigma^2
     prior_pos_weight: jnp.ndarray  # (N,) 1/sigma^2
+    # optional gravity alignment (zeros = off): measured unit gravity
+    # direction in each CAMERA frame (telemetry accelerometer / attitude,
+    # utils/telemetry.py gravity_at_times) pulled toward R_cw @ gravity_world.
+    # Implements the reference's own unimplemented roadmap item
+    # (/root/reference/README.md "TODO: Add gravity residuals").
+    gravity_dirs: jnp.ndarray  # (N, 3) unit vectors, camera frame
+    gravity_weight: jnp.ndarray  # (N,) 1/sigma^2
+    gravity_world: jnp.ndarray  # (3,) unit gravity in the world frame
 
 
 def make_problem(
@@ -67,6 +75,9 @@ def make_problem(
     prior_centers=None,
     prior_rot_weight=None,
     prior_pos_weight=None,
+    gravity_dirs=None,
+    gravity_weight=None,
+    gravity_world=None,
 ) -> BAProblem:
     N = rotations.shape[0]
     T = points.shape[0]
@@ -95,6 +106,17 @@ def make_problem(
         ),
         prior_pos_weight=(
             jnp.zeros((N,), f32) if prior_pos_weight is None else jnp.asarray(prior_pos_weight, f32)
+        ),
+        gravity_dirs=(
+            jnp.zeros((N, 3), f32) if gravity_dirs is None else jnp.asarray(gravity_dirs, f32)
+        ),
+        gravity_weight=(
+            jnp.zeros((N,), f32) if gravity_weight is None else jnp.asarray(gravity_weight, f32)
+        ),
+        gravity_world=(
+            jnp.asarray([0.0, 0.0, -1.0], f32)
+            if gravity_world is None
+            else jnp.asarray(gravity_world, f32)
         ),
     )
 
@@ -148,6 +170,8 @@ def _cost(p: BAProblem, huber_delta: float) -> jnp.ndarray:
     dc = p.centers - p.prior_centers
     cost = cost + 0.5 * jnp.sum(p.prior_rot_weight * jnp.sum(dr * dr, axis=-1))
     cost = cost + 0.5 * jnp.sum(p.prior_pos_weight * jnp.sum(dc * dc, axis=-1))
+    rg = jnp.einsum("nij,j->ni", p.rotations, p.gravity_world) - p.gravity_dirs
+    cost = cost + 0.5 * jnp.sum(p.gravity_weight * jnp.sum(rg * rg, axis=-1))
     return cost
 
 
@@ -296,6 +320,17 @@ def _gn_step(
     Hcc = Hcc.at[:, 3:6, 3:6].add(p.prior_pos_weight[:, None, None] * eye3)
     bc = bc.at[:, :3].add(-p.prior_rot_weight[:, None] * dr_prior)
     bc = bc.at[:, 3:6].add(-p.prior_pos_weight[:, None] * dc_prior)
+
+    # gravity residual r_g = R_cw g_w - g_meas; left-perturbation jacobian
+    # d(exp(w) R g_w)/dw = -[R g_w]x  (rotation block only)
+    g_pred = jnp.einsum("nij,j->ni", p.rotations, p.gravity_world)  # (N, 3)
+    r_g = g_pred - p.gravity_dirs
+    Jg = -skew(g_pred)  # (N, 3, 3)
+    wg = p.gravity_weight[:, None]
+    Hcc = Hcc.at[:, :3, :3].add(
+        wg[..., None] * jnp.einsum("nki,nkj->nij", Jg, Jg)
+    )
+    bc = bc.at[:, :3].add(-jnp.einsum("nki,nk->ni", Jg, wg * r_g))
 
     # Levenberg-Marquardt damping (additive, scaled by diagonal magnitude)
     diag_c = jnp.diagonal(Hcc, axis1=-2, axis2=-1)

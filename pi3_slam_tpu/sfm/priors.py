@@ -1,0 +1,129 @@
+"""Telemetry-derived BA priors: gravity directions and GPS position priors.
+
+Implements the reference's own unimplemented roadmap items
+(/root/reference/README.md "TODO: Add gravity residuals / Add GPS
+residuals"): the reference ships telemetry importers
+(telemetry_converter.py) but never feeds the streams into its PyTheia BA.
+Here the streams become per-camera constraints for sfm/ba.py:
+
+  * gravity: the measured unit gravity direction in each camera frame is
+    pulled toward R_cw @ g_world (BAProblem.gravity_dirs/_weight/_world) —
+    a 2-DoF orientation constraint that removes the global roll/pitch
+    gauge freedom and fights long-sequence orientation drift.
+  * GPS: lat/lon/alt fixes interpolated at the frame timestamps, converted
+    to a local ENU frame, and (after a Sim3 fit reconstruction -> ENU)
+    applied as per-camera position priors (BAProblem.prior_centers/
+    prior_pos_weight) — bounding translation drift and fixing metric scale
+    against the geodetic track.
+
+All builders are numpy-level (host-side, once per reconstruction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+
+
+def geodetic_to_enu(lat_lon_alt: np.ndarray, origin: np.ndarray | None = None):
+    """(N, 3) [lat deg, lon deg, alt m] -> local ENU meters.
+
+    Linearized about ``origin`` (default: the first fix) with the WGS84
+    meridian/prime-vertical radii — centimeter-exact over the few-km extent
+    a SLAM sequence covers. Returns (enu (N, 3), origin (3,)).
+    """
+    lla = np.asarray(lat_lon_alt, np.float64).reshape(-1, 3)
+    if origin is None:
+        origin = lla[0]
+    lat0, lon0, alt0 = origin
+    s = np.sin(np.radians(lat0))
+    rn = _A / np.sqrt(1.0 - _E2 * s * s)  # prime vertical
+    rm = _A * (1.0 - _E2) / (1.0 - _E2 * s * s) ** 1.5  # meridian
+    east = np.radians(lla[:, 1] - lon0) * rn * np.cos(np.radians(lat0))
+    north = np.radians(lla[:, 0] - lat0) * rm
+    up = lla[:, 2] - alt0
+    return np.stack([east, north, up], axis=1), np.asarray(origin, np.float64)
+
+
+def gravity_priors(importer, frame_times: np.ndarray, sigma: float = 0.05):
+    """Per-frame camera-frame unit gravity directions + 1/sigma^2 weights.
+
+    ``importer``: utils/telemetry.TelemetryImporter with a gravity stream.
+    Frames outside the telemetry time range get weight 0.
+    """
+    frame_times = np.asarray(frame_times, np.float64)
+    g = importer.gravity_at_times(frame_times)  # (N, 3)
+    norms = np.linalg.norm(g, axis=1)
+    ok = norms > 1e-6
+    t = importer.telemetry
+    in_range = (frame_times >= t.grav_t[0]) & (frame_times <= t.grav_t[-1])
+    ok &= in_range
+    dirs = np.where(ok[:, None], g / np.maximum(norms, 1e-6)[:, None], 0.0)
+    weights = np.where(ok, 1.0 / sigma**2, 0.0)
+    return dirs.astype(np.float32), weights.astype(np.float32)
+
+
+def estimate_world_gravity(rotations: np.ndarray, gravity_dirs: np.ndarray,
+                           weights: np.ndarray | None = None) -> np.ndarray:
+    """Consensus world-frame gravity from current poses and measurements.
+
+    g_w ~ normalize(sum_n w_n R_cw_n^T g_cam_n). The reconstruction world
+    frame is gravity-agnostic (first-camera gauge), so the world gravity
+    axis must be estimated before the residuals can act; after BA the
+    cameras agree with both the consensus axis and each other.
+    """
+    R = np.asarray(rotations, np.float64)
+    g = np.asarray(gravity_dirs, np.float64)
+    w = np.ones(len(R)) if weights is None else np.asarray(weights, np.float64)
+    acc = np.einsum("nji,nj->i", R, w[:, None] * g)  # sum R^T g
+    n = np.linalg.norm(acc)
+    if n < 1e-9:
+        return np.array([0.0, 0.0, -1.0], np.float32)
+    return (acc / n).astype(np.float32)
+
+
+def gps_priors(importer, frame_times: np.ndarray, sigma: float = 2.0,
+               origin: np.ndarray | None = None):
+    """Per-frame ENU position priors + 1/sigma^2 weights from the GPS stream.
+
+    Frames outside the GPS time range get weight 0. Returns
+    (centers_enu (N, 3) f32, weights (N,) f32, origin (3,) geodetic).
+    """
+    frame_times = np.asarray(frame_times, np.float64)
+    lla = importer.gps_at_times(frame_times)
+    enu, origin = geodetic_to_enu(lla, origin)
+    t = importer.telemetry
+    ok = (frame_times >= t.gps_t[0]) & (frame_times <= t.gps_t[-1])
+    weights = np.where(ok, 1.0 / sigma**2, 0.0)
+    return enu.astype(np.float32), weights.astype(np.float32), origin
+
+
+def fit_sim3_to_gps(centers: np.ndarray, gps_enu: np.ndarray,
+                    weights: np.ndarray | None = None):
+    """Sim3 taking reconstruction-frame camera centers onto the ENU GPS track
+    (geometry/sim3.umeyama under the hood; weight-0 frames excluded).
+
+    Returns the Sim3, or None when fewer than 3 constrained frames exist
+    (the fit would be degenerate).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry.sim3 import umeyama
+
+    c = np.asarray(centers, np.float64)
+    g = np.asarray(gps_enu, np.float64)
+    if weights is not None:
+        keep = np.asarray(weights) > 0
+        c, g = c[keep], g[keep]
+    if len(c) < 3:
+        return None
+    span = np.linalg.norm(c - c.mean(0), axis=1).max()
+    if span < 1e-6:
+        return None
+    with jax.default_matmul_precision("float32"):
+        return umeyama(jnp.asarray(c, jnp.float32), jnp.asarray(g, jnp.float32))

@@ -49,7 +49,7 @@ class TelemetryImporter:
         with open(path) as f:
             data = json.load(f)
         t = TelemetryData()
-        if "accelerometer" in data:
+        if any(k in data for k in ("accelerometer", "gyroscope", "gravity", "gps")):
             acc = np.asarray(data.get("accelerometer", []), np.float64).reshape(-1, 4)
             gyr = np.asarray(data.get("gyroscope", []), np.float64).reshape(-1, 4)
             t.accl_t, t.accl = acc[:, 0], acc[:, 1:]

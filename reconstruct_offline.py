@@ -21,6 +21,14 @@ def main(argv=None):
                         help="Save per-chunk reconstruction .npz files (.sfm analog)")
     parser.add_argument("--device", default="tpu",
                         help="'tpu' (default backend) or 'cpu' to force the CPU backend")
+    parser.add_argument("--telemetry", default=None,
+                        help="Telemetry file (generic JSON / GoPro MP4 / ZED jsonl / "
+                             "CSV) for gravity+GPS constrained refinement; its "
+                             "timebase must match the frame timestamps")
+    parser.add_argument("--gps-sigma", type=float, default=2.0,
+                        help="GPS position prior sigma in meters (0 disables)")
+    parser.add_argument("--gravity-sigma", type=float, default=0.05,
+                        help="Gravity direction residual sigma (0 disables)")
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.utils.precision import select_platform
@@ -38,6 +46,9 @@ def main(argv=None):
         use_inverse_depth=args.use_inverse_depth,
         ba_iterations=args.ba_iterations,
         save_debug=args.save_per_chunk,
+        telemetry_path=args.telemetry,
+        gps_sigma=args.gps_sigma,
+        gravity_sigma=args.gravity_sigma,
     )
     OfflineReconstructor(config).run()
     return 0

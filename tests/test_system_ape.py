@@ -77,6 +77,7 @@ def write_synthetic_chunks(
     step=0.4,
     yaw_rate=0.02,
     conf_outliers=False,
+    frame_name_fn=None,
 ):
     """conf_outliers: per-keypoint confidence in [0.2, 1]; pixel and 3D noise
     scale with (1.5 - conf), and low-confidence keypoints occasionally become
@@ -145,7 +146,10 @@ def write_synthetic_chunks(
             camera_poses=poses.astype(np.float32),
             camera_poses_cw=np.linalg.inv(poses).astype(np.float32),
             intrinsics=np.tile(K, (nf, 1, 1)).astype(np.float32),
-            image_paths=np.asarray([f"frame_{i:04d}.png" for i in frames]),
+            image_paths=np.asarray([
+                (frame_name_fn or (lambda i: f"frame_{i:04d}.png"))(i)
+                for i in frames
+            ]),
             original_width=640,
             original_height=480,
             masks=np.ones((nf, n_kp), bool),
