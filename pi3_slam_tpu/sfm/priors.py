@@ -103,12 +103,15 @@ def gps_priors(importer, frame_times: np.ndarray, sigma: float = 2.0,
 
 
 def fit_sim3_to_gps(centers: np.ndarray, gps_enu: np.ndarray,
-                    weights: np.ndarray | None = None):
+                    weights: np.ndarray | None = None,
+                    min_gps_span_m: float = 1.0):
     """Sim3 taking reconstruction-frame camera centers onto the ENU GPS track
     (geometry/sim3.umeyama under the hood; weight-0 frames excluded).
 
-    Returns the Sim3, or None when fewer than 3 constrained frames exist
-    (the fit would be degenerate).
+    Returns the Sim3, or None when the fit would be degenerate: fewer than
+    3 constrained frames, a point-like camera track, or a GPS track shorter
+    than ``min_gps_span_m`` (a near-stationary GPS fit drives the scale
+    toward 0 and would collapse the reconstruction).
     """
     import jax
     import jax.numpy as jnp
@@ -122,8 +125,9 @@ def fit_sim3_to_gps(centers: np.ndarray, gps_enu: np.ndarray,
         c, g = c[keep], g[keep]
     if len(c) < 3:
         return None
-    span = np.linalg.norm(c - c.mean(0), axis=1).max()
-    if span < 1e-6:
+    if np.linalg.norm(c - c.mean(0), axis=1).max() < 1e-6:
+        return None
+    if np.linalg.norm(g - g.mean(0), axis=1).max() < min_gps_span_m:
         return None
     with jax.default_matmul_precision("float32"):
         return umeyama(jnp.asarray(c, jnp.float32), jnp.asarray(g, jnp.float32))

@@ -125,6 +125,8 @@ def test_gps_priors_and_sim3_fit(rng):
 
     # degenerate: fewer than 3 constrained frames
     assert fit_sim3_to_gps(centers_rec[:2], enu[:2]) is None
+    # degenerate: near-stationary GPS track (scale would collapse to ~0)
+    assert fit_sim3_to_gps(centers_rec, np.zeros_like(enu) + 0.01) is None
 
 
 def test_offline_reconstructor_telemetry_georeference(tmp_path, rng):
