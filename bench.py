@@ -89,10 +89,15 @@ def _run_with_recovery():
         main()
     except Exception as e:
         # the axon TPU worker crashes sporadically under load; reset and retry
-        # once so the driver still records a real measurement
+        # once so the driver still records a real measurement. The retry also
+        # pins the conservative kernel paths (128-aligned lattices, in-kernel
+        # k-norms, 2D MLP row grid) so a Mosaic rejection of a newer
+        # layout-free path cannot cost the round's number either.
+        import os
         import sys
 
         print(f"bench attempt failed ({str(e)[:120]}); retrying once", file=sys.stderr)
+        os.environ["PI3_CONSERVATIVE_KERNELS"] = "1"
         import jax
 
         try:

@@ -66,7 +66,11 @@ def attention(
     b, t, c = x.shape
     d = c // num_heads
 
-    from ..ops.attention import MEDIUM_SEQUENCE_THRESHOLD, on_tpu_platform
+    from ..ops.attention import (
+        MEDIUM_SEQUENCE_THRESHOLD,
+        conservative_kernels,
+        on_tpu_platform,
+    )
     from ..parallel.context import current_tp_mesh, sharded_sdpa
 
     use_packed = (
@@ -100,9 +104,16 @@ def attention(
             # the rare long-T case folds it into the q projection weights.
             if t <= SINGLE_PASS_MAX_T:
                 packed = linear(x, p["qkv_kernel"], p["qkv_bias"])
-                out = attention_single_pass_packed_tpu(
-                    packed, num_heads, q_scale=scale
-                )
+                if conservative_kernels():  # restore the 128-aligned lattice
+                    tp = -(-t // 128) * 128
+                    packed = jnp.pad(packed, ((0, 0), (0, tp - t), (0, 0)))
+                    out = attention_single_pass_packed_tpu(
+                        packed, num_heads, true_t=t, q_scale=scale
+                    )
+                else:
+                    out = attention_single_pass_packed_tpu(
+                        packed, num_heads, q_scale=scale
+                    )
             else:
                 kq = jnp.concatenate(
                     [p["qkv_kernel"][:, :c] * scale, p["qkv_kernel"][:, c:]],
@@ -132,8 +143,15 @@ def attention(
         # single-pass: T is never gridded, so the producer emits the exact
         # unpadded length; flash: the producer writes straight onto the
         # kernel's 2048-lattice and hands over the per-head k norms so the
-        # kernel skips its own k re-read (a T-minor layout copy in XLA)
-        out_t = t if single else flash_packed_lattice(t)
+        # kernel skips its own k re-read (a T-minor layout copy in XLA).
+        # conservative_kernels() keeps the 128-aligned producer lattice and
+        # the kernels' internal kn (bench.py's crash-retry escape hatch).
+        conservative = conservative_kernels()
+        if single:
+            out_t = -(-t // 128) * 128 if conservative else t
+        else:
+            out_t = flash_packed_lattice(t)
+        want_kn = not single and not conservative
         packed = qkv_rope_producer_tpu(
             qkv_raw,
             cos,
@@ -145,13 +163,15 @@ def attention(
             k_norm_scale=p.get("k_norm_scale"),
             k_norm_bias=p.get("k_norm_bias"),
             eps=qk_norm_eps,
-            return_k_norms=not single,
+            return_k_norms=want_kn,
         )
         if single:
-            out = attention_single_pass_packed_tpu(packed, num_heads)
-        else:
+            out = attention_single_pass_packed_tpu(packed, num_heads, true_t=t)
+        elif want_kn:
             packed, kn = packed
             out = flash_attention_packed_tpu(packed, num_heads, true_t=t, kn=kn)
+        else:
+            out = flash_attention_packed_tpu(packed, num_heads, true_t=t)
         return linear(out, p["proj_kernel"], p["proj_bias"])
 
     qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)

@@ -22,6 +22,16 @@ LONG_SEQUENCE_THRESHOLD = 4096
 MEDIUM_SEQUENCE_THRESHOLD = 256
 
 
+def conservative_kernels() -> bool:
+    """PI3_CONSERVATIVE_KERNELS=1 keeps the battle-tested 128-aligned kernel
+    paths (internal pads, in-kernel k-norms, 2D MLP row grid) instead of the
+    newest layout-free ones — bench.py's crash-retry sets it so a Mosaic
+    rejection of a new path can never cost the round's one recorded number."""
+    import os
+
+    return os.environ.get("PI3_CONSERVATIVE_KERNELS", "") not in ("", "0")
+
+
 def on_tpu_platform() -> bool:
     """True when work dispatched here lands on TPU. Respects an active
     ``jax.default_device`` override (e.g. sfm/device.py pinning solvers to

@@ -217,6 +217,10 @@ def _token_block(t: int, requested: int, lo: int = 256, hi: int = 2048) -> int |
     round trips — together ~0.5-1.3 ms per MLP call at the 100x643 frame
     shape, roughly 10% of the kernel itself.
     """
+    from .attention import conservative_kernels
+
+    if conservative_kernels():  # force the 2D row-grid fallback (bench.py)
+        return None
     best = None
     for d in range(lo, min(hi, t) + 1):
         # Mosaic's sublane tile is 16 rows for bf16 (8 for f32): only
