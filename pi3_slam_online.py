@@ -57,6 +57,11 @@ def main(argv=None):
     g_kp.add_argument("--max-kp", type=int, default=1000)
     g_kp.add_argument("--kp-threshold", type=float, default=0.005,
                       help="ALIKED detection threshold (reference --kp-threshold)")
+    parser.add_argument("--telemetry", default=None,
+                        help="Telemetry file (JSON/MP4/jsonl/CSV) for gravity+GPS "
+                             "constrained finalization")
+    parser.add_argument("--gps-sigma", type=float, default=2.0)
+    parser.add_argument("--gravity-sigma", type=float, default=0.05)
 
     g_rec = parser.add_argument_group("reconstruction")
     g_rec.add_argument("--max-observations-per-track", type=int, default=10)
@@ -115,6 +120,9 @@ def main(argv=None):
         aliked_checkpoint_path=args.aliked_path,
         max_keypoints=args.max_kp,
         keypoint_threshold=args.kp_threshold,
+        telemetry_path=args.telemetry,
+        gps_sigma=args.gps_sigma,
+        gravity_sigma=args.gravity_sigma,
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,
         max_observations_per_track=args.max_observations_per_track,
@@ -131,6 +139,7 @@ def main(argv=None):
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)
+    slam.apply_telemetry()
     os.makedirs(args.output, exist_ok=True)
     slam.save_final_result(os.path.join(args.output, "final_points.ply"))
     from pi3_slam_tpu.utils.timestamps import extract_timestamps_from_paths

@@ -131,3 +131,65 @@ def fit_sim3_to_gps(centers: np.ndarray, gps_enu: np.ndarray,
         return None
     with jax.default_matmul_precision("float32"):
         return umeyama(jnp.asarray(c, jnp.float32), jnp.asarray(g, jnp.float32))
+
+
+def constrain_with_telemetry(recons, frame_times, importer, gps_sigma: float = 2.0,
+                             gravity_sigma: float = 0.05,
+                             refine_iterations: int = 20) -> dict:
+    """Georeference + telemetry-constrained refine over chunk reconstructions.
+
+    recons: list of sfm.reconstruction.ChunkReconstruction (modified in
+    place); frame_times: matching list of (N_i,) second-based arrays. Does
+    (1) a Sim3 fit of the stitched camera track onto the GPS ENU track
+    (metric scale from geodesy) applied to every chunk, then (2) a per-chunk
+    refine BA with GPS position priors and gravity-direction residuals.
+    Shared by the offline reconstructor (--telemetry) and the online mode's
+    finalization. Returns {"gps", "gravity", "gps_rms_m"}.
+    """
+    from .alignment import apply_sim3_to_reconstruction
+    from .reconstruction import _jit_bundle_adjust
+
+    t = importer.telemetry
+    has_gps = t.gps_t.size > 0 and gps_sigma > 0
+    has_grav = t.grav_t.size > 0 and gravity_sigma > 0
+    stats = {"gps": False, "gravity": False, "gps_rms_m": None}
+    if not (has_gps or has_grav):
+        return stats
+
+    gps_origin = None
+    if has_gps:
+        all_c = np.concatenate([r.centers for r in recons])
+        all_t = np.concatenate(frame_times)
+        enu, w, gps_origin = gps_priors(importer, all_t, gps_sigma)
+        s3 = fit_sim3_to_gps(all_c, enu, weights=w)
+        if s3 is None:
+            has_gps = False
+        else:
+            for r in recons:
+                apply_sim3_to_reconstruction(r, s3)
+            fit = (
+                float(s3.scale) * all_c @ np.asarray(s3.rotation).T
+                + np.asarray(s3.translation)
+            )
+            rms = float(np.sqrt(np.mean(np.sum((fit - enu) ** 2, axis=1)[w > 0])))
+            stats.update(gps=True, gps_rms_m=rms, scale=float(s3.scale),
+                         origin=np.asarray(gps_origin).tolist())
+
+    for i, r in enumerate(recons):
+        priors = {}
+        if has_gps:
+            enu_i, w_i, _ = gps_priors(importer, frame_times[i], gps_sigma,
+                                       origin=gps_origin)
+            priors.update(prior_centers=enu_i, prior_pos_weight=w_i)
+        if has_grav:
+            dirs_i, gw_i = gravity_priors(importer, frame_times[i], gravity_sigma)
+            g_world = estimate_world_gravity(r.rotations, dirs_i, gw_i)
+            priors.update(gravity_dirs=dirs_i, gravity_weight=gw_i,
+                          gravity_world=g_world)
+            stats["gravity"] = True
+        if not priors:
+            continue
+        prob = r.to_problem(priors)
+        prob = _jit_bundle_adjust(prob, refine_iterations, 3.0)
+        r.update_from_problem(prob)
+    return stats

@@ -108,6 +108,11 @@ class OnlineConfig:
     # the reference's _debug_print_overlap_indices
     # (slam/online_reconstructor.py:1754-1810)
     debug_overlap: bool = False
+    # gravity/GPS constrained finalization (sfm/priors.py, shared with the
+    # offline reconstructor's --telemetry)
+    telemetry_path: Optional[str] = None
+    gps_sigma: float = 2.0
+    gravity_sigma: float = 0.05
     # infer/recon overlap: keep the next chunk's forward in flight on the
     # accelerator while the host runs this chunk's reconstruction. SfM solvers
     # are pinned to the CPU backend ('auto' = cpu whenever the model runs on

@@ -146,93 +146,27 @@ class OfflineReconstructor:
         """
         import numpy as np
 
-        from ..sfm.alignment import apply_sim3_to_reconstruction
-        from ..sfm.priors import (
-            estimate_world_gravity,
-            fit_sim3_to_gps,
-            gps_priors,
-            gravity_priors,
-        )
-        from ..sfm.reconstruction import _jit_bundle_adjust
-        from ..utils.telemetry import TelemetryImporter
+        from ..sfm.priors import constrain_with_telemetry
+        from ..utils.telemetry import load_telemetry
         from ..utils.timestamps import extract_timestamps_from_paths
 
-        path = self.config.telemetry_path
-        imp = TelemetryImporter()
-        ext = os.path.splitext(path)[1].lower()
-        if ext == ".mp4":
-            imp.read_gopro_mp4(path)
-        elif ext == ".jsonl":
-            imp.read_zed_jsonl(path)
-        elif ext == ".csv":
-            imp.read_csv(path)
-        else:
-            imp.read_generic_json(path)
-        t = imp.telemetry
-        has_gps = t.gps_t.size > 0 and self.config.gps_sigma > 0
-        has_grav = t.grav_t.size > 0 and self.config.gravity_sigma > 0
-        stats = {"gps": False, "gravity": False, "gps_rms_m": None}
-        if not (has_gps or has_grav):
-            print("telemetry: no usable gravity/GPS streams; skipping")
-            return stats
-
+        imp = load_telemetry(self.config.telemetry_path)
         times = [
             np.asarray(extract_timestamps_from_paths(r.frame_names), np.float64)
             * 1e-9
             for r in recons
         ]
-
-        gps_origin = None
-        if has_gps:
-            # georeference: Sim3 from the stitched camera track onto ENU
-            all_c = np.concatenate([r.centers for r in recons])
-            all_t = np.concatenate(times)
-            enu, w, gps_origin = gps_priors(imp, all_t, self.config.gps_sigma)
-            s3 = fit_sim3_to_gps(all_c, enu, weights=w)
-            if s3 is None:
-                print("telemetry: GPS Sim3 fit degenerate; skipping GPS priors")
-                has_gps = False
-            else:
-                for r in recons:
-                    apply_sim3_to_reconstruction(r, s3)
-                fit = (
-                    float(s3.scale) * all_c @ np.asarray(s3.rotation).T
-                    + np.asarray(s3.translation)
-                )
-                rms = float(
-                    np.sqrt(np.mean(np.sum((fit - enu) ** 2, axis=1)[w > 0]))
-                )
-                stats.update(gps=True, gps_rms_m=rms)
-                print(
-                    f"telemetry: georeferenced to ENU (scale {float(s3.scale):.4f}, "
-                    f"GPS RMS {rms:.2f} m, origin lat/lon/alt {gps_origin})"
-                )
-
-        for i, r in enumerate(recons):
-            priors = {}
-            if has_gps:
-                enu_i, w_i, _ = gps_priors(
-                    imp, times[i], self.config.gps_sigma, origin=gps_origin
-                )
-                priors.update(prior_centers=enu_i, prior_pos_weight=w_i)
-            if has_grav:
-                dirs_i, gw_i = gravity_priors(
-                    imp, times[i], self.config.gravity_sigma
-                )
-                g_world = estimate_world_gravity(r.rotations, dirs_i, gw_i)
-                priors.update(
-                    gravity_dirs=dirs_i,
-                    gravity_weight=gw_i,
-                    gravity_world=g_world,
-                )
-                stats["gravity"] = True
-            if not priors:
-                continue
-            prob = r.to_problem(priors)
-            prob = _jit_bundle_adjust(
-                prob, self.config.telemetry_refine_iterations, 3.0
+        stats = constrain_with_telemetry(
+            recons, times, imp,
+            gps_sigma=self.config.gps_sigma,
+            gravity_sigma=self.config.gravity_sigma,
+            refine_iterations=self.config.telemetry_refine_iterations,
+        )
+        if stats["gps"]:
+            print(
+                f"telemetry: georeferenced to ENU (scale {stats['scale']:.4f}, "
+                f"GPS RMS {stats['gps_rms_m']:.2f} m, origin {stats['origin']})"
             )
-            r.update_from_problem(prob)
         print(
             f"telemetry: refined {len(recons)} chunks "
             f"(gps={stats['gps']}, gravity={stats['gravity']})"

@@ -544,6 +544,34 @@ class Pi3SLAMOnline:
             "fps": fps,
         }
 
+    def apply_telemetry(self):
+        """Gravity + GPS constrained finalization over the accumulated chunk
+        reconstructions (sfm/priors.constrain_with_telemetry — the
+        reference's README-TODO residuals). Call after processing, before
+        the exports; georeferences everything into the GPS ENU frame."""
+        if not self.config.telemetry_path or not self.reconstructions:
+            return None
+        from ..sfm.priors import constrain_with_telemetry
+        from ..utils.telemetry import load_telemetry
+        from ..utils.timestamps import extract_timestamps_from_paths
+
+        imp = load_telemetry(self.config.telemetry_path)
+        times = [
+            np.asarray(extract_timestamps_from_paths(r.frame_names), np.float64)
+            * 1e-9
+            for r in self.reconstructions
+        ]
+        stats = constrain_with_telemetry(
+            self.reconstructions, times, imp,
+            gps_sigma=self.config.gps_sigma,
+            gravity_sigma=self.config.gravity_sigma,
+        )
+        print(
+            f"telemetry: gps={stats['gps']} gravity={stats['gravity']}"
+            + (f" rms={stats['gps_rms_m']:.2f} m" if stats["gps"] else "")
+        )
+        return stats
+
     # ----- exports (same artifacts as the reference) -----
 
     def _merged_trajectory(self, return_names: bool = False):

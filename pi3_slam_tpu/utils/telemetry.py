@@ -3,9 +3,9 @@
 Equivalent of utils/telemetry_converter.py in the reference (GoPro GPMF /
 generic JSON / CSV / ZED-jsonl importers with accelerometer, gyroscope,
 gravity, and GPS streams; exporters to a generic JSON and Kalibr-style CSV).
-Like the reference, this is wired for the online reconstructor's future
-gravity/GPS residuals (README TODO) and is not exercised by the offline eval
-pipelines. pygpmf-based GoPro extraction requires that optional package.
+Unlike the reference (which lists gravity/GPS residuals as README TODOs and
+never consumes these streams), the streams feed real BA constraints here —
+see sfm/priors.py and the --telemetry flag of the pipeline CLIs.
 
 Data model: all streams are seconds-based numpy arrays.
 """
@@ -167,6 +167,24 @@ class TelemetryImporter:
         return np.stack(
             [np.interp(times, t.gps_t, t.gps[:, i]) for i in range(3)], axis=1
         )
+
+
+def load_telemetry(path: str) -> "TelemetryImporter":
+    """Importer auto-dispatched by file extension: .mp4 (GoPro GPMF), .jsonl
+    (ZED), .csv, anything else = generic JSON."""
+    import os
+
+    imp = TelemetryImporter()
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mp4":
+        imp.read_gopro_mp4(path)
+    elif ext == ".jsonl":
+        imp.read_zed_jsonl(path)
+    elif ext == ".csv":
+        imp.read_csv(path)
+    else:
+        imp.read_generic_json(path)
+    return imp
 
 
 class TelemetryConverter:

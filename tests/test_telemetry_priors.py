@@ -196,3 +196,43 @@ def test_offline_reconstructor_telemetry_georeference(tmp_path, rng):
     # NO alignment: the export must already sit in the ENU==GT frame
     ape = ape_translation(gt_centers, traj["positions"], align_sim3=False)
     assert ape.rmse < 0.15, f"unaligned APE {ape.rmse:.3f} m"
+
+
+def test_online_apply_telemetry_smoke(tmp_path, rng):
+    """Online finalization: apply_telemetry() georeferences the accumulated
+    reconstructions (gravity-only stream here keeps it light)."""
+    from pi3_slam_tpu.slam import OnlineConfig, Pi3SLAMOnline
+
+    import json
+
+    from PIL import Image
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    base = rng.integers(0, 255, (42, 56, 3), dtype=np.uint8)
+    paths = []
+    for i in range(6):
+        p = imgs / f"{i * 100:013d}.png"  # t = 0.1 i s
+        Image.fromarray(np.roll(base, i * 2, axis=1)).save(p)
+        paths.append(str(p))
+
+    ts = np.arange(0.0, 1.0, 0.05)
+    telem = {"gravity": np.stack([ts, 0 * ts, 0 * ts, -np.ones_like(ts)], 1).tolist()}
+    tpath = tmp_path / "telem.json"
+    tpath.write_text(json.dumps(telem))
+
+    from test_pi3_model import TINY
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        output_dir=str(tmp_path / "out"), telemetry_path=str(tpath),
+        num_loader_workers=0, visualize=False,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.process_image_paths(paths, pipelined=False)
+    stats = slam.apply_telemetry()
+    assert stats is not None and stats["gravity"] and not stats["gps"]
+    # rotations must still be valid rotation matrices after the refine
+    for r in slam.reconstructions:
+        rtr = np.einsum("nij,nkj->nik", r.rotations, r.rotations)
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (len(r.rotations), 1, 1)), atol=1e-4)
