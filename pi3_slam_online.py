@@ -58,8 +58,8 @@ def main(argv=None):
     g_kp.add_argument("--kp-threshold", type=float, default=0.005,
                       help="ALIKED detection threshold (reference --kp-threshold)")
     parser.add_argument("--telemetry", default=None,
-                        help="Telemetry file (JSON/MP4/jsonl/CSV) for gravity+GPS "
-                             "constrained finalization")
+                        help="Telemetry with gravity/GPS streams (generic JSON or GoPro "
+                             "MP4) for gravity+GPS constrained finalization")
     parser.add_argument("--gps-sigma", type=float, default=2.0)
     parser.add_argument("--gravity-sigma", type=float, default=0.05)
 

@@ -133,18 +133,56 @@ def fit_sim3_to_gps(centers: np.ndarray, gps_enu: np.ndarray,
         return umeyama(jnp.asarray(c, jnp.float32), jnp.asarray(g, jnp.float32))
 
 
-def constrain_with_telemetry(recons, frame_times, importer, gps_sigma: float = 2.0,
+_VIDEO_FRAME = None  # compiled lazily
+
+
+def frame_times_from_names(frame_names, importer) -> np.ndarray | None:
+    """Second-based frame times for a reconstruction's frame names.
+
+    Image-folder names carry filename timestamps
+    (utils/timestamps.extract_timestamps_from_paths). Video-derived frames
+    are named ``<video-stem>#<frame_idx>`` (data/image_io.list_video_frames)
+    and map to idx / camera_fps using the telemetry's own fps (GPMF MVHD /
+    the generic-JSON ``camera_fps`` field). Returns None (caller must skip
+    telemetry) when video frames are present but no fps is known — silently
+    treating frame indices as timestamps would pin every measurement to t=0.
+    """
+    global _VIDEO_FRAME
+    import re
+
+    from ..utils.timestamps import extract_timestamps_from_paths
+
+    if _VIDEO_FRAME is None:
+        _VIDEO_FRAME = re.compile(r"^(.*)#(\d+)$")
+    idxs = [_VIDEO_FRAME.match(str(nm)) for nm in frame_names]
+    if all(m is not None for m in idxs) and idxs:
+        fps = float(getattr(importer.telemetry, "camera_fps", 0.0) or 0.0)
+        if fps <= 0:
+            return None
+        return np.asarray([int(m.group(2)) for m in idxs], np.float64) / fps
+    return (
+        np.asarray(extract_timestamps_from_paths(list(frame_names)), np.float64)
+        * 1e-9
+    )
+
+
+def constrain_with_telemetry(recons, importer, gps_sigma: float = 2.0,
                              gravity_sigma: float = 0.05,
-                             refine_iterations: int = 20) -> dict:
+                             refine_iterations: int = 20,
+                             frame_times=None) -> dict:
     """Georeference + telemetry-constrained refine over chunk reconstructions.
 
     recons: list of sfm.reconstruction.ChunkReconstruction (modified in
-    place); frame_times: matching list of (N_i,) second-based arrays. Does
-    (1) a Sim3 fit of the stitched camera track onto the GPS ENU track
-    (metric scale from geodesy) applied to every chunk, then (2) a per-chunk
-    refine BA with GPS position priors and gravity-direction residuals.
-    Shared by the offline reconstructor (--telemetry) and the online mode's
-    finalization. Returns {"gps", "gravity", "gps_rms_m"}.
+    place). Frame times come from the recon frame names (image timestamps or
+    video frame index / telemetry fps) unless ``frame_times`` (matching list
+    of second-based arrays) overrides them. Does (1) a Sim3 fit of the
+    stitched camera track onto the GPS ENU track (metric scale from geodesy)
+    applied to every chunk, then (2) a per-chunk refine BA with GPS position
+    priors and gravity-direction residuals. Shared by the offline
+    reconstructor (--telemetry) and the online mode's finalization.
+
+    Returns {"gps", "gravity", "gps_rms_m", "refined_chunks", "notes"} —
+    flags are True only when constraints actually acted (nonzero weights).
     """
     from .alignment import apply_sim3_to_reconstruction
     from .reconstruction import _jit_bundle_adjust
@@ -152,9 +190,23 @@ def constrain_with_telemetry(recons, frame_times, importer, gps_sigma: float = 2
     t = importer.telemetry
     has_gps = t.gps_t.size > 0 and gps_sigma > 0
     has_grav = t.grav_t.size > 0 and gravity_sigma > 0
-    stats = {"gps": False, "gravity": False, "gps_rms_m": None}
+    stats = {
+        "gps": False, "gravity": False, "gps_rms_m": None,
+        "refined_chunks": 0, "notes": [],
+    }
+
+    def note(msg):
+        stats["notes"].append(msg)
+        print(f"telemetry: {msg}")
+
     if not (has_gps or has_grav):
+        note("no usable gravity/GPS streams; skipping")
         return stats
+    if frame_times is None:
+        frame_times = [frame_times_from_names(r.frame_names, importer) for r in recons]
+        if any(ft is None for ft in frame_times):
+            note("video frames but no camera fps in the telemetry; skipping")
+            return stats
 
     gps_origin = None
     if has_gps:
@@ -163,6 +215,7 @@ def constrain_with_telemetry(recons, frame_times, importer, gps_sigma: float = 2
         enu, w, gps_origin = gps_priors(importer, all_t, gps_sigma)
         s3 = fit_sim3_to_gps(all_c, enu, weights=w)
         if s3 is None:
+            note("GPS Sim3 fit degenerate (span/count); skipping GPS priors")
             has_gps = False
         else:
             for r in recons:
@@ -180,16 +233,19 @@ def constrain_with_telemetry(recons, frame_times, importer, gps_sigma: float = 2
         if has_gps:
             enu_i, w_i, _ = gps_priors(importer, frame_times[i], gps_sigma,
                                        origin=gps_origin)
-            priors.update(prior_centers=enu_i, prior_pos_weight=w_i)
+            if w_i.sum() > 0:
+                priors.update(prior_centers=enu_i, prior_pos_weight=w_i)
         if has_grav:
             dirs_i, gw_i = gravity_priors(importer, frame_times[i], gravity_sigma)
-            g_world = estimate_world_gravity(r.rotations, dirs_i, gw_i)
-            priors.update(gravity_dirs=dirs_i, gravity_weight=gw_i,
-                          gravity_world=g_world)
-            stats["gravity"] = True
+            if gw_i.sum() > 0:  # only when measurements cover this chunk
+                g_world = estimate_world_gravity(r.rotations, dirs_i, gw_i)
+                priors.update(gravity_dirs=dirs_i, gravity_weight=gw_i,
+                              gravity_world=g_world)
+                stats["gravity"] = True
         if not priors:
             continue
         prob = r.to_problem(priors)
         prob = _jit_bundle_adjust(prob, refine_iterations, 3.0)
         r.update_from_problem(prob)
+        stats["refined_chunks"] += 1
     return stats

@@ -143,7 +143,15 @@ def build_chunk_reconstruction(
     for i in range(N):
         if paths is not None:
             pth = paths[i]
+            if isinstance(pth, np.ndarray):
+                pth = pth.tolist()
             if isinstance(pth, (list, tuple)):
+                # video frame (video_path, frame_idx): keep the index in the
+                # name — it is the frame's identity (dedup across chunk
+                # overlaps) and its timebase (idx / fps for telemetry)
+                if len(pth) == 2:
+                    names.append(f"{str(pth[0]).split('/')[-1]}#{pth[1]}")
+                    continue
                 pth = pth[0] if pth else f"frame_{i}"
             names.append(str(pth).split("/")[-1])
         else:

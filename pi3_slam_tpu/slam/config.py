@@ -113,6 +113,7 @@ class OnlineConfig:
     telemetry_path: Optional[str] = None
     gps_sigma: float = 2.0
     gravity_sigma: float = 0.05
+    telemetry_refine_iterations: int = 20
     # infer/recon overlap: keep the next chunk's forward in flight on the
     # accelerator while the host runs this chunk's reconstruction. SfM solvers
     # are pinned to the CPU backend ('auto' = cpu whenever the model runs on

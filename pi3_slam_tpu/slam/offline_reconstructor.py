@@ -40,7 +40,13 @@ def load_chunk_npz(path: str) -> Dict:
         "points": z["points"].astype(np.float32),
         "colors": z["colors"].astype(np.float32) / 255.0,
         "camera_poses": z["camera_poses"].astype(np.float64),
-        "image_paths": [str(p) for p in z["image_paths"]],
+        # video chunks store (N, 2) ["video_path", "frame_idx"] rows — keep
+        # the pair so frame names stay 'video#idx' (identity + timebase)
+        "image_paths": (
+            z["image_paths"]
+            if z["image_paths"].ndim > 1
+            else [str(p) for p in z["image_paths"]]
+        ),
         "original_width": int(z["original_width"]),
         "original_height": int(z["original_height"]),
     }
@@ -144,20 +150,12 @@ class OfflineReconstructor:
         re-refined with per-camera GPS position priors and gravity-direction
         residuals in the BA.
         """
-        import numpy as np
-
         from ..sfm.priors import constrain_with_telemetry
         from ..utils.telemetry import load_telemetry
-        from ..utils.timestamps import extract_timestamps_from_paths
 
         imp = load_telemetry(self.config.telemetry_path)
-        times = [
-            np.asarray(extract_timestamps_from_paths(r.frame_names), np.float64)
-            * 1e-9
-            for r in recons
-        ]
         stats = constrain_with_telemetry(
-            recons, times, imp,
+            recons, imp,
             gps_sigma=self.config.gps_sigma,
             gravity_sigma=self.config.gravity_sigma,
             refine_iterations=self.config.telemetry_refine_iterations,
@@ -168,7 +166,7 @@ class OfflineReconstructor:
                 f"GPS RMS {stats['gps_rms_m']:.2f} m, origin {stats['origin']})"
             )
         print(
-            f"telemetry: refined {len(recons)} chunks "
+            f"telemetry: refined {stats['refined_chunks']}/{len(recons)} chunks "
             f"(gps={stats['gps']}, gravity={stats['gravity']})"
         )
         return stats

@@ -553,22 +553,18 @@ class Pi3SLAMOnline:
             return None
         from ..sfm.priors import constrain_with_telemetry
         from ..utils.telemetry import load_telemetry
-        from ..utils.timestamps import extract_timestamps_from_paths
 
         imp = load_telemetry(self.config.telemetry_path)
-        times = [
-            np.asarray(extract_timestamps_from_paths(r.frame_names), np.float64)
-            * 1e-9
-            for r in self.reconstructions
-        ]
         stats = constrain_with_telemetry(
-            self.reconstructions, times, imp,
+            self.reconstructions, imp,
             gps_sigma=self.config.gps_sigma,
             gravity_sigma=self.config.gravity_sigma,
+            refine_iterations=self.config.telemetry_refine_iterations,
         )
         print(
-            f"telemetry: gps={stats['gps']} gravity={stats['gravity']}"
-            + (f" rms={stats['gps_rms_m']:.2f} m" if stats["gps"] else "")
+            f"telemetry: gps={stats['gps']} gravity={stats['gravity']} "
+            f"refined {stats['refined_chunks']} chunks"
+            + (f", GPS RMS {stats['gps_rms_m']:.2f} m" if stats["gps"] else "")
         )
         return stats
 

@@ -172,8 +172,6 @@ class TelemetryImporter:
 def load_telemetry(path: str) -> "TelemetryImporter":
     """Importer auto-dispatched by file extension: .mp4 (GoPro GPMF), .jsonl
     (ZED), .csv, anything else = generic JSON."""
-    import os
-
     imp = TelemetryImporter()
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp4":

@@ -22,9 +22,9 @@ def main(argv=None):
     parser.add_argument("--device", default="tpu",
                         help="'tpu' (default backend) or 'cpu' to force the CPU backend")
     parser.add_argument("--telemetry", default=None,
-                        help="Telemetry file (generic JSON / GoPro MP4 / ZED jsonl / "
-                             "CSV) for gravity+GPS constrained refinement; its "
-                             "timebase must match the frame timestamps")
+                        help="Telemetry with gravity/GPS streams (generic JSON or GoPro "
+                             "MP4) for gravity+GPS constrained refinement; timebase "
+                             "must match the frame timestamps (video: idx/fps)")
     parser.add_argument("--gps-sigma", type=float, default=2.0,
                         help="GPS position prior sigma in meters (0 disables)")
     parser.add_argument("--gravity-sigma", type=float, default=0.05,

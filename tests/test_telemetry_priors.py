@@ -236,3 +236,46 @@ def test_online_apply_telemetry_smoke(tmp_path, rng):
     for r in slam.reconstructions:
         rtr = np.einsum("nij,nkj->nik", r.rotations, r.rotations)
         np.testing.assert_allclose(rtr, np.tile(np.eye(3), (len(r.rotations), 1, 1)), atol=1e-4)
+
+
+def test_frame_times_from_video_names():
+    """video.mp4#idx frame names map to idx / camera_fps; without an fps the
+    caller must skip (treating indices as timestamps pinned everything to
+    t=0 — the original defect)."""
+    from pi3_slam_tpu.sfm.priors import frame_times_from_names
+
+    ts = np.linspace(0.0, 2.0, 5)
+    imp = _importer(grav=(ts, np.tile([0, 0, -1.0], (5, 1))))
+    names = [f"go.mp4#{i}" for i in (0, 30, 60)]
+    imp.telemetry.camera_fps = 30.0
+    got = frame_times_from_names(names, imp)
+    np.testing.assert_allclose(got, [0.0, 1.0, 2.0])
+    imp.telemetry.camera_fps = 0.0
+    assert frame_times_from_names(names, imp) is None
+    # image names still go through the filename-timestamp path
+    got = frame_times_from_names(["0000000000500.png"], imp)
+    np.testing.assert_allclose(got, [0.5])
+
+
+def test_video_chunk_frame_names_carry_index():
+    """build_chunk_reconstruction names video frames 'video#idx' (unique for
+    the name-dedup export, parseable for telemetry timebases) — both for
+    in-memory tuples and the (N, 2) string array an npz round-trip yields."""
+    from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
+
+    n, k = 3, 8
+    rng2 = np.random.default_rng(1)
+    chunk = {
+        "keypoints": rng2.uniform(10, 100, (n, k, 2)).astype(np.float32),
+        "points": rng2.normal(size=(n, k, 3)).astype(np.float32) + [0, 0, 5],
+        "colors": np.ones((n, k, 3), np.float32) * 0.5,
+        "camera_poses": np.tile(np.eye(4), (n, 1, 1)),
+        "original_width": 640,
+        "original_height": 480,
+        "image_paths": np.asarray([("vids/go.mp4", i) for i in range(n)]),
+    }
+    rec = build_chunk_reconstruction(chunk, ba_iterations=0)
+    assert rec.frame_names == ["go.mp4#0", "go.mp4#1", "go.mp4#2"]
+    chunk["image_paths"] = [("vids/go.mp4", i) for i in range(n)]
+    rec = build_chunk_reconstruction(chunk, ba_iterations=0)
+    assert rec.frame_names == ["go.mp4#0", "go.mp4#1", "go.mp4#2"]
