@@ -89,6 +89,7 @@ def attention(
         from ..ops.pallas_attention import (
             LOG2_E,
             SINGLE_PASS_MAX_T,
+            _ceil_to,
             attention_single_pass_packed_tpu,
             flash_attention_packed_tpu,
         )
@@ -105,7 +106,7 @@ def attention(
             if t <= SINGLE_PASS_MAX_T:
                 packed = linear(x, p["qkv_kernel"], p["qkv_bias"])
                 if conservative_kernels():  # restore the 128-aligned lattice
-                    tp = -(-t // 128) * 128
+                    tp = _ceil_to(t, 128)
                     packed = jnp.pad(packed, ((0, 0), (0, tp - t), (0, 0)))
                     out = attention_single_pass_packed_tpu(
                         packed, num_heads, true_t=t, q_scale=scale
@@ -148,7 +149,7 @@ def attention(
         # the kernels' internal kn (bench.py's crash-retry escape hatch).
         conservative = conservative_kernels()
         if single:
-            out_t = -(-t // 128) * 128 if conservative else t
+            out_t = _ceil_to(t, 128) if conservative else t
         else:
             out_t = flash_packed_lattice(t)
         want_kn = not single and not conservative

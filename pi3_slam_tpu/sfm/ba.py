@@ -154,6 +154,7 @@ def _huber_cost(r_norm, delta):
     return jnp.where(r_norm <= delta, quad, lin)
 
 
+@f32_matmul
 def _cost(p: BAProblem, huber_delta: float) -> jnp.ndarray:
     rot = p.rotations[p.obs_frame]
     cen = p.centers[p.obs_frame]

@@ -73,8 +73,11 @@ def estimate_world_gravity(rotations: np.ndarray, gravity_dirs: np.ndarray,
 
     g_w ~ normalize(sum_n w_n R_cw_n^T g_cam_n). The reconstruction world
     frame is gravity-agnostic (first-camera gauge), so the world gravity
-    axis must be estimated before the residuals can act; after BA the
-    cameras agree with both the consensus axis and each other.
+    axis must be estimated before the residuals can act. NOTE: a residual
+    built against this consensus is gauge-INVARIANT (rotating the whole
+    world rotates the consensus with it) — to constrain absolute roll/pitch
+    the caller must first level the world frame onto the consensus
+    (``constrain_with_telemetry`` does) and then hold g_world fixed at -z.
     """
     R = np.asarray(rotations, np.float64)
     g = np.asarray(gravity_dirs, np.float64)
@@ -84,6 +87,30 @@ def estimate_world_gravity(rotations: np.ndarray, gravity_dirs: np.ndarray,
     if n < 1e-9:
         return np.array([0.0, 0.0, -1.0], np.float32)
     return (acc / n).astype(np.float32)
+
+
+def rotation_aligning(v_from: np.ndarray, v_to: np.ndarray) -> np.ndarray:
+    """Minimal rotation R with R @ v_from = v_to (unit vectors, Rodrigues).
+
+    Antiparallel inputs get a 180-degree rotation about an arbitrary
+    orthogonal axis.
+    """
+    a = np.asarray(v_from, np.float64)
+    a = a / np.linalg.norm(a)
+    b = np.asarray(v_to, np.float64)
+    b = b / np.linalg.norm(b)
+    c = np.cross(a, b)
+    d = float(np.dot(a, b))
+    if d > 1.0 - 1e-12:
+        return np.eye(3)
+    if d < -1.0 + 1e-12:
+        axis = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(axis) < 1e-6:
+            axis = np.cross(a, [0.0, 1.0, 0.0])
+        axis /= np.linalg.norm(axis)
+        return 2.0 * np.outer(axis, axis) - np.eye(3)
+    K = np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0]])
+    return np.eye(3) + K + K @ K / (1.0 + d)
 
 
 def gps_priors(importer, frame_times: np.ndarray, sigma: float = 2.0,
@@ -150,7 +177,7 @@ def frame_times_from_names(frame_names, importer) -> np.ndarray | None:
     global _VIDEO_FRAME
     import re
 
-    from ..utils.timestamps import extract_timestamps_from_paths
+    from ..utils.timestamps import _filename_timestamp_ns
 
     if _VIDEO_FRAME is None:
         _VIDEO_FRAME = re.compile(r"^(.*)#(\d+)$")
@@ -160,10 +187,15 @@ def frame_times_from_names(frame_names, importer) -> np.ndarray | None:
         if fps <= 0:
             return None
         return np.asarray([int(m.group(2)) for m in idxs], np.float64) / fps
-    return (
-        np.asarray(extract_timestamps_from_paths(list(frame_names)), np.float64)
-        * 1e-9
-    )
+    # image folders: require a real filename timestamp on every frame. The
+    # mtime / frame-index fallbacks of extract_timestamps_from_paths are
+    # fine for ordering but are NOT on the telemetry clock — interpolating
+    # measurements at them pulls every camera toward whatever sample sits
+    # near t=0.
+    ts = [_filename_timestamp_ns(str(nm)) for nm in frame_names]
+    if any(t is None for t in ts):
+        return None
+    return np.asarray(ts, np.float64) * 1e-9
 
 
 def constrain_with_telemetry(recons, importer, gps_sigma: float = 2.0,
@@ -175,10 +207,16 @@ def constrain_with_telemetry(recons, importer, gps_sigma: float = 2.0,
     recons: list of sfm.reconstruction.ChunkReconstruction (modified in
     place). Frame times come from the recon frame names (image timestamps or
     video frame index / telemetry fps) unless ``frame_times`` (matching list
-    of second-based arrays) overrides them. Does (1) a Sim3 fit of the
-    stitched camera track onto the GPS ENU track (metric scale from geodesy)
-    applied to every chunk, then (2) a per-chunk refine BA with GPS position
-    priors and gravity-direction residuals. Shared by the offline
+    of second-based arrays) overrides them. Steps: (1) a Sim3 fit of the
+    stitched camera track onto the GPS ENU track (metric scale from
+    geodesy) applied to every chunk — the world frame becomes ENU, where
+    gravity is physically -z; without GPS, the world frame is instead
+    leveled (a global rotation) onto the consensus gravity axis. (2) A
+    per-chunk refine BA with GPS position priors and gravity-direction
+    residuals against the FIXED world gravity [0, 0, -1] — fixing g_world
+    (rather than re-estimating it from the rotations being optimized) is
+    what makes the gravity term an absolute roll/pitch constraint instead
+    of a gauge-invariant consistency term. Shared by the offline
     reconstructor (--telemetry) and the online mode's finalization.
 
     Returns {"gps", "gravity", "gps_rms_m", "refined_chunks", "notes"} —
@@ -205,8 +243,19 @@ def constrain_with_telemetry(recons, importer, gps_sigma: float = 2.0,
     if frame_times is None:
         frame_times = [frame_times_from_names(r.frame_names, importer) for r in recons]
         if any(ft is None for ft in frame_times):
-            note("video frames but no camera fps in the telemetry; skipping")
+            note("frame names carry no usable timebase (need filename "
+                 "timestamps, or video frames + a telemetry fps); skipping")
             return stats
+
+    # gravity measurements first: sampled at the frame times, they are
+    # invariant to the world-frame transforms applied below
+    grav = (
+        [gravity_priors(importer, ft, gravity_sigma) for ft in frame_times]
+        if has_grav else None
+    )
+    if grav is not None and not any(gw.sum() > 0 for _, gw in grav):
+        note("no gravity measurements cover the frame times")
+        grav = None
 
     gps_origin = None
     if has_gps:
@@ -227,6 +276,31 @@ def constrain_with_telemetry(recons, importer, gps_sigma: float = 2.0,
             rms = float(np.sqrt(np.mean(np.sum((fit - enu) ** 2, axis=1)[w > 0])))
             stats.update(gps=True, gps_rms_m=rms, scale=float(s3.scale),
                          origin=np.asarray(gps_origin).tolist())
+            spread = enu[w > 0] - enu[w > 0].mean(0)
+            sv = np.linalg.svd(spread, compute_uv=False)
+            if sv[1] < max(1.0, 0.01 * sv[0]) and grav is None:
+                note("GPS track is near-collinear: roll about the track "
+                     "axis is GPS-underdetermined (gravity telemetry would "
+                     "pin it)")
+
+    down = np.array([0.0, 0.0, -1.0], np.float32)
+    if grav is not None and not stats["gps"]:
+        # no georeference: fix the orientation gauge by leveling the world
+        # frame — one global rotation taking the consensus gravity axis
+        # (estimated from ALL constrained cameras) onto -z. With GPS the
+        # Sim3 above already made the world ENU, where gravity IS -z.
+        g_hat = estimate_world_gravity(
+            np.concatenate([r.rotations for r in recons]),
+            np.concatenate([d for d, _ in grav]),
+            np.concatenate([w for _, w in grav]),
+        )
+        from ..geometry.sim3 import Sim3
+
+        s_lvl = Sim3(np.float32(1.0), rotation_aligning(g_hat, down).astype(np.float32),
+                     np.zeros(3, np.float32))
+        for r in recons:
+            apply_sim3_to_reconstruction(r, s_lvl)
+        note("leveled world frame onto the measured gravity axis")
 
     for i, r in enumerate(recons):
         priors = {}
@@ -235,17 +309,23 @@ def constrain_with_telemetry(recons, importer, gps_sigma: float = 2.0,
                                        origin=gps_origin)
             if w_i.sum() > 0:
                 priors.update(prior_centers=enu_i, prior_pos_weight=w_i)
-        if has_grav:
-            dirs_i, gw_i = gravity_priors(importer, frame_times[i], gravity_sigma)
+        if grav is not None:
+            dirs_i, gw_i = grav[i]
             if gw_i.sum() > 0:  # only when measurements cover this chunk
-                g_world = estimate_world_gravity(r.rotations, dirs_i, gw_i)
+                # g_world is FIXED at -z (leveled / ENU world): the residual
+                # constrains absolute roll/pitch, not just consistency
                 priors.update(gravity_dirs=dirs_i, gravity_weight=gw_i,
-                              gravity_world=g_world)
+                              gravity_world=down)
                 stats["gravity"] = True
         if not priors:
             continue
+        kpf = (
+            r.num_tracks // r.num_frames
+            if r.num_tracks % r.num_frames == 0 else None
+        )
         prob = r.to_problem(priors)
-        prob = _jit_bundle_adjust(prob, refine_iterations, 3.0)
+        prob = _jit_bundle_adjust(prob, refine_iterations, 3.0,
+                                  tracks_per_frame=kpf)
         r.update_from_problem(prob)
         stats["refined_chunks"] += 1
     return stats

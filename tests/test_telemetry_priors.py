@@ -166,7 +166,10 @@ def test_offline_reconstructor_telemetry_georeference(tmp_path, rng):
     lon = lon0 + np.degrees(c_interp[:, 0] / (rn * np.cos(np.radians(lat0))))
     alt = alt0 + c_interp[:, 2]
 
-    g_w = np.array([0.0, -1.0, 0.0])
+    # ENU up is +z by construction, so physical gravity is -z — and the
+    # refine holds g_world FIXED at -z after georeferencing, so the
+    # synthetic measurements must be ENU-consistent
+    g_w = np.array([0.0, 0.0, -1.0])
     rot_interp_idx = np.clip((ts / 0.1).round().astype(int), 0, n_frames - 1)
     grav = np.stack([rots_wc[i].T @ g_w for i in rot_interp_idx])
 
@@ -255,6 +258,67 @@ def test_frame_times_from_video_names():
     # image names still go through the filename-timestamp path
     got = frame_times_from_names(["0000000000500.png"], imp)
     np.testing.assert_allclose(got, [0.5])
+    # names with no embedded timestamp must NOT fall back to mtime/frame
+    # index (not on the telemetry clock -> everything pinned near t=0)
+    assert frame_times_from_names(["frame_0001.png"], imp) is None
+    assert frame_times_from_names(["0000000000500.png", "frame_2.png"], imp) is None
+
+
+def test_gravity_only_levels_world_frame(rng):
+    """Without GPS the constraint routine must fix the orientation gauge:
+    one global rotation levels the consensus gravity axis onto -z, then the
+    per-chunk refine holds g_world = -z. A tilted reconstruction therefore
+    comes out with its measured gravity mapped to straight down — the
+    absolute roll/pitch constraint the docs promise (a per-chunk consensus
+    re-estimate would be gauge-invariant and leave the tilt in place)."""
+    from scipy.spatial.transform import Rotation as Rot
+
+    from pi3_slam_tpu.sfm.priors import constrain_with_telemetry
+    from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
+
+    n, k = 6, 40
+    # world frame tilted: true gravity axis is 25 degrees off -z
+    tilt = Rot.from_euler("x", np.radians(25.0)).as_matrix()
+    g_true = tilt @ np.array([0.0, 0.0, -1.0])
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    rots_cw = []
+    for i in range(n):
+        R_wc = Rot.from_euler("y", 0.05 * i).as_matrix()
+        poses[i, :3, :3] = R_wc
+        poses[i, :3, 3] = [0.3 * i, 0.0, 0.0]
+        rots_cw.append(R_wc.T)
+
+    pts = rng.normal(size=(n, k, 3)).astype(np.float32) * 0.5 + [0, 0, 5]
+    chunk = {
+        "keypoints": rng.uniform(50, 400, (n, k, 2)).astype(np.float32),
+        "points": pts,
+        "colors": np.full((n, k, 3), 0.5, np.float32),
+        "camera_poses": poses,
+        "original_width": 640,
+        "original_height": 480,
+        "image_paths": [f"{i * 100:013d}.png" for i in range(n)],  # t=0.1i s
+    }
+    rec = build_chunk_reconstruction(chunk, ba_iterations=0)
+
+    ts = np.arange(0.0, 0.1 * n + 0.1, 0.02)
+    idx = np.clip((ts / 0.1).round().astype(int), 0, n - 1)
+    meas = np.stack([rots_cw[i] @ g_true for i in idx])
+    imp = _importer(grav=(ts, meas))
+
+    before = estimate_world_gravity(
+        rec.rotations, np.stack([rots_cw[i] @ g_true for i in range(n)])
+    )
+    assert np.linalg.norm(before - [0, 0, -1.0]) > 0.3  # genuinely tilted
+
+    stats = constrain_with_telemetry(
+        [rec], imp, gps_sigma=0.0, gravity_sigma=0.02, refine_iterations=5,
+    )
+    assert stats["gravity"] and stats["refined_chunks"] == 1
+    assert any("leveled" in n_ for n_ in stats["notes"])
+    # measured gravity now maps to straight down through the refined poses
+    pred = np.einsum("nij,j->ni", rec.rotations, [0.0, 0.0, -1.0])
+    meas_frames = np.stack([rots_cw[i] @ g_true for i in range(n)])
+    np.testing.assert_allclose(pred, meas_frames, atol=5e-2)
 
 
 def test_video_chunk_frame_names_carry_index():
