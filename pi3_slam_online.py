@@ -65,13 +65,25 @@ def main(argv=None):
 
     g_rec = parser.add_argument_group("reconstruction")
     g_rec.add_argument("--max-observations-per-track", type=int, default=10)
+    g_rec.add_argument("--conf-threshold", type=float, default=0.1,
+                       help="sigmoid(conf) cutoff for dense points in the chunk "
+                            "step (reference --conf_threshold)")
 
     g_viz = parser.add_argument_group("visualization")
     g_viz.add_argument("--visualize", action="store_true")
     g_viz.add_argument("--viz-port", type=int, default=8080)
+    g_viz.add_argument("--keep-viz-open", action="store_true",
+                       help="Keep the visualization server alive after "
+                            "processing (Ctrl-C to exit)")
 
     g_out = parser.add_argument_group("output")
     g_out.add_argument("--output", default="online_output")
+    g_out.add_argument("--max-points", type=int, default=1000000,
+                       help="Cap on points written to final_points.ply")
+    g_out.add_argument("--save-debug-recons", action="store_true",
+                       help="Save each chunk's aligned reconstruction as "
+                            "debug_recons/recon_XXXXXX.npz (the reference's "
+                            "--save_chunk_reconstructions)")
     g_out.add_argument("--save-debug-projections", action="store_true",
                        help="Write per-chunk reprojection-debug GIFs (observed vs "
                             "reprojected keypoints) under <output>/debug_projections")
@@ -126,6 +138,8 @@ def main(argv=None):
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,
         max_observations_per_track=args.max_observations_per_track,
+        conf_threshold=args.conf_threshold,
+        save_debug_recons=args.save_debug_recons,
         num_loader_workers=args.num_workers,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
@@ -141,7 +155,9 @@ def main(argv=None):
     slam.process_image_paths(paths)
     slam.apply_telemetry()
     os.makedirs(args.output, exist_ok=True)
-    slam.save_final_result(os.path.join(args.output, "final_points.ply"))
+    slam.save_final_result(
+        os.path.join(args.output, "final_points.ply"), max_points=args.max_points
+    )
     from pi3_slam_tpu.utils.timestamps import extract_timestamps_from_paths
 
     if args.tum_integer_timestamps:
@@ -155,6 +171,15 @@ def main(argv=None):
         slam.save_trajectory_tum(
             os.path.join(args.output, "trajectory_tum.txt"), name_to_timestamp=name_to_ts
         )
+    if args.keep_viz_open and slam.visualizer is not None:
+        import time
+
+        print(f"visualization server on port {args.viz_port}; Ctrl-C to exit")
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
     return 0
 
 

@@ -96,10 +96,17 @@ class OnlineConfig:
     estimate_camera_params: bool = True
     cam_dist_path: Optional[str] = None
     max_observations_per_track: int = 10
+    # point filtering in the jitted chunk step (reference --conf_threshold;
+    # ours applies to sigmoid(conf), slam/chunk_creator.py)
+    conf_threshold: float = 0.1
+    depth_edge_rtol: float = 0.03
     num_loader_workers: int = 2
     visualize: bool = False
     viz_port: int = 8080
     output_dir: str = "online_output"
+    # save each chunk's aligned reconstruction as recon_XXXXXX.npz (the
+    # reference's --save_chunk_reconstructions / .sfm dumps)
+    save_debug_recons: bool = False
     # per-chunk reprojection-debug GIFs (observed vs reprojected keypoints),
     # the reference's --save_debug_projections (chunk_reconstruction.py:224-443)
     save_debug_projections: bool = False

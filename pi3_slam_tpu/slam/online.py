@@ -142,13 +142,15 @@ class Pi3SLAMOnline:
             from .chunk_creator import make_sharded_chunk_step
 
             self.step, shard_params = make_sharded_chunk_step(
-                self.pi3_config, self.compute_dtype, 0.1, 0.03,
+                self.pi3_config, self.compute_dtype,
+                self.config.conf_threshold, self.config.depth_edge_rtol,
                 self.config.estimate_camera_params, self.mesh,
             )
             self.params = shard_params(self._host_params)
         else:
             self.step = make_chunk_step(
-                self.pi3_config, self.compute_dtype, 0.1, 0.03,
+                self.pi3_config, self.compute_dtype,
+                self.config.conf_threshold, self.config.depth_edge_rtol,
                 self.config.estimate_camera_params,
             )
 
@@ -289,6 +291,16 @@ class Pi3SLAMOnline:
             self._dump_overlap_debug(self.reconstructions[-1], recon, res, host)
         self.reconstructions.append(recon)
         self._consumed += 1
+        if self.config.save_debug_recons:
+            import os as _os
+
+            from ..sfm.serialization import save_reconstruction
+
+            rdir = _os.path.join(self.config.output_dir, "debug_recons")
+            _os.makedirs(rdir, exist_ok=True)
+            save_reconstruction(
+                recon, _os.path.join(rdir, f"recon_{self._consumed - 1:06d}.npz")
+            )
         if self.config.save_debug_projections:
             import os as _os
 

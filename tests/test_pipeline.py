@@ -481,6 +481,29 @@ def test_online_debug_overlap_dump(image_dir, tmp_path):
     assert e["num_points"] > 0 and np.isfinite(e["mean_conf"])
 
 
+def test_online_save_debug_recons(image_dir, tmp_path):
+    """--save-debug-recons writes each chunk's aligned reconstruction
+    (reference --save_chunk_reconstructions analog) as a loadable npz."""
+    import glob
+
+    from pi3_slam_tpu.sfm.serialization import load_reconstruction
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=12, compute_dtype="float32",
+        output_dir=str(tmp_path / "dbg"), save_debug_recons=True,
+        conf_threshold=0.2,  # exercise the config-wired threshold
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:6]
+    r = slam.process_image_paths(paths)
+    files = sorted(glob.glob(str(tmp_path / "dbg" / "debug_recons" / "*.npz")))
+    assert len(files) == r["num_chunks"]
+    rec = load_reconstruction(files[0])
+    assert rec.num_frames == 4 and rec.num_tracks > 0
+
+
 def test_online_debug_projections(image_dir, tmp_path):
     """--save-debug-projections writes a per-chunk reprojection GIF."""
     import glob
