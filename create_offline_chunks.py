@@ -77,6 +77,10 @@ def main(argv=None):
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--resume", action="store_true", help="Skip chunks already on disk")
+    parser.add_argument("--no-pad-tail", dest="pad_tail_chunks", action="store_false",
+                        help="Compile a separate XLA program for the short tail chunk "
+                             "instead of padding it to --chunk-length (exact tail "
+                             "numerics at the cost of a second multi-minute compile)")
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of one steady-state chunk "
                              "into this directory (view with tensorboard/xprof)")
@@ -111,6 +115,7 @@ def main(argv=None):
         cam_dist_path=args.cam_dist_path,
         num_loader_workers=args.num_workers,
         resume=args.resume,
+        pad_tail_chunks=args.pad_tail_chunks,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
         sequence_parallel=args.sequence_parallel,

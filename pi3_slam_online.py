@@ -43,6 +43,9 @@ def main(argv=None):
                              "chunks (dp x tp x sp devices per step)")
     g_proc.add_argument("--no-overlap", dest="overlap_device_host", action="store_false",
                         help="Disable the infer/reconstruction overlap (strictly serial)")
+    g_proc.add_argument("--no-pad-tail", dest="pad_tail_chunks", action="store_false",
+                        help="Compile a separate XLA program for the short tail chunk "
+                             "instead of padding it to --chunk-length")
     g_proc.add_argument("--metric-depth", action="store_true", default=True)
     g_proc.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
 
@@ -145,6 +148,7 @@ def main(argv=None):
         tensor_parallel=args.tensor_parallel,
         sequence_parallel=args.sequence_parallel,
         overlap_device_host=args.overlap_device_host,
+        pad_tail_chunks=args.pad_tail_chunks,
         visualize=args.visualize,
         viz_port=args.viz_port,
         output_dir=args.output,

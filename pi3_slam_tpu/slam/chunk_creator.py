@@ -248,6 +248,30 @@ class OfflineChunkCreator:
                 )
         return self._step_cache[key]
 
+    # per-frame device-step outputs that must be sliced back to the real
+    # frame count when a tail chunk was padded to chunk_length
+    _PER_FRAME_KEYS = (
+        "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
+        "camera_poses", "points_dense", "local_points_dense", "conf_dense",
+        "masks_dense",
+    )
+
+    def _pad_tail(self, images: np.ndarray, kps: np.ndarray):
+        """Pad a short tail chunk to chunk_length by repeating the last frame
+        (and its keypoints) so the ONE compiled device program covers every
+        chunk; callers slice outputs back via _PER_FRAME_KEYS. Poses are
+        chunk-relative to frame 0 and the alignment overlap sits at the chunk
+        START, so end-padding disturbs neither."""
+        n = images.shape[0]
+        target = self.config.chunk_length
+        if not self.config.pad_tail_chunks or n >= target:
+            return images, kps
+        pad = target - n
+        print(f"   tail chunk padded {n} -> {target} frames (reusing the compiled shape)")
+        images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
+        kps = np.concatenate([kps, np.repeat(kps[-1:], pad, axis=0)])
+        return images, kps
+
     def _process_chunk_group_with_recovery(self, batches: List[Dict]) -> List[Dict]:
         """dp-group variant of _process_chunk_with_recovery: on a device
         runtime failure, reset the backend (re-sharding parameters) and retry
@@ -283,7 +307,15 @@ class OfflineChunkCreator:
 
         step = self._get_step()
         t0 = time.time()
-        dev = step(self.params, jnp.asarray(images), jnp.asarray(kps))
+        imgs_dev, kps_dev = images, kps
+        if self.config.pad_tail_chunks and N < self.config.chunk_length:
+            pad = self.config.chunk_length - N
+            print(f"   tail group padded {N} -> {self.config.chunk_length} frames")
+            imgs_dev = np.concatenate(
+                [images, np.repeat(images[:, -1:], pad, axis=1)], axis=1
+            )
+            kps_dev = np.concatenate([kps, np.repeat(kps[:, -1:], pad, axis=1)], axis=1)
+        dev = step(self.params, jnp.asarray(imgs_dev), jnp.asarray(kps_dev))
         # queue the MoGe batch behind the sharded step before materializing;
         # one dp-sharded forward covers all B first frames (B sequential
         # unsharded forwards would serialize on chip 0 while the rest idle)
@@ -302,6 +334,9 @@ class OfflineChunkCreator:
         dets = pending["dets"]
         B, N = pending["shape"]
         host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+        for k in self._PER_FRAME_KEYS:  # drop padded tail frames, if any
+            if k in host and host[k].shape[1] > N:
+                host[k] = host[k][:, :N]
         moge_host = (
             np.asarray(pending["moge_dev"]) if pending["moge_dev"] is not None else None
         )
@@ -377,7 +412,8 @@ class OfflineChunkCreator:
 
         step = self._get_step()
         t0 = time.time()
-        dev = step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
+        imgs_dev, kps_dev = self._pad_tail(images, kps)
+        dev = step(self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev))
         # queue MoGe right behind the Pi3 step BEFORE materializing: the
         # device runs both back-to-back while the host works (the reference
         # hides this forward in its worker process,
@@ -396,6 +432,9 @@ class OfflineChunkCreator:
         moge_dev = pending["moge_dev"]
         N = images.shape[0]
         host = {k: np.asarray(v) for k, v in pending["dev"].items()}  # sync point
+        for k in self._PER_FRAME_KEYS:  # drop padded tail frames, if any
+            if k in host and host[k].shape[0] > N:
+                host[k] = host[k][:N]
         dt = max(1e-6, time.time() - pending["t0"])
         fps = N / dt
         print(f"   inference+interp: {dt:.3f}s for {N} frames -> {fps:.2f} FPS")

@@ -37,6 +37,12 @@ class OfflineCreatorConfig:
     num_loader_workers: int = 2
     conf_threshold: float = 0.1
     depth_edge_rtol: float = 0.03
+    # pad short tail chunks to chunk_length on the device (repeat the last
+    # frame, slice outputs back): every chunk then runs the ONE compiled
+    # program instead of compiling a second XLA program per odd tail shape
+    # (SURVEY §7 hard part (c): no recompiles across chunk lengths). The
+    # wasted tail compute (<= one chunk) is far below one compile.
+    pad_tail_chunks: bool = True
     resume: bool = False  # skip chunks whose files already exist
     # chunk-level data parallelism: process this many chunks per device step,
     # sharded over the mesh's dp axis (1 = single-chip path)
@@ -100,6 +106,9 @@ class OnlineConfig:
     # ours applies to sigmoid(conf), slam/chunk_creator.py)
     conf_threshold: float = 0.1
     depth_edge_rtol: float = 0.03
+    # pad short tail chunks to chunk_length on the device (see
+    # OfflineCreatorConfig.pad_tail_chunks)
+    pad_tail_chunks: bool = True
     num_loader_workers: int = 2
     visualize: bool = False
     viz_port: int = 8080

@@ -156,6 +156,31 @@ class Pi3SLAMOnline:
 
     # ----- per-chunk stages -----
 
+    # per-frame device-step outputs sliced back after tail padding
+    _PER_FRAME_KEYS = (
+        "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
+        "camera_poses",
+    )
+
+    def _pad_tail(self, images: np.ndarray, kps: np.ndarray, axis: int = 0):
+        """Pad a short tail chunk to chunk_length (repeat the final frame) so
+        every chunk reuses the one compiled device program; _consume slices
+        the per-frame outputs back (see chunk_creator._pad_tail)."""
+        n = images.shape[axis]
+        target = self.config.chunk_length
+        if not self.config.pad_tail_chunks or n >= target:
+            return images, kps
+        pad = target - n
+        print(f"   tail chunk padded {n} -> {target} frames (reusing the compiled shape)")
+        last = [slice(None)] * axis + [slice(-1, None)]
+        images = np.concatenate(
+            [images, np.repeat(images[tuple(last)], pad, axis=axis)], axis=axis
+        )
+        kps = np.concatenate(
+            [kps, np.repeat(kps[tuple(last)], pad, axis=axis)], axis=axis
+        )
+        return images, kps
+
     def _dispatch_device(self, batch: Dict):
         """Dispatch the jitted device step (and MoGe, queued right behind it).
 
@@ -173,7 +198,8 @@ class Pi3SLAMOnline:
             kp = grid_keypoints(H, W, self.config.max_keypoints)
             kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
         with self.timing.track("dispatch"):
-            dev = self.step(self.params, jnp.asarray(images[None]), jnp.asarray(kps))
+            imgs_dev, kps_dev = self._pad_tail(images, kps)
+            dev = self.step(self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev))
             moge_depth = None
             if self.moge is not None:
                 moge_depth = self.moge.infer_depth_async(images[0])
@@ -205,7 +231,8 @@ class Pi3SLAMOnline:
             kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
 
         with self.timing.track("dispatch"):
-            dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps))
+            imgs_dev, kps_dev = self._pad_tail(images, kps, axis=1)
+            dev = self.step(self.params, jnp.asarray(imgs_dev), jnp.asarray(kps_dev))
             # one dp-sharded MoGe batch (every chunk's first frame on its own
             # devices) queued behind the sharded step
             moge_dev = (
@@ -246,6 +273,10 @@ class Pi3SLAMOnline:
         batch = pending["batch"]
         with self.timing.track("materialize"):
             host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+        n_frames = batch["images"].shape[0]
+        for k in self._PER_FRAME_KEYS:  # drop padded tail frames, if any
+            if k in host and host[k].shape[0] > n_frames:
+                host[k] = host[k][:n_frames]
 
         poses = host["camera_poses"].astype(np.float64)
         points_kp = host["points_kp"].astype(np.float64)

@@ -481,6 +481,55 @@ def test_online_debug_overlap_dump(image_dir, tmp_path):
     assert e["num_points"] > 0 and np.isfinite(e["mean_conf"])
 
 
+def test_tail_chunk_padding_single_compile(image_dir, tmp_path):
+    """Short tail chunks are padded to chunk_length on the device and sliced
+    back, so the jitted step compiles exactly ONE (N, H, W) program (SURVEY
+    §7 hard part (c); compiles cost minutes on the remote-TPU cache path).
+    pad_tail_chunks=False keeps the per-shape compile behavior."""
+    import glob
+
+    from pi3_slam_tpu.slam.offline_reconstructor import load_chunk_npz
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+
+    out = str(tmp_path / "padded")
+    creator = _tiny_creator(out)
+    creator.process_and_save(paths)  # windows (0,4),(2,6),(4,8),(6,8)
+    assert creator._get_step()._cache_size() == 1
+    tail = load_chunk_npz(sorted(glob.glob(os.path.join(out, "chunks", "*.npz")))[-1])
+    assert tail["camera_poses"].shape[0] == 2  # real frames only
+    assert tail["points"].shape[0] == 2 and len(tail["image_paths"]) == 2
+
+    out2 = str(tmp_path / "unpadded")
+    creator2 = _tiny_creator(out2)
+    creator2.config.pad_tail_chunks = False
+    creator2.process_and_save(paths)
+    assert creator2._get_step()._cache_size() == 2  # (4,...) and (2,...)
+    tail2 = load_chunk_npz(sorted(glob.glob(os.path.join(out2, "chunks", "*.npz")))[-1])
+    assert tail2["camera_poses"].shape[0] == 2
+
+
+def test_online_tail_padding_single_compile(image_dir, tmp_path):
+    """Online mode pads tail chunks the same way; reconstructions keep the
+    real frame count and alignment still sees the leading overlap frames."""
+    import glob
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=12, compute_dtype="float32",
+        output_dir=str(tmp_path / "online_pad"),
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    r = slam.process_image_paths(paths)
+    assert r["num_chunks"] == 4
+    assert slam.step._cache_size() == 1
+    assert [rec.num_frames for rec in slam.reconstructions] == [4, 4, 4, 2]
+    for rec in slam.reconstructions:  # sliced outputs stay self-consistent
+        assert rec.points.shape[0] == rec.num_frames * 12
+
+
 def test_online_save_debug_recons(image_dir, tmp_path):
     """--save-debug-recons writes each chunk's aligned reconstruction
     (reference --save_chunk_reconstructions analog) as a loadable npz."""
