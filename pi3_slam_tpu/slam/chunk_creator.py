@@ -295,27 +295,29 @@ class OfflineChunkCreator:
         materializing — groups pipeline like single chunks: the next group's
         device step runs while the host compresses this group's npz files."""
         B = len(batches)
-        images = np.stack([b["images"] for b in batches])  # (B, N, 3, H, W)
-        N, _, H, W = images.shape[1:]
+        n_frames = [b["images"].shape[0] for b in batches]
+        H, W = batches[0]["images"].shape[-2:]
         dets = None
         if self.keypoint_extractor is not None:  # ALIKED: per-frame learned
             dets = [self.keypoint_extractor.extract(b["images"]) for b in batches]
-            kps = np.stack([d["keypoints"] for d in dets]).astype(np.float32)
+            kps_list = [d["keypoints"].astype(np.float32) for d in dets]
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints, self.config.grid_spacing)
-            kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
+            kps_list = [
+                np.broadcast_to(kp[None], (n, kp.shape[0], 2)).astype(np.float32)
+                for n in n_frames
+            ]
 
         step = self._get_step()
         t0 = time.time()
-        imgs_dev, kps_dev = images, kps
-        if self.config.pad_tail_chunks and N < self.config.chunk_length:
-            pad = self.config.chunk_length - N
-            print(f"   tail group padded {N} -> {self.config.chunk_length} frames")
-            imgs_dev = np.concatenate(
-                [images, np.repeat(images[:, -1:], pad, axis=1)], axis=1
-            )
-            kps_dev = np.concatenate([kps, np.repeat(kps[:, -1:], pad, axis=1)], axis=1)
-        dev = step(self.params, jnp.asarray(imgs_dev), jnp.asarray(kps_dev))
+        # per-batch tail padding: a short tail chunk can ride the same group
+        # (and the same compiled program) as full-length ones
+        padded = [
+            self._pad_tail(b["images"], k) for b, k in zip(batches, kps_list)
+        ]
+        images = np.stack([p[0] for p in padded])  # (B, Np, 3, H, W)
+        kps_dev = np.stack([p[1] for p in padded])
+        dev = step(self.params, jnp.asarray(images), jnp.asarray(kps_dev))
         # queue the MoGe batch behind the sharded step before materializing;
         # one dp-sharded forward covers all B first frames (B sequential
         # unsharded forwards would serialize on chip 0 while the rest idle)
@@ -324,32 +326,36 @@ class OfflineChunkCreator:
             if self.moge is not None
             else None
         )
-        return {"dev": dev, "moge_dev": moge_dev, "kps": kps, "dets": dets,
-                "t0": t0, "batches": batches, "shape": (B, N)}
+        return {"dev": dev, "moge_dev": moge_dev, "kps": kps_list, "dets": dets,
+                "t0": t0, "batches": batches, "n_frames": n_frames}
 
     def _finish_group(self, pending: Dict) -> List[Dict]:
         """Materialize a dispatched group and build per-chunk storage dicts."""
         batches = pending["batches"]
-        kps = pending["kps"]
+        kps_list = pending["kps"]
         dets = pending["dets"]
-        B, N = pending["shape"]
+        B, n_frames = len(batches), pending["n_frames"]
         host = {k: np.asarray(v) for k, v in pending["dev"].items()}
-        for k in self._PER_FRAME_KEYS:  # drop padded tail frames, if any
-            if k in host and host[k].shape[1] > N:
-                host[k] = host[k][:, :N]
         moge_host = (
             np.asarray(pending["moge_dev"]) if pending["moge_dev"] is not None else None
         )
         dt = max(1e-6, time.time() - pending["t0"])
-        fps = B * N / dt
-        print(f"   dp-group inference: {dt:.3f}s for {B}x{N} frames -> {fps:.2f} FPS")
+        fps = sum(n_frames) / dt
+        print(
+            f"   dp-group inference: {dt:.3f}s for {B}x{max(n_frames)} frames "
+            f"-> {fps:.2f} FPS"
+        )
 
         results = []
         for b, batch in enumerate(batches):
-            poses = host["camera_poses"][b].astype(np.float64)
-            points_kp = host["points_kp"][b].astype(np.float64)
-            local_kp = host["local_points_kp"][b].astype(np.float64)
-            masks_kp = host["masks_kp"][b]
+            N = n_frames[b]
+            kps = kps_list[b]
+            # [:N] drops any padded tail frames (per-batch; a short tail can
+            # share a group with full-length chunks)
+            poses = host["camera_poses"][b][:N].astype(np.float64)
+            points_kp = host["points_kp"][b][:N].astype(np.float64)
+            local_kp = host["local_points_kp"][b][:N].astype(np.float64)
+            masks_kp = host["masks_kp"][b][:N]
             valid_kp = None
             if dets is not None:
                 valid_kp = np.asarray(dets[b]["valid"], bool)
@@ -369,16 +375,16 @@ class OfflineChunkCreator:
             result = {
                 "points": points_kp.astype(np.float16),
                 "local_points": local_kp.astype(np.float16),
-                "conf": host["conf_kp"][b].astype(np.float16),
+                "conf": host["conf_kp"][b][:N].astype(np.float16),
                 "masks": masks_kp,
-                "keypoints": kps[b].astype(np.float16),
-                "colors": (host["colors_kp"][b] * 255).clip(0, 255).astype(np.uint8),
+                "keypoints": kps.astype(np.float16),
+                "colors": (host["colors_kp"][b][:N] * 255).clip(0, 255).astype(np.uint8),
                 "camera_poses": poses.astype(np.float32),
                 "camera_poses_cw": poses_cw,
                 "image_paths": np.asarray(batch["paths"]),
                 "original_height": self.target_size[0],
                 "original_width": self.target_size[1],
-                "_metrics": {"infer_s": dt / B, "num_frames": N, "fps": fps / B},
+                "_metrics": {"infer_s": dt / B, "num_frames": N, "fps": N / dt},
             }
             if scale_factor is not None:
                 result["metric_scale"] = np.float32(scale_factor)
@@ -716,10 +722,19 @@ class OfflineChunkCreator:
                 )
                 continue
             if dp > 1 and self.config.keypoint_type != "none":
-                # group same-shape chunks for the sharded step; odd-size
-                # (remainder) chunks flush through the single-chunk path
+                # group chunks for the sharded step; with tail padding any
+                # same-resolution chunk is group-compatible (a short tail
+                # rides the last group), otherwise only identical shapes
                 finish_pending()
-                if group and group[0]["images"].shape != batch["images"].shape:
+                compatible = not group or (
+                    group[0]["images"].shape == batch["images"].shape
+                    or (
+                        self.config.pad_tail_chunks
+                        and group[0]["images"].shape[-2:]
+                        == batch["images"].shape[-2:]
+                    )
+                )
+                if not compatible:
                     flush_group()
                 group.append(batch)
                 if len(group) == dp:

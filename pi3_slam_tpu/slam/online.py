@@ -220,19 +220,27 @@ class Pi3SLAMOnline:
         synchronization point."""
         n_real = len(group)
         padded = group + [group[-1]] * (dp - n_real)
-        images = np.stack([b["images"] for b in padded])  # (B, N, 3, H, W)
-        B, N, _, H, W = images.shape
+        H, W = padded[0]["images"].shape[-2:]
         dets = None
         if self.keypoint_extractor is not None:
             dets = [self.keypoint_extractor.extract(b["images"]) for b in padded]
-            kps = np.stack([d["keypoints"] for d in dets]).astype(np.float32)
+            kps_list = [d["keypoints"].astype(np.float32) for d in dets]
         else:
             kp = grid_keypoints(H, W, self.config.max_keypoints)
-            kps = np.broadcast_to(kp[None, None], (B, N, kp.shape[0], 2)).astype(np.float32)
+            kps_list = [
+                np.broadcast_to(
+                    kp[None], (b["images"].shape[0], kp.shape[0], 2)
+                ).astype(np.float32)
+                for b in padded
+            ]
 
         with self.timing.track("dispatch"):
-            imgs_dev, kps_dev = self._pad_tail(images, kps, axis=1)
-            dev = self.step(self.params, jnp.asarray(imgs_dev), jnp.asarray(kps_dev))
+            # per-batch tail padding: a short tail chunk rides the same group
+            # (and compiled program) as full-length ones
+            pp = [self._pad_tail(b["images"], k) for b, k in zip(padded, kps_list)]
+            images = np.stack([p[0] for p in pp])  # (B, Np, 3, H, W)
+            kps_dev = np.stack([p[1] for p in pp])
+            dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps_dev))
             # one dp-sharded MoGe batch (every chunk's first frame on its own
             # devices) queued behind the sharded step
             moge_dev = (
@@ -242,7 +250,7 @@ class Pi3SLAMOnline:
             )
         self._produced += n_real
         # snapshot: the caller clears its accumulator list after dispatch
-        return {"dev": dev, "moge_dev": moge_dev, "kps": kps, "dets": dets,
+        return {"dev": dev, "moge_dev": moge_dev, "kps": kps_list, "dets": dets,
                 "group": list(group), "n_real": n_real}
 
     def _finish_group(self, pending: Dict) -> List[Dict]:
@@ -561,7 +569,15 @@ class Pi3SLAMOnline:
                 finish_group_pending(depth=group_depth)
 
             for batch in loader:
-                if group and group[0]["images"].shape != batch["images"].shape:
+                compatible = not group or (
+                    group[0]["images"].shape == batch["images"].shape
+                    or (
+                        self.config.pad_tail_chunks
+                        and group[0]["images"].shape[-2:]
+                        == batch["images"].shape[-2:]
+                    )
+                )
+                if not compatible:
                     flush_group()
                 group.append(batch)
                 if len(group) == dp:
