@@ -264,6 +264,26 @@ def test_frame_times_from_video_names():
     assert frame_times_from_names(["0000000000500.png", "frame_2.png"], imp) is None
 
 
+def test_rotation_aligning_edge_cases(rng):
+    from pi3_slam_tpu.sfm.priors import rotation_aligning
+
+    v = np.array([0.3, -0.4, 0.866])
+    v /= np.linalg.norm(v)
+    # identity for parallel inputs
+    np.testing.assert_allclose(rotation_aligning(v, v), np.eye(3), atol=1e-12)
+    # generic case: exact mapping, proper rotation
+    w = np.array([0.0, 0.0, -1.0])
+    R = rotation_aligning(v, w)
+    np.testing.assert_allclose(R @ v, w, atol=1e-12)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert np.linalg.det(R) == pytest.approx(1.0)
+    # antiparallel: still a proper rotation mapping v -> -v
+    R = rotation_aligning(v, -v)
+    np.testing.assert_allclose(R @ v, -v, atol=1e-12)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert np.linalg.det(R) == pytest.approx(1.0)
+
+
 def test_gravity_only_levels_world_frame(rng):
     """Without GPS the constraint routine must fix the orientation gauge:
     one global rotation levels the consensus gravity axis onto -z, then the
