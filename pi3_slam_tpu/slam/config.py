@@ -75,11 +75,14 @@ class ReconstructorConfig:
     align_refine_iterations: int = 50
     save_debug: bool = False  # also saves per-chunk recon_XXXXXX.npz (.sfm analog)
     # telemetry-constrained refinement (gravity + GPS residuals — the
-    # reference's README TODO, implemented here; sfm/priors.py): a telemetry
-    # file (generic JSON / GoPro MP4 / ZED jsonl / CSV) whose timebase
-    # matches the frame timestamps. GPS georeferences the reconstruction
-    # into a local ENU frame (metric scale from the geodetic track);
-    # gravity constrains absolute roll/pitch per camera.
+    # reference's README TODO, implemented here; sfm/priors.py): a file with
+    # gravity/GPS streams (generic JSON, or a GoPro MP4 parsed in-process;
+    # ZED jsonl / Kalibr CSV import but carry only IMU, so they do not
+    # activate these constraints) on the frame-timestamp timebase. GPS
+    # georeferences the reconstruction into a local ENU frame (metric scale
+    # from the geodetic track); gravity constrains absolute roll/pitch
+    # against the fixed world -z (gravity-only runs level the world frame
+    # onto the measured axis first).
     telemetry_path: Optional[str] = None
     gps_sigma: float = 2.0  # meters (0 disables GPS priors)
     gravity_sigma: float = 0.05  # unit-vector residual sigma (0 disables)
