@@ -77,6 +77,11 @@ def main(argv=None):
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--resume", action="store_true", help="Skip chunks already on disk")
+    parser.add_argument("--global-kv-merge", type=int, default=1,
+                        help="EXPERIMENTAL: merge this many consecutive frames' k/v "
+                             "tokens in global attention (FastVGGT-style); cuts "
+                             "global-attention FLOPs by the factor but is "
+                             "approximate — validate accuracy on your data first")
     parser.add_argument("--no-pad-tail", dest="pad_tail_chunks", action="store_false",
                         help="Compile a separate XLA program for the short tail chunk "
                              "instead of padding it to --chunk-length (exact tail "
@@ -116,6 +121,7 @@ def main(argv=None):
         num_loader_workers=args.num_workers,
         resume=args.resume,
         pad_tail_chunks=args.pad_tail_chunks,
+        global_kv_merge=args.global_kv_merge,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
         sequence_parallel=args.sequence_parallel,

@@ -46,6 +46,10 @@ def main(argv=None):
     g_proc.add_argument("--no-pad-tail", dest="pad_tail_chunks", action="store_false",
                         help="Compile a separate XLA program for the short tail chunk "
                              "instead of padding it to --chunk-length")
+    g_proc.add_argument("--global-kv-merge", type=int, default=1,
+                        help="EXPERIMENTAL: merge this many consecutive frames' k/v "
+                             "tokens in global attention (FastVGGT-style); "
+                             "approximate — validate accuracy on your data first")
     g_proc.add_argument("--metric-depth", action="store_true", default=True)
     g_proc.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
 
@@ -149,6 +153,7 @@ def main(argv=None):
         sequence_parallel=args.sequence_parallel,
         overlap_device_host=args.overlap_device_host,
         pad_tail_chunks=args.pad_tail_chunks,
+        global_kv_merge=args.global_kv_merge,
         visualize=args.visualize,
         viz_port=args.viz_port,
         output_dir=args.output,

@@ -58,10 +58,14 @@ def attention(
     positions: jnp.ndarray | None = None,
     rope_base: float = 100.0,
     qk_norm_eps: float = 1e-5,
+    kv_groups: tuple | None = None,
 ) -> jnp.ndarray:
     """Self-attention with optional qk LayerNorm and RoPE2D.
 
     x: (B, T, C). Params may contain q_norm_scale/k_norm_scale for qk-norm.
+    kv_groups = (n_frames, tokens_per_frame, merge): EXPERIMENTAL token-merge
+    acceleration for the decoder's global blocks (Pi3Config.global_kv_merge)
+    — see _merged_kv_attention below. merge <= 1 is exact and ignored.
     """
     b, t, c = x.shape
     d = c // num_heads
@@ -72,6 +76,16 @@ def attention(
         on_tpu_platform,
     )
     from ..parallel.context import current_tp_mesh, sharded_sdpa
+
+    if (
+        kv_groups is not None
+        and kv_groups[2] > 1
+        and kv_groups[0] % kv_groups[2] == 0
+        and current_tp_mesh() is None
+    ):
+        return _merged_kv_attention(
+            x, p, num_heads, positions, rope_base, qk_norm_eps, kv_groups
+        )
 
     use_packed = (
         current_tp_mesh() is None
@@ -190,6 +204,67 @@ def attention(
     return linear(out, p["proj_kernel"], p["proj_bias"])
 
 
+def _merged_kv_attention(
+    x: jnp.ndarray,
+    p: Dict[str, Any],
+    num_heads: int,
+    positions: jnp.ndarray | None,
+    rope_base: float,
+    qk_norm_eps: float,
+    kv_groups: tuple,
+) -> jnp.ndarray:
+    """EXPERIMENTAL global attention with cross-frame key/value merging.
+
+    FastVGGT-style training-free acceleration (arxiv 2509.02560): VGGT-family
+    global attention is highly redundant across frames, so keys/values from
+    ``merge`` consecutive frames are averaged PER SPATIAL POSITION (after
+    qk-norm + RoPE — tokens in a group share a position, so the identical
+    rotation commutes with the mean) while queries keep full resolution.
+    QK^T and PV FLOPs drop by the merge factor. For exactly-duplicated
+    frames this is EXACT (uniform group sizes cancel in the softmax — see
+    tests/test_pi3_model.py); for real motion it is an approximation whose
+    accuracy must be validated against a pretrained checkpoint before
+    production use, which is why Pi3Config.global_kv_merge defaults to 1.
+    On TPU the Tq != Tk attention runs through the bound-softmax partial
+    kernel (ops/pallas_attention.flash_attention_partial_tpu, the ring-step
+    kernel) — numerator/denominator accumulated in one pass, divided here.
+    """
+    b, t, c = x.shape
+    d = c // num_heads
+    nf, tpf, m = kv_groups
+
+    from ..ops.attention import on_tpu_platform
+    from ..ops.rope import rope_2d
+
+    qkv = linear(x, p["qkv_kernel"], p["qkv_bias"]).reshape(b, t, 3, num_heads, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if "q_norm_scale" in p:
+        q = layer_norm(q, p["q_norm_scale"], p["q_norm_bias"], qk_norm_eps)
+        k = layer_norm(k, p["k_norm_scale"], p["k_norm_bias"], qk_norm_eps)
+    if positions is not None:
+        q = rope_2d(q, positions, rope_base)
+        k = rope_2d(k, positions, rope_base)
+
+    def merge(a):
+        grouped = a.reshape(b, nf // m, m, tpf, num_heads, d)
+        return grouped.mean(axis=2).reshape(b, (nf // m) * tpf, num_heads, d)
+
+    k, v = merge(k), merge(v)
+
+    if on_tpu_platform() and d == 64:
+        from ..ops.pallas_attention import flash_attention_partial_tpu
+
+        k32 = k.astype(jnp.float32)
+        kn = jnp.sqrt(jnp.max(jnp.sum(k32 * k32, axis=-1), axis=1))  # (B, H)
+        acc, l = flash_attention_partial_tpu(q, k, v, kn)
+        out = (acc / jnp.maximum(l[..., None], 1e-30)).astype(x.dtype)
+    else:
+        from ..ops.attention import sdpa_reference
+
+        out = sdpa_reference(q, k, v).astype(x.dtype)
+    return linear(out.reshape(b, t, c), p["proj_kernel"], p["proj_bias"])
+
+
 def block(
     x: jnp.ndarray,
     p: Dict[str, Any],
@@ -197,11 +272,12 @@ def block(
     positions: jnp.ndarray | None = None,
     rope_base: float = 100.0,
     norm_eps: float = 1e-6,
+    kv_groups: tuple | None = None,
 ) -> jnp.ndarray:
     """Pre-norm transformer block: x + ls1*attn(norm1(x)); x + ls2*mlp(norm2(x)).
 
     LayerScale applied iff 'ls1' in params; qk-norm iff 'q_norm_scale' in the
-    attn params; RoPE iff positions is not None.
+    attn params; RoPE iff positions is not None. kv_groups: see attention().
     """
     from ..parallel.context import replicate_over_tp
 
@@ -212,6 +288,7 @@ def block(
         num_heads,
         positions=positions,
         rope_base=rope_base,
+        kv_groups=kv_groups,
     )
     if "ls1" in p:
         h = h * p["ls1"].astype(h.dtype)

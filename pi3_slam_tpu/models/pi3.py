@@ -51,6 +51,16 @@ class Pi3Config:
     head_depth: int = 5
     head_num_heads: int = 16
     camera_dim: int = 512
+    # EXPERIMENTAL inference acceleration (off by default = exact): merge
+    # this many consecutive frames' key/value tokens (per spatial position,
+    # mean after qk-norm + RoPE) in the decoder's GLOBAL attention blocks —
+    # the FastVGGT/token-merging observation that cross-frame global
+    # attention is highly redundant (arxiv 2509.02560). Queries stay
+    # per-token, so outputs keep full resolution; global-attention FLOPs
+    # drop by this factor. Approximate: accuracy impact must be validated
+    # against a real checkpoint before production use. Applied only when
+    # the frame count divides evenly and no tensor-parallel mesh is active.
+    global_kv_merge: int = 1
 
 
 def _head_decoder_forward(
@@ -153,6 +163,7 @@ def _decode(
             positions=pos_global,
             rope_base=cfg.rope_base,
             norm_eps=cfg.norm_eps,
+            kv_groups=(N, hw_full, cfg.global_kv_merge),
         ).reshape(BN, hw_full, C)
         return (x_g, x_e), None
 

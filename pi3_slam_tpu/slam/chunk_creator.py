@@ -138,6 +138,12 @@ class OfflineChunkCreator:
 
         enable_compilation_cache()
         self.pi3_config = pi3_config or Pi3Config()
+        if getattr(config, "global_kv_merge", 1) > 1:
+            import dataclasses
+
+            self.pi3_config = dataclasses.replace(
+                self.pi3_config, global_kv_merge=config.global_kv_merge
+            )
         self.target_size = None
         self.chunks_dir = os.path.join(config.output_dir, "chunks")
         os.makedirs(self.chunks_dir, exist_ok=True)

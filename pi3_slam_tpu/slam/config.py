@@ -43,6 +43,11 @@ class OfflineCreatorConfig:
     # (SURVEY §7 hard part (c): no recompiles across chunk lengths). The
     # wasted tail compute (<= one chunk) is far below one compile.
     pad_tail_chunks: bool = True
+    # EXPERIMENTAL: merge this many consecutive frames' key/value tokens in
+    # the decoder's global attention (Pi3Config.global_kv_merge) — cuts
+    # global-attention FLOPs by the factor; approximate, validate accuracy
+    # on a real checkpoint first. 1 = exact (default).
+    global_kv_merge: int = 1
     resume: bool = False  # skip chunks whose files already exist
     # chunk-level data parallelism: process this many chunks per device step,
     # sharded over the mesh's dp axis (1 = single-chip path)
@@ -112,6 +117,8 @@ class OnlineConfig:
     # pad short tail chunks to chunk_length on the device (see
     # OfflineCreatorConfig.pad_tail_chunks)
     pad_tail_chunks: bool = True
+    # EXPERIMENTAL global-attention kv merge (see OfflineCreatorConfig)
+    global_kv_merge: int = 1
     num_loader_workers: int = 2
     visualize: bool = False
     viz_port: int = 8080

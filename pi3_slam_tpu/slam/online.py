@@ -50,6 +50,12 @@ class Pi3SLAMOnline:
 
         enable_compilation_cache()
         self.pi3_config = pi3_config or Pi3Config()
+        if getattr(config, "global_kv_merge", 1) > 1:
+            import dataclasses
+
+            self.pi3_config = dataclasses.replace(
+                self.pi3_config, global_kv_merge=config.global_kv_merge
+            )
         dtype_map = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
         self.compute_dtype = dtype_map[config.compute_dtype]
 

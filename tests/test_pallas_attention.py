@@ -183,6 +183,27 @@ def test_partial_kernel_shards_sum_to_full_attention(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_partial_kernel_single_shard_asymmetric_lengths(rng):
+    """The merged-kv global attention path (models/layers._merged_kv_attention)
+    feeds the partial kernel ONE complete kv set with Tk < Tq and divides
+    acc/l once — verify that usage against reference SDPA."""
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_partial_tpu
+    from pi3_slam_tpu.ops.attention import sdpa_reference
+
+    B, Tq, Tk, H, D = 1, 384, 192, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, Tq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Tk, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Tk, H, D)).astype(np.float32))
+    k32 = np.asarray(k, np.float32)
+    kn = jnp.asarray(np.sqrt((k32**2).sum(-1).max(axis=1)))
+    acc, l = flash_attention_partial_tpu(
+        q, k, v, kn, blk_q=128, blk_k=128, n_interleave=1, interpret=True
+    )
+    out = acc / jnp.maximum(l[..., None], 1e-30)
+    ref = sdpa_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_router_respects_default_device_override(rng):
     """sdpa must NOT route into Pallas kernels for work pinned to the CPU
     backend via jax.default_device inside a TPU process (sfm/device.py) —

@@ -129,3 +129,45 @@ def test_frame_permutation_changes_only_global_context(rng):
         pi3_forward(params, jnp.asarray(np.concatenate([f0, f1], axis=1)), TINY)["local_points"]
     )[0, 0]
     assert np.abs(solo - pair).max() > 1e-6
+
+
+def test_global_kv_merge_exact_on_duplicate_frames(rng):
+    """EXPERIMENTAL global_kv_merge: for frames duplicated in consecutive
+    pairs, merged-kv attention is EXACTLY regular attention (the mean of m
+    identical rotated tokens is the token, and uniform group sizes cancel
+    in the softmax) — so the whole forward must match the exact model to fp
+    tolerance. Also: a frame count not divisible by the merge silently
+    falls back to the exact path."""
+    import dataclasses
+
+    params = make_tiny_params()
+    f = rng.uniform(size=(1, 2, 3, 28, 28)).astype(np.float32)
+    dup = jnp.asarray(np.repeat(f, 2, axis=1))  # [f0, f0, f1, f1]
+
+    exact = pi3_forward(params, dup, TINY)
+    cfg2 = dataclasses.replace(TINY, global_kv_merge=2)
+    merged = pi3_forward(params, dup, cfg2)
+    np.testing.assert_allclose(
+        np.asarray(merged["points"]), np.asarray(exact["points"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["camera_poses"]), np.asarray(exact["camera_poses"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # distinct frames: merged is an approximation — outputs must differ
+    distinct = jnp.asarray(
+        rng.uniform(size=(1, 4, 3, 28, 28)).astype(np.float32)
+    )
+    a = pi3_forward(params, distinct, TINY)
+    bm = pi3_forward(params, distinct, cfg2)
+    assert np.abs(np.asarray(a["points"]) - np.asarray(bm["points"])).max() > 1e-6
+
+    # N=3 not divisible by 2 -> exact path
+    odd = jnp.asarray(rng.uniform(size=(1, 3, 3, 28, 28)).astype(np.float32))
+    e = pi3_forward(params, odd, TINY)
+    g = pi3_forward(params, odd, cfg2)
+    np.testing.assert_allclose(
+        np.asarray(g["points"]), np.asarray(e["points"]), rtol=1e-6, atol=1e-7
+    )
