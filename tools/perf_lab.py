@@ -342,10 +342,16 @@ def bench_mlp(sweep: bool = False):
 
 
 def bench_forward():
+    """Full forward at the eval shape. PI3_KV_MERGE=m times the experimental
+    merged-kv global attention (models/layers._merged_kv_attention) at the
+    same shape for an FPS-side comparison (accuracy is NOT measured here)."""
+    import os
+
     from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
     from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
 
-    cfg = Pi3Config()
+    merge = int(os.environ.get("PI3_KV_MERGE", "1"))
+    cfg = Pi3Config(global_kv_merge=merge)
     params = jax.device_put(cast_tree_bf16_host(init_pi3_params(0, cfg)))
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.uniform(size=(1, 100, 3, 308, 406)).astype(np.float32))
@@ -358,7 +364,8 @@ def bench_forward():
         out = fwd(params, imgs)
     drain(out["conf"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"pi3_forward full: {dt*1e3:.1f} ms = {100/dt:.2f} FPS")
+    tag = f" (kv_merge={merge})" if merge > 1 else ""
+    print(f"pi3_forward full{tag}: {dt*1e3:.1f} ms = {100/dt:.2f} FPS")
 
 
 if __name__ == "__main__":
