@@ -23,6 +23,8 @@ from .sim3 import (
     sim3_apply,
     sim3_inverse,
     sim3_compose,
+    sim3_exp,
+    sim3_log,
     robust_umeyama,
 )
 from .maps import (
@@ -53,6 +55,8 @@ __all__ = [
     "sim3_apply",
     "sim3_inverse",
     "sim3_compose",
+    "sim3_exp",
+    "sim3_log",
     "depth_edge",
     "normalized_view_plane_uv",
     "nearest_resize",

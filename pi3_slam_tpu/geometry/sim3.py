@@ -42,22 +42,25 @@ def sim3_apply(s: Sim3, points: jnp.ndarray) -> jnp.ndarray:
 
 
 def sim3_inverse(s: Sim3) -> Sim3:
+    """Inverse; batched over leading dims (scale (...,), rotation (..., 3, 3))."""
     Rt = jnp.swapaxes(s.rotation, -1, -2)
-    inv_scale = 1.0 / s.scale
+    inv_scale = 1.0 / jnp.asarray(s.scale)
     return Sim3(
         scale=inv_scale,
         rotation=Rt,
-        translation=-inv_scale * jnp.einsum("...ij,...j->...i", Rt, s.translation),
+        translation=-inv_scale[..., None]
+        * jnp.einsum("...ij,...j->...i", Rt, s.translation),
     )
 
 
 @f32_matmul
 def sim3_compose(a: Sim3, b: Sim3) -> Sim3:
-    """Composition (a o b)(x) = a(b(x))."""
+    """Composition (a o b)(x) = a(b(x)); batched over leading dims."""
     return Sim3(
         scale=a.scale * b.scale,
         rotation=a.rotation @ b.rotation,
-        translation=a.scale * jnp.einsum("...ij,...j->...i", a.rotation, b.translation)
+        translation=jnp.asarray(a.scale)[..., None]
+        * jnp.einsum("...ij,...j->...i", a.rotation, b.translation)
         + a.translation,
     )
 
@@ -65,6 +68,94 @@ def sim3_compose(a: Sim3, b: Sim3) -> Sim3:
 def sim3_identity(dtype=jnp.float32) -> Sim3:
     return Sim3(
         scale=jnp.ones((), dtype), rotation=jnp.eye(3, dtype=dtype), translation=jnp.zeros(3, dtype)
+    )
+
+
+def _sim3_w_coeffs(theta2: jnp.ndarray, sigma: jnp.ndarray):
+    """Coefficients (A, B, C) of the Sim3 left-Jacobian-style matrix
+    W = C*I + A*K + B*K^2 (K = skew(phi)) with t = W @ rho, derived from
+    W = integral_0^1 e^(sigma*u) exp(u*K) du. Taylor-safe at theta = 0 and
+    sigma = 0 (double-where guards), so sim3_exp is differentiable through
+    the identity tangent — required by the pose-graph retraction."""
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    small_t = theta2 < 1e-12
+    sigma2 = sigma * sigma
+    small_s = sigma2 < 1e-12
+    s = jnp.exp(sigma)
+
+    sigma_safe = jnp.where(small_s, 1.0, sigma)
+    sigma2_safe = jnp.where(small_s, 1.0, sigma2)
+    theta_safe = jnp.where(small_t, 1.0, theta)
+    theta2_safe = jnp.where(small_t, 1.0, theta2)
+    c_safe = theta2_safe + sigma2  # >= theta2 >= 1e-12 on the general branch
+
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    a_ = s * sin_t
+    b_ = s * cos_t
+
+    # C = (e^sigma - 1) / sigma
+    C = jnp.where(small_s, 1.0 + sigma / 2.0 + sigma2 / 6.0, (s - 1.0) / sigma_safe)
+
+    # A = (1/theta) * int e^(sigma u) sin(u theta) du
+    A_gen = (a_ * sigma + (1.0 - b_) * theta) / (theta_safe * c_safe)
+    A_small = jnp.where(
+        small_s,
+        0.5 + sigma / 3.0 + sigma2 / 8.0,
+        (s * (sigma - 1.0) + 1.0) / sigma2_safe,
+    )
+    A = jnp.where(small_t, A_small, A_gen)
+
+    # B = (C - int e^(sigma u) cos(u theta) du) / theta^2
+    B_gen = (C - ((b_ - 1.0) * sigma + a_ * theta) / c_safe) / theta2_safe
+    B_small = jnp.where(
+        small_s,
+        1.0 / 6.0 + sigma / 8.0 + sigma2 / 20.0,
+        (s * (sigma2 - 2.0 * sigma + 2.0) - 2.0) / (2.0 * sigma2_safe * sigma_safe),
+    )
+    B = jnp.where(small_t, B_small, B_gen)
+    return A, B, C
+
+
+@f32_matmul
+def sim3_exp(xi: jnp.ndarray) -> Sim3:
+    """Exponential map: tangent (..., 7) [rho(3), phi(3), sigma] -> Sim3.
+
+    Matches expm of the 4x4 algebra matrix [[sigma*I + skew(phi), rho], [0, 0]]
+    (tested against scipy.linalg.expm). Batched over leading dims; Taylor-safe
+    and differentiable at xi = 0 (the pose-graph linearization point)."""
+    from .transforms import skew, so3_exp
+
+    rho, phi, sigma = xi[..., 0:3], xi[..., 3:6], xi[..., 6]
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    A, B, C = _sim3_w_coeffs(theta2, sigma)
+    K = skew(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    W = C[..., None, None] * eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+    return Sim3(
+        scale=jnp.exp(sigma),
+        rotation=so3_exp(phi),
+        translation=jnp.einsum("...ij,...j->...i", W, rho),
+    )
+
+
+@f32_matmul
+def sim3_log(s: Sim3) -> jnp.ndarray:
+    """Log map: Sim3 -> tangent (..., 7) [rho, phi, sigma]; inverse of
+    sim3_exp (roundtrip-tested). Inherits so3_log's domain (theta < pi);
+    not intended to be differentiated at the theta = pi cut."""
+    from .transforms import skew, so3_log
+
+    sigma = jnp.log(s.scale)
+    phi = so3_log(s.rotation)
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    A, B, C = _sim3_w_coeffs(theta2, sigma)
+    K = skew(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    W = C[..., None, None] * eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+    rho = jnp.linalg.solve(W, s.translation[..., None])[..., 0]
+    return jnp.concatenate(
+        [rho, phi, jnp.asarray(sigma)[..., None]], axis=-1
     )
 
 

@@ -1,0 +1,203 @@
+"""Loop-closure detection and correction over chunk reconstructions.
+
+The reference's stitching is purely sequential (each chunk aligned only to
+its predecessor, utils/reconstruction_alignment.py:40-198) — revisiting a
+place does not correct accumulated drift. This module detects revisits
+between non-adjacent chunks (descriptor matching + robust geometric
+verification) and distributes the loop error across the chain with the Sim3
+pose graph (sfm/posegraph.py).
+
+Detection needs appearance: chunks created with the learned (ALIKED)
+extractor carry L2-normalized track descriptors; grid-keypoint chunks have
+no appearance signal, so detection returns no candidates there (documented
+— run create_offline_chunks.py with --keypoints aliked to enable loop
+closure).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.sim3 import Sim3, robust_umeyama, sim3_apply
+from .alignment import apply_sim3_to_reconstruction
+from .posegraph import optimize_sim3_pose_graph, sequential_edges, stack_sim3, index_sim3
+from .reconstruction import ChunkReconstruction
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    i: int  # earlier chunk
+    j: int  # later chunk
+    sim3: Sim3  # T with X_i^-1 o X_j = T: maps chunk-j world points onto chunk-i's
+    num_matches: int
+    num_inliers: int
+    inlier_rms: float
+
+
+def _subsample_tracks(recon: ChunkReconstruction, cap: int) -> np.ndarray:
+    live = np.nonzero(recon.track_valid > 0)[0]
+    if live.size <= cap:
+        return live
+    # even subsample keeps spatial coverage across frames (tracks are stored
+    # frame-major)
+    return live[np.linspace(0, live.size - 1, cap).astype(np.int64)]
+
+
+def _chunk_proximity(a: ChunkReconstruction, b: ChunkReconstruction) -> float:
+    """Distance between camera-track bounding spheres, normalized by the sum
+    of radii (< 1 means the spheres overlap)."""
+    ca, cb = a.centers.mean(axis=0), b.centers.mean(axis=0)
+    ra = float(np.linalg.norm(a.centers - ca, axis=-1).max())
+    rb = float(np.linalg.norm(b.centers - cb, axis=-1).max())
+    return float(np.linalg.norm(ca - cb)) / max(ra + rb, 1e-9)
+
+
+def detect_loop_closures(
+    recons: Sequence[ChunkReconstruction],
+    *,
+    min_separation: int = 2,
+    max_proximity: float = 1.5,
+    max_desc_tracks: int = 2048,
+    min_cosine: float = 0.85,
+    min_matches: int = 30,
+    min_inliers: int = 20,
+    min_inlier_ratio: float = 0.5,
+    inlier_scale_factor: float = 0.05,
+) -> List[LoopEdge]:
+    """Find verified loop edges between non-adjacent chunks.
+
+    Pipeline per candidate pair: (1) proximity gate on the current (drifted)
+    world placement — loops we can close are those whose drift is smaller
+    than the chunk extent; (2) mutual-NN cosine matching of track
+    descriptors; (3) trimmed Huber-IRLS Umeyama fit with an inlier gate at
+    ``inlier_scale_factor`` x the matched cloud's median spread. Candidates
+    failing any gate are dropped silently (a wrong loop edge is far worse
+    than a missed one; the pose graph's Huber loss is the last backstop).
+    """
+    edges: List[LoopEdge] = []
+    n = len(recons)
+    subs = [None] * n
+    for i in range(n):
+        for j in range(i + min_separation + 1, n):
+            a, b = recons[i], recons[j]
+            if a.track_desc is None or b.track_desc is None:
+                continue
+            if _chunk_proximity(a, b) > max_proximity:
+                continue
+            if subs[i] is None:
+                subs[i] = _subsample_tracks(a, max_desc_tracks)
+            if subs[j] is None:
+                subs[j] = _subsample_tracks(b, max_desc_tracks)
+            ai, bj = subs[i], subs[j]
+            if ai.size < min_matches or bj.size < min_matches:
+                continue
+            sim = b.track_desc[bj] @ a.track_desc[ai].T  # (Q, R) cosine
+            best_r = sim.argmax(axis=1)
+            best_q = sim.argmax(axis=0)
+            rows = np.arange(bj.size)
+            ok = (best_q[best_r] == rows) & (sim[rows, best_r] >= min_cosine)
+            n_match = int(ok.sum())
+            if n_match < min_matches:
+                continue
+            src = b.points[bj[ok]].astype(np.float64)  # query (later chunk)
+            dst = a.points[ai[best_r[ok]]].astype(np.float64)
+
+            spread = np.median(
+                np.linalg.norm(dst - np.median(dst, axis=0), axis=-1)
+            )
+            tau = max(float(spread) * inlier_scale_factor, 1e-6)
+            from .device import sfm_compute
+
+            with sfm_compute():
+                t = robust_umeyama(
+                    jnp.asarray(src, jnp.float32),
+                    jnp.asarray(dst, jnp.float32),
+                    huber_delta=tau,
+                    iterations=8,
+                    trim_multiplier=3.0,
+                )
+                res = np.asarray(
+                    jnp.linalg.norm(
+                        sim3_apply(t, jnp.asarray(src, jnp.float32))
+                        - jnp.asarray(dst, jnp.float32),
+                        axis=-1,
+                    )
+                )
+            inl = res <= 2.0 * tau
+            n_inl = int(inl.sum())
+            if n_inl < min_inliers or n_inl < min_inlier_ratio * n_match:
+                continue
+            edges.append(
+                LoopEdge(
+                    i=i,
+                    j=j,
+                    sim3=t,
+                    num_matches=n_match,
+                    num_inliers=n_inl,
+                    inlier_rms=float(np.sqrt(np.mean(res[inl] ** 2))),
+                )
+            )
+    return edges
+
+
+def close_loops(
+    recons: Sequence[ChunkReconstruction],
+    edges: Optional[List[LoopEdge]] = None,
+    *,
+    iterations: int = 15,
+    sequential_weight: float = 2.0,
+    huber_delta: float = 0.5,
+    **detect_kwargs,
+) -> dict:
+    """Detect loops (unless ``edges`` given), optimize the Sim3 pose graph,
+    and apply the per-chunk corrections in place.
+
+    Node k is a world-frame correction X_k for chunk k (init identity); a
+    loop fit T (chunk-j points onto chunk-i points) constrains
+    X_i^-1 o X_j = T, sequential edges hold X_k^-1 o X_{k+1} = I so the
+    already-refined overlap stitching deforms as little as possible while
+    the loop error is spread over the chain.
+    """
+    n = len(recons)
+    if edges is None:
+        edges = detect_loop_closures(recons, **detect_kwargs)
+    if not edges or n < 2:
+        return {"num_loop_edges": 0, "applied": False, "edges": edges or []}
+
+    seq_i, seq_j, seq_meas = sequential_edges(n)
+    ei = np.concatenate([seq_i, np.array([e.i for e in edges], np.int32)])
+    ej = np.concatenate([seq_j, np.array([e.j for e in edges], np.int32)])
+    meas = stack_sim3(seq_meas + [e.sim3 for e in edges])
+    w = np.concatenate(
+        [
+            np.full(n - 1, sequential_weight, np.float32),
+            np.ones(len(edges), np.float32),
+        ]
+    )
+
+    ident = Sim3(jnp.ones(()), jnp.eye(3), jnp.zeros(3))
+    from .device import sfm_compute
+
+    with sfm_compute():
+        result = optimize_sim3_pose_graph(
+            stack_sim3([ident] * n),
+            jnp.asarray(ei),
+            jnp.asarray(ej),
+            meas,
+            jnp.asarray(w),
+            iterations=iterations,
+            huber_delta=huber_delta,
+        )
+    for k, recon in enumerate(recons):
+        apply_sim3_to_reconstruction(recon, index_sim3(result.nodes, k))
+    return {
+        "num_loop_edges": len(edges),
+        "applied": True,
+        "edges": edges,
+        "initial_cost": result.initial_cost,
+        "final_cost": result.final_cost,
+    }

@@ -92,6 +92,14 @@ class ReconstructorConfig:
     gps_sigma: float = 2.0  # meters (0 disables GPS priors)
     gravity_sigma: float = 0.05  # unit-vector residual sigma (0 disables)
     telemetry_refine_iterations: int = 20
+    # loop closure (beyond the reference, whose stitching is strictly
+    # sequential): detect revisits between non-adjacent chunks by track-
+    # descriptor matching + robust geometric verification, then distribute
+    # the drift with a Sim3 pose graph (sfm/loops.py, sfm/posegraph.py).
+    # Needs ALIKED chunks (descriptors); grid chunks detect nothing.
+    loop_closure: bool = False
+    loop_min_inliers: int = 20
+    loop_min_cosine: float = 0.85
 
 
 @dataclass

@@ -127,6 +127,10 @@ class OfflineReconstructor:
                 )
             recons.append(recon)
 
+        loop_stats = None
+        if self.config.loop_closure:
+            loop_stats = self._close_loops(recons)
+
         telemetry_stats = None
         if self.config.telemetry_path:
             telemetry_stats = self._apply_telemetry(recons)
@@ -135,9 +139,36 @@ class OfflineReconstructor:
         return {
             "reconstructions": recons,
             "alignment": align_stats,
+            "loop_closure": loop_stats,
             "artifacts": artifacts,
             "telemetry": telemetry_stats,
         }
+
+    def _close_loops(self, recons) -> Dict:
+        """Drift correction via loop closure (sfm/loops.py) — a capability
+        the reference lacks (its alignment chain is strictly sequential)."""
+        from ..sfm.loops import close_loops
+
+        stats = close_loops(
+            recons,
+            min_inliers=self.config.loop_min_inliers,
+            min_cosine=self.config.loop_min_cosine,
+        )
+        if stats["num_loop_edges"] == 0:
+            has_desc = any(r.track_desc is not None for r in recons)
+            why = "" if has_desc else " (grid chunks carry no descriptors — use --keypoints aliked)"
+            print(f"loop closure: no verified loop edges{why}")
+        else:
+            for e in stats["edges"]:
+                print(
+                    f"loop closure: chunk {e.j} -> {e.i} "
+                    f"({e.num_inliers}/{e.num_matches} inliers, rms {e.inlier_rms:.3f})"
+                )
+            print(
+                f"loop closure: pose graph over {len(recons)} chunks, cost "
+                f"{stats['initial_cost']:.4f} -> {stats['final_cost']:.4f}"
+            )
+        return stats
 
     def _apply_telemetry(self, recons) -> Dict:
         """Gravity + GPS constrained refinement (sfm/priors.py).

@@ -29,6 +29,13 @@ def main(argv=None):
                         help="GPS position prior sigma in meters (0 disables)")
     parser.add_argument("--gravity-sigma", type=float, default=0.05,
                         help="Gravity direction residual sigma (0 disables)")
+    parser.add_argument("--loop-closure", action="store_true",
+                        help="Detect revisits between non-adjacent chunks and "
+                             "correct accumulated drift with a Sim3 pose graph "
+                             "(needs ALIKED chunks — descriptors carry the "
+                             "appearance signal; beyond the reference)")
+    parser.add_argument("--loop-min-inliers", type=int, default=20,
+                        help="Minimum verified 3D inliers to accept a loop edge")
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.utils.precision import select_platform
@@ -49,6 +56,8 @@ def main(argv=None):
         telemetry_path=args.telemetry,
         gps_sigma=args.gps_sigma,
         gravity_sigma=args.gravity_sigma,
+        loop_closure=args.loop_closure,
+        loop_min_inliers=args.loop_min_inliers,
     )
     OfflineReconstructor(config).run()
     return 0
