@@ -1,0 +1,194 @@
+"""Second-camera localization tests: DLT/RANSAC PnP, descriptor
+localization, Sim3 registration, and the localize_camera.py CLI."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from pi3_slam_tpu.geometry.sim3 import Sim3, sim3_apply, sim3_exp
+from pi3_slam_tpu.sfm.localize import (
+    dlt_pose,
+    localize_by_descriptors,
+    ransac_pnp,
+    register_reconstruction,
+)
+from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
+
+INTR = np.array([500.0, 480.0, 320.0, 240.0], np.float32)
+
+
+def _synthetic_view(rng, n=200):
+    """Random camera observing points 2-8 units in front of it."""
+    R = Rotation.random(random_state=np.random.RandomState(rng.integers(1 << 31))).as_matrix()
+    c = rng.normal(size=3)
+    x_cam = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(2, 8, n)], axis=1
+    )
+    X = x_cam @ R + c  # world points: X = R^T x_cam + c
+    u = INTR[0] * x_cam[:, 0] / x_cam[:, 2] + INTR[2]
+    v = INTR[1] * x_cam[:, 1] / x_cam[:, 2] + INTR[3]
+    return R, c, X, np.stack([u, v], axis=1)
+
+
+def test_dlt_pose_exact(rng):
+    R, c, X, uv = _synthetic_view(rng, n=8)
+    xn = np.stack([(uv[:, 0] - INTR[2]) / INTR[0], (uv[:, 1] - INTR[3]) / INTR[1]], axis=1)
+    R_e, c_e = dlt_pose(jnp.asarray(X, jnp.float32), jnp.asarray(xn, jnp.float32))
+    np.testing.assert_allclose(np.asarray(R_e), R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_e), c, atol=1e-3)
+
+
+def test_ransac_pnp_with_outliers(rng):
+    R, c, X, uv = _synthetic_view(rng)
+    uv_n = uv + rng.normal(size=uv.shape) * 0.5
+    out = rng.random(uv.shape[0]) < 0.3
+    uv_n[out] += rng.uniform(30, 200, size=(int(out.sum()), 2))
+    res = ransac_pnp(
+        jnp.asarray(X, jnp.float32),
+        jnp.asarray(uv_n, jnp.float32),
+        jnp.asarray(INTR),
+        jnp.ones(uv.shape[0]),
+        jax.random.PRNGKey(0),
+    )
+    assert int(res.num_inliers) > 0.5 * (~out).sum()
+    np.testing.assert_allclose(np.asarray(res.rotation), R, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.center), c, atol=2e-2)
+    assert float(res.inlier_rms_px) < 2.0
+
+
+def _desc_map_recons(rng, seed_points, desc):
+    from tests.test_posegraph import _make_desc_chunk
+
+    chunk = _make_desc_chunk(rng, ["m0", "m1", "m2", "m3"], seed_points, desc, start=0)
+    return [build_chunk_reconstruction(chunk, run_ba=False)]
+
+
+def test_localize_by_descriptors(rng):
+    """A query view of the mapped points must localize to its GT pose; extra
+    unmatched (noise) keypoints must not break it."""
+    n_kp = 64
+    seed = np.stack(
+        [rng.uniform(-2, 2, n_kp), rng.uniform(-1.5, 1.5, n_kp), rng.uniform(4, 7, n_kp)],
+        axis=1,
+    )
+    desc = rng.normal(size=(n_kp, 64))
+    desc = (desc / np.linalg.norm(desc, axis=-1, keepdims=True)).astype(np.float32)
+    recons = _desc_map_recons(rng, seed, desc)
+
+    # query camera looking at the seed cloud from a new spot
+    R_q = Rotation.from_euler("yxz", [15, -5, 3], degrees=True).as_matrix()
+    c_q = np.array([0.5, -0.3, 0.8])
+    x_cam = (seed - c_q) @ R_q.T
+    uv = np.stack(
+        [
+            INTR[0] * x_cam[:, 0] / x_cam[:, 2] + INTR[2],
+            INTR[1] * x_cam[:, 1] / x_cam[:, 2] + INTR[3],
+        ],
+        axis=1,
+    )
+    # append noise keypoints with unrelated descriptors
+    n_noise = 40
+    kp_all = np.concatenate([uv, rng.uniform(0, 600, size=(n_noise, 2))])
+    d_noise = rng.normal(size=(n_noise, 64))
+    d_noise /= np.linalg.norm(d_noise, axis=-1, keepdims=True)
+    desc_all = np.concatenate([desc, d_noise.astype(np.float32)])
+
+    res = localize_by_descriptors(recons, kp_all, desc_all, INTR, min_inliers=12)
+    assert res.success and res.num_inliers >= 0.8 * n_kp
+    np.testing.assert_allclose(res.rotation, R_q, atol=1e-3)
+    np.testing.assert_allclose(res.center, c_q, atol=5e-3)
+
+
+def test_register_reconstruction_recovers_sim3(rng):
+    from tests.test_posegraph import _make_desc_chunk
+
+    n_kp = 48
+    seed = np.stack(
+        [rng.uniform(-2, 2, n_kp), rng.uniform(-1.5, 1.5, n_kp), rng.uniform(4, 7, n_kp)],
+        axis=1,
+    )
+    desc = rng.normal(size=(n_kp, 64))
+    desc = (desc / np.linalg.norm(desc, axis=-1, keepdims=True)).astype(np.float32)
+    recons = _desc_map_recons(rng, seed, desc)
+
+    q_chunk = _make_desc_chunk(rng, ["q0", "q1", "q2"], seed, desc, start=1)
+    query = build_chunk_reconstruction(q_chunk, run_ba=False)
+    # displace the query chunk by a known Sim3 (second camera's own gauge)
+    gt = sim3_exp(jnp.asarray([0.4, -0.2, 0.3, 0.1, -0.05, 0.08, 0.15], jnp.float32))
+    from pi3_slam_tpu.sfm.alignment import apply_sim3_to_reconstruction
+
+    apply_sim3_to_reconstruction(query, gt)
+    res = register_reconstruction(recons, query, min_matches=30, min_inliers=20)
+    assert res.success and res.num_inliers >= 40
+    # registration must bring the query points back onto the map points
+    np.testing.assert_allclose(query.points[:n_kp], seed, atol=1e-3)
+
+
+def test_localize_camera_cli_register_mode(rng, tmp_path):
+    """End-to-end CLI drive: fabricated ALIKED-style map + query chunk files,
+    register mode; checks outputs and the recovered placement."""
+    import localize_camera
+    from tests.test_posegraph import _make_desc_chunk
+
+    n_kp = 48
+    seed = np.stack(
+        [rng.uniform(-2, 2, n_kp), rng.uniform(-1.5, 1.5, n_kp), rng.uniform(4, 7, n_kp)],
+        axis=1,
+    )
+    desc = rng.normal(size=(n_kp, 64))
+    desc = (desc / np.linalg.norm(desc, axis=-1, keepdims=True)).astype(np.float32)
+
+    def save_chunk(chunk, directory, idx):
+        os.makedirs(directory, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(directory, f"chunk_{idx:06d}.npz"),
+            keypoints=chunk["keypoints"].astype(np.float16),
+            points=chunk["points"].astype(np.float16),
+            colors=(chunk["colors"] * 255).astype(np.uint8),
+            camera_poses=chunk["camera_poses"].astype(np.float64),
+            intrinsics=chunk["intrinsics"].astype(np.float32),
+            image_paths=np.asarray([str(p) for p in chunk["image_paths"]]),
+            original_width=chunk["original_width"],
+            original_height=chunk["original_height"],
+            descriptors=chunk["descriptors"].astype(np.float16),
+        )
+
+    map_dir = str(tmp_path / "map")
+    q_dir = str(tmp_path / "query")
+    save_chunk(_make_desc_chunk(rng, ["m0", "m1", "m2", "m3"], seed, desc, start=0), map_dir, 0)
+
+    q_chunk = _make_desc_chunk(rng, ["q0", "q1", "q2"], seed, desc, start=1)
+    # second camera in its own displaced gauge
+    disp = sim3_exp(jnp.asarray([0.3, 0.1, -0.2, 0.05, 0.04, -0.06, 0.1], jnp.float32))
+    pts = q_chunk["points"].reshape(-1, 3)
+    q_chunk["points"] = np.asarray(
+        sim3_apply(disp, jnp.asarray(pts, jnp.float32))
+    ).reshape(q_chunk["points"].shape)
+    poses = q_chunk["camera_poses"].copy()
+    R = np.asarray(disp.rotation)
+    poses[:, :3, 3] = np.asarray(
+        sim3_apply(disp, jnp.asarray(poses[:, :3, 3], jnp.float32))
+    )
+    poses[:, :3, :3] = R @ poses[:, :3, :3]
+    q_chunk["camera_poses"] = poses
+    save_chunk(q_chunk, q_dir, 0)
+
+    out = str(tmp_path / "out")
+    rc = localize_camera.main(
+        [
+            "--map-chunks", map_dir,
+            "--query-chunks", q_dir,
+            "--output", out,
+            "--device", "cpu",
+            "--ba-iterations", "2",
+        ]
+    )
+    assert rc == 0
+    stats = json.load(open(os.path.join(out, "registration_stats.json")))
+    assert stats[0]["success"]
+    assert os.path.exists(os.path.join(out, "query_trajectory_tum.txt"))
+    assert os.path.exists(os.path.join(out, "combined_points.ply"))
