@@ -77,6 +77,15 @@ def main(argv=None):
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--resume", action="store_true", help="Skip chunks already on disk")
+    parser.add_argument("--refine-observations", action="store_true",
+                        help="Correlation-based observation refinement (the "
+                             "reference's README TODO): project the track "
+                             "observation fan and re-measure each projection "
+                             "by ZNCC patch matching inside the device step; "
+                             "the reconstructor then uses the photometric "
+                             "measurements")
+    parser.add_argument("--refine-max-observations", type=int, default=10,
+                        help="Observation-fan width baked into refined chunks")
     parser.add_argument("--global-kv-merge", type=int, default=1,
                         help="EXPERIMENTAL: merge this many consecutive frames' k/v "
                              "tokens in global attention (FastVGGT-style); cuts "
@@ -122,6 +131,8 @@ def main(argv=None):
         resume=args.resume,
         pad_tail_chunks=args.pad_tail_chunks,
         global_kv_merge=args.global_kv_merge,
+        refine_observations=args.refine_observations,
+        refine_max_observations=args.refine_max_observations,
         data_parallel_chunks=args.data_parallel_chunks,
         tensor_parallel=args.tensor_parallel,
         sequence_parallel=args.sequence_parallel,

@@ -1,0 +1,178 @@
+"""Correlation-based observation refinement (ZNCC patch matching).
+
+Implements the reference's README TODO "Add correlation based features
+refinement" (never built there). The SLAM pipeline's track observations in
+non-owner frames are pure *projections* of the Pi3 geometry
+(utils/chunk_reconstruction.py:163-185) — they carry no independent image
+evidence, so bundle adjustment can only redistribute the model's own error.
+This op re-measures each projected observation photometrically: the owner
+frame's patch around the detected keypoint is matched against a search
+window around the projection by zero-mean normalized cross-correlation,
+with quadratic sub-pixel interpolation of the correlation peak.
+
+TPU-first design: it runs inside the jitted chunk step while the images are
+still resident on device. All observations are refined at once — one flat
+bilinear gather builds every template and window, and the (2s+1)^2
+displacement scores come from a static Python loop of window slices that
+XLA fuses into a handful of elementwise passes (no per-observation control
+flow, no host roundtrip).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def rgb_to_gray(images: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, H, W) -> (N, H, W) luma."""
+    r, g, b = images[:, 0], images[:, 1], images[:, 2]
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def bilinear_sample_flat(
+    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample grayscale images (N, H, W) at arbitrary (frame, u, v) points.
+
+    frame_idx (...,) int; uv (..., 2) pixel coords (u = x, v = y). Coordinates
+    are clamped to the image — callers gate validity separately."""
+    n, h, w = images.shape
+    u = jnp.clip(uv[..., 0], 0.0, w - 1.000001)
+    v = jnp.clip(uv[..., 1], 0.0, h - 1.000001)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    flat = images.reshape(n * h * w)
+    base = frame_idx.astype(jnp.int32) * (h * w)
+
+    def at(vi, ui):
+        return flat[base + vi * w + ui]
+
+    s00 = at(v0, u0)
+    s01 = at(v0, u0 + 1)
+    s10 = at(v0 + 1, u0)
+    s11 = at(v0 + 1, u0 + 1)
+    return (
+        s00 * (1 - dv) * (1 - du)
+        + s01 * (1 - dv) * du
+        + s10 * dv * (1 - du)
+        + s11 * dv * du
+    )
+
+
+def zncc_refine_observations(
+    gray: jnp.ndarray,
+    tmpl_frame: jnp.ndarray,
+    tmpl_uv: jnp.ndarray,
+    obs_frame: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    *,
+    patch_radius: int = 3,
+    search_radius: int = 4,
+    min_zncc: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refine projected observations by ZNCC template matching.
+
+    gray (N, H, W); tmpl_frame (T,) owner frame per track; tmpl_uv (T, 2)
+    detected keypoint; obs_frame (T, M), obs_uv (T, M, 2) projected
+    observations. Returns (refined_uv (T, M, 2), zncc (T, M),
+    refined (T, M) bool). Observations whose peak is weak (< min_zncc), on
+    the search border, or whose windows leave the image keep their projected
+    coordinates with refined=False — refinement must never make an
+    observation worse than the projection it started from.
+    """
+    n, h, w = gray.shape
+    t, m = obs_frame.shape
+    p = 2 * patch_radius + 1
+    wp = p + 2 * search_radius
+    d = 2 * search_radius + 1
+
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-patch_radius, patch_radius + 1, dtype=gray.dtype),
+        jnp.arange(-patch_radius, patch_radius + 1, dtype=gray.dtype),
+        indexing="ij",
+    )
+    tmpl_offsets = jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # (P^2, 2) as (u, v)
+
+    # templates: (T, P^2)
+    tuv = tmpl_uv[:, None, :] + tmpl_offsets[None]
+    tmpl = bilinear_sample_flat(gray, tmpl_frame[:, None], tuv)
+    tmpl = tmpl - jnp.mean(tmpl, axis=-1, keepdims=True)
+    tmpl_norm = jnp.sqrt(jnp.sum(tmpl * tmpl, axis=-1))  # (T,)
+
+    # windows: (T, M, Wp, Wp) around the integer-rounded projection so the
+    # displacement grid is pixel-aligned
+    base_uv = jnp.round(obs_uv)
+    wy, wx = jnp.meshgrid(
+        jnp.arange(-(patch_radius + search_radius), patch_radius + search_radius + 1, dtype=gray.dtype),
+        jnp.arange(-(patch_radius + search_radius), patch_radius + search_radius + 1, dtype=gray.dtype),
+        indexing="ij",
+    )
+    win_offsets = jnp.stack([wx, wy], axis=-1).reshape(-1, 2)  # (Wp^2, 2)
+    wuv = base_uv[:, :, None, :] + win_offsets[None, None]
+    win = bilinear_sample_flat(gray, obs_frame[:, :, None], wuv).reshape(t, m, wp, wp)
+
+    # ZNCC for every displacement: static slices, fused by XLA
+    scores = []
+    tm = tmpl[:, None, :]  # (T, 1, P^2)
+    for ddy in range(d):
+        for ddx in range(d):
+            patch = win[:, :, ddy : ddy + p, ddx : ddx + p].reshape(t, m, p * p)
+            patch = patch - jnp.mean(patch, axis=-1, keepdims=True)
+            denom = tmpl_norm[:, None] * jnp.sqrt(jnp.sum(patch * patch, axis=-1))
+            scores.append(jnp.sum(tm * patch, axis=-1) / jnp.maximum(denom, 1e-6))
+    sc = jnp.stack(scores, axis=-1)  # (T, M, D^2)
+
+    best = jnp.argmax(sc, axis=-1)  # (T, M)
+    by = best // d
+    bx = best % d
+    peak = jnp.take_along_axis(sc, best[..., None], axis=-1)[..., 0]
+
+    # quadratic sub-pixel fit along each axis (neighbors clamped to the grid)
+    sc_grid = sc.reshape(t, m, d, d)
+
+    def grid_at(iy, ix):
+        iy = jnp.clip(iy, 0, d - 1)
+        ix = jnp.clip(ix, 0, d - 1)
+        return jnp.take_along_axis(
+            sc_grid.reshape(t, m, d * d), (iy * d + ix)[..., None], axis=-1
+        )[..., 0]
+
+    def parabola(s_m, s_0, s_p):
+        denom = 2.0 * s_0 - s_m - s_p
+        return jnp.where(denom > 1e-6, 0.5 * (s_p - s_m) / jnp.maximum(denom, 1e-6), 0.0)
+
+    sub_y = parabola(grid_at(by - 1, bx), peak, grid_at(by + 1, bx))
+    sub_x = parabola(grid_at(by, bx - 1), peak, grid_at(by, bx + 1))
+    sub = jnp.clip(jnp.stack([sub_x, sub_y], axis=-1), -1.0, 1.0)
+
+    disp = jnp.stack(
+        [(bx - search_radius).astype(gray.dtype), (by - search_radius).astype(gray.dtype)],
+        axis=-1,
+    )
+    refined_uv = base_uv + disp + sub
+
+    margin = patch_radius + search_radius
+    win_in = (
+        (base_uv[..., 0] >= margin)
+        & (base_uv[..., 0] <= w - 1 - margin)
+        & (base_uv[..., 1] >= margin)
+        & (base_uv[..., 1] <= h - 1 - margin)
+    )
+    tmpl_in = (
+        (tmpl_uv[:, 0] >= patch_radius)
+        & (tmpl_uv[:, 0] <= w - 1 - patch_radius)
+        & (tmpl_uv[:, 1] >= patch_radius)
+        & (tmpl_uv[:, 1] <= h - 1 - patch_radius)
+        & (tmpl_norm > 1e-4)  # textureless templates match anything
+    )
+    on_border = (by == 0) | (by == d - 1) | (bx == 0) | (bx == d - 1)
+    ok = win_in & tmpl_in[:, None] & ~on_border & (peak >= min_zncc)
+
+    refined_uv = jnp.where(ok[..., None], refined_uv, obs_uv)
+    return refined_uv, peak, ok

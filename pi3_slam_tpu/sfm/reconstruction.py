@@ -197,6 +197,29 @@ def build_chunk_reconstruction(
         else None
     )
 
+    stored_obs = chunk.get("obs_frame")
+    if stored_obs is not None:
+        # correlation-refined observations persisted by the chunk creator
+        # (--refine-observations, ops/correlation.py): use the photometric
+        # measurements instead of re-projecting the model geometry. The
+        # stored fan width supersedes max_observations_per_track.
+        M = np.asarray(stored_obs).shape[-1]
+        obs_frame = np.asarray(stored_obs, np.int32).reshape(T, M)
+        obs_uv = np.asarray(chunk["obs_uv"], np.float64).reshape(T, M, 2)
+        obs_valid = np.asarray(chunk["obs_valid"], np.float64).reshape(T, M)
+        # slot 0 refreshed from the track arrays (authoritative detection)
+        obs_frame[:, 0] = track_frame
+        obs_uv[:, 0] = track_uv
+        obs_valid[:, 0] = 1.0
+        obs_valid *= track_valid[:, None]
+        return _assemble_reconstruction(
+            names, R_cw, centers, intr, points_flat, colors, track_frame,
+            track_kp, track_uv, track_valid, obs_frame, obs_uv, obs_valid,
+            width, height, track_desc, run_ba, ba_iterations, huber_delta,
+            prune_max_reproj_px, prune_min_tri_angle_deg, use_inverse_depth,
+            optimize_focal,
+        )
+
     # slot 0: the detected keypoint in its own frame
     obs_frame[:, 0] = track_frame
     obs_uv[:, 0] = track_uv
@@ -242,6 +265,23 @@ def build_chunk_reconstruction(
     # dead tracks contribute no observations anywhere
     obs_valid *= track_valid[:, None]
 
+    return _assemble_reconstruction(
+        names, R_cw, centers, intr, points_flat, colors, track_frame, track_kp,
+        track_uv, track_valid, obs_frame, obs_uv, obs_valid, width, height,
+        track_desc, run_ba, ba_iterations, huber_delta, prune_max_reproj_px,
+        prune_min_tri_angle_deg, use_inverse_depth, optimize_focal,
+    )
+
+
+def _assemble_reconstruction(
+    names, R_cw, centers, intr, points_flat, colors, track_frame, track_kp,
+    track_uv, track_valid, obs_frame, obs_uv, obs_valid, width, height,
+    track_desc, run_ba, ba_iterations, huber_delta, prune_max_reproj_px,
+    prune_min_tri_angle_deg, use_inverse_depth, optimize_focal,
+) -> ChunkReconstruction:
+    T = points_flat.shape[0]
+    N = len(names)
+    K = T // max(N, 1)
     recon = ChunkReconstruction(
         frame_names=names,
         rotations=R_cw.astype(np.float32),
@@ -253,7 +293,7 @@ def build_chunk_reconstruction(
         track_kp=track_kp.astype(np.int32),
         track_uv=track_uv.astype(np.float32),
         track_valid=track_valid,
-        obs_frame=obs_frame,
+        obs_frame=np.asarray(obs_frame, np.int32),
         obs_uv=obs_uv.astype(np.float32),
         obs_valid=obs_valid.astype(np.float32),
         image_width=width,

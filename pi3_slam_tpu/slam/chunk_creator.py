@@ -32,8 +32,118 @@ from ..utils.keypoints import grid_keypoints
 from .config import OfflineCreatorConfig
 
 
+def _project_and_refine_observations(images, keypoints, pts_kp, poses, cam, refine_obs):
+    """Observation fan + ZNCC refinement inside the device step.
+
+    Projects each frame's keypoint 3D into its candidate frames (the same
+    evenly-subsampled fan the reconstructor uses,
+    sfm/reconstruction._candidate_frames) and re-measures every in-bounds
+    projection photometrically (ops/correlation.zncc_refine_observations).
+    Returns (N, K, M)-shaped obs arrays (slot 0 = the detection itself) so
+    per-frame tail-padding slices apply; padded-frame references are
+    invalidated host-side after slicing.
+    """
+    from ..ops.correlation import rgb_to_gray, zncc_refine_observations
+    from ..sfm.reconstruction import _candidate_frames
+
+    m_obs, patch_r, search_r, min_zncc = refine_obs
+    n, _, h, w = images.shape
+    k = keypoints.shape[1]
+    t = n * k
+
+    cand_np = np.full((n, m_obs - 1), -1, np.int32)
+    for f in range(n):
+        c = _candidate_frames(f, n, m_obs)
+        cand_np[f, : c.size] = c
+    cand = jnp.asarray(cand_np)  # (N, M-1), -1 padded
+    cand_safe = jnp.maximum(cand, 0)
+
+    if cam is not None:
+        intr4 = jnp.stack([cam["fx"], cam["fy"], cam["cx"], cam["cy"]], axis=-1)
+        # degenerate-focal fallback mirrors sfm/reconstruction.py:163-170
+        f_default = float(max(w, h))
+        default4 = jnp.asarray([f_default, f_default, w / 2.0, h / 2.0], jnp.float32)
+        bad = (
+            (intr4[:, 0] <= 1.0)
+            | (intr4[:, 1] <= 1.0)
+            | ~jnp.isfinite(intr4[:, :2]).all(axis=1)
+        )
+        intr4 = jnp.where(bad[:, None], default4[None], intr4)
+    else:
+        f_default = float(max(w, h))
+        intr4 = jnp.broadcast_to(
+            jnp.asarray([f_default, f_default, w / 2.0, h / 2.0], jnp.float32), (n, 4)
+        )
+
+    R_cw = jnp.transpose(poses[:, :3, :3], (0, 2, 1))
+    centers = poses[:, :3, 3]
+    Rc = R_cw[cand_safe]  # (N, M-1, 3, 3)
+    cc = centers[cand_safe]  # (N, M-1, 3)
+    ic = intr4[cand_safe]  # (N, M-1, 4)
+    X = pts_kp.astype(jnp.float32)  # (N, K, 3)
+    xc = jnp.einsum("nmij,nmkj->nmki", Rc, X[:, None, :, :] - cc[:, :, None, :])
+    z = xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = ic[..., 0][..., None] * xc[..., 0] / zs + ic[..., 2][..., None]
+    v = ic[..., 1][..., None] * xc[..., 1] / zs + ic[..., 3][..., None]
+    # in-bounds semantics identical to the reconstructor's projected fan
+    # (sfm/reconstruction.py numpy fallback / cpp hash-join)
+    inb = (
+        (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        & (cand >= 0)[..., None]
+    )  # (N, M-1, K)
+    proj_uv = jnp.stack([u, v], axis=-1)  # (N, M-1, K, 2)
+
+    # flatten to tracks (frame-major, matching the reconstructor layout)
+    obs_uv = jnp.transpose(proj_uv, (0, 2, 1, 3)).reshape(t, m_obs - 1, 2)
+    obs_valid = jnp.transpose(inb, (0, 2, 1)).reshape(t, m_obs - 1)
+    obs_frame = jnp.broadcast_to(cand_safe[:, None, :], (n, k, m_obs - 1)).reshape(
+        t, m_obs - 1
+    )
+    tmpl_frame = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    tmpl_uv = keypoints.reshape(t, 2).astype(jnp.float32)
+
+    gray = rgb_to_gray(images.astype(jnp.float32))
+    refined_uv, _zncc, refined = zncc_refine_observations(
+        gray, tmpl_frame, tmpl_uv, obs_frame, obs_uv,
+        patch_radius=patch_r, search_radius=search_r, min_zncc=min_zncc,
+    )
+    refined = refined & obs_valid
+    obs_uv = jnp.where(refined[..., None], refined_uv, obs_uv)
+
+    # slot 0: the detection in its own frame
+    full_frame = jnp.concatenate([tmpl_frame[:, None], obs_frame], axis=1)
+    full_uv = jnp.concatenate([tmpl_uv[:, None, :], obs_uv], axis=1)
+    full_valid = jnp.concatenate(
+        [jnp.ones((t, 1), bool), obs_valid.astype(bool)], axis=1
+    )
+    full_refined = jnp.concatenate([jnp.zeros((t, 1), bool), refined], axis=1)
+    return {
+        "obs_frame": full_frame.reshape(n, k, m_obs).astype(jnp.int32),
+        "obs_uv": full_uv.reshape(n, k, m_obs, 2),
+        "obs_valid": full_valid.reshape(n, k, m_obs),
+        "obs_refined": full_refined.reshape(n, k, m_obs),
+    }
+
+
+_OBS_KEYS = ("obs_frame", "obs_uv", "obs_valid", "obs_refined")
+
+
+def _store_refined_observations(result: Dict, host: Dict, n_real: int) -> None:
+    """Persist ZNCC-refined observation arrays (already sliced to, or sliced
+    here to, the real frame count). Observations referencing padded tail
+    frames are invalidated; obs_uv stays float32 — float16's 0.25 px ulp at
+    u > 256 would erase the sub-pixel refinement."""
+    of = np.asarray(host["obs_frame"])[:n_real]
+    result["obs_frame"] = of.astype(np.int16)
+    result["obs_uv"] = np.asarray(host["obs_uv"])[:n_real].astype(np.float32)
+    result["obs_valid"] = np.asarray(host["obs_valid"])[:n_real] & (of < n_real)
+    result["obs_refined"] = np.asarray(host["obs_refined"])[:n_real]
+
+
 def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_rtol: float,
-                    estimate_intrinsics: bool, return_dense: bool = False):
+                    estimate_intrinsics: bool, return_dense: bool = False,
+                    refine_obs: tuple | None = None):
     """Build the jitted per-chunk device step.
 
     step(params, images (B,N,3,H,W), keypoints (B,N,K,2)) -> compact outputs
@@ -41,6 +151,14 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
     shard B over the mesh's dp axis and every chunk runs on its own devices.
     For the common single-chunk call, pass keypoints as (N,K,2) and outputs
     drop the batch dim.
+
+    refine_obs = (max_obs, patch_radius, search_radius, min_zncc) enables
+    correlation-based observation refinement (the reference's README TODO
+    "Add correlation based features refinement"): the track observation fan
+    is projected and ZNCC-refined INSIDE the step, while the images are
+    still on device (ops/correlation.py), and stored in the chunk; the
+    reconstructor then uses the photometrically measured observations
+    instead of re-projecting the model geometry.
     """
 
     def single(params, images, keypoints):
@@ -80,11 +198,17 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             "depth0": local[0, ..., 2],
             "mask0": masks[0],
         }
+        cam = None
         if estimate_intrinsics:
             cam = estimate_camera_parameters(local, conf)
             result["intrinsics"] = cam["intrinsics"]
             result["focal"] = cam["focal"]
             result["shift"] = cam["shift"]
+        if refine_obs is not None:
+            obs = _project_and_refine_observations(
+                images, keypoints, pts_kp, poses, cam, refine_obs
+            )
+            result.update(obs)
         if return_dense:
             result["points_dense"] = world.astype(jnp.float16)
             result["local_points_dense"] = local.astype(jnp.float16)
@@ -102,7 +226,8 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
 
 
 def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float,
-                            edge_rtol: float, estimate_intrinsics: bool, mesh):
+                            edge_rtol: float, estimate_intrinsics: bool, mesh,
+                            refine_obs: tuple | None = None):
     """Chunk-data-parallel step over a device mesh: the (B, ...) chunk batch
     is sharded on the mesh's dp axis, parameters on tp (see parallel/mesh.py).
 
@@ -113,7 +238,10 @@ def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float
     from ..parallel.context import tp_mesh_context
     from ..parallel.mesh import pi3_param_shardings
 
-    base = make_chunk_step(cfg, compute_dtype, conf_threshold, edge_rtol, estimate_intrinsics)
+    base = make_chunk_step(
+        cfg, compute_dtype, conf_threshold, edge_rtol, estimate_intrinsics,
+        refine_obs=refine_obs,
+    )
 
     def shard_params(params):
         return jax.device_put(params, pi3_param_shardings(params, mesh))
@@ -222,9 +350,20 @@ class OfflineChunkCreator:
                 config.tensor_parallel = 1
                 config.sequence_parallel = 1
 
+    def _refine_cfg(self):
+        if not self.config.refine_observations:
+            return None
+        return (
+            self.config.refine_max_observations,
+            self.config.refine_patch_radius,
+            self.config.refine_search_radius,
+            self.config.refine_min_zncc,
+        )
+
     def _get_step(self):
         dense = self.config.keypoint_type == "none"
-        key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense)
+        refine = self._refine_cfg()
+        key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense, refine)
         if key not in self._step_cache:
             if not self._step_cache:
                 print(
@@ -240,6 +379,7 @@ class OfflineChunkCreator:
                     self.config.depth_edge_rtol,
                     self.config.estimate_camera_params,
                     self.mesh,
+                    refine_obs=refine,
                 )
                 self.params = shard_params(self.params)
                 self._step_cache[key] = step
@@ -251,6 +391,7 @@ class OfflineChunkCreator:
                     self.config.depth_edge_rtol,
                     self.config.estimate_camera_params,
                     return_dense=dense,
+                    refine_obs=refine,
                 )
         return self._step_cache[key]
 
@@ -259,7 +400,7 @@ class OfflineChunkCreator:
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
         "camera_poses", "points_dense", "local_points_dense", "conf_dense",
-        "masks_dense",
+        "masks_dense", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
     )
 
     def _pad_tail(self, images: np.ndarray, kps: np.ndarray):
@@ -401,6 +542,10 @@ class OfflineChunkCreator:
                 result["descriptors"] = np.asarray(
                     dets[b]["descriptors"], np.float16
                 )
+            if "obs_frame" in host:
+                _store_refined_observations(
+                    result, {k: host[k][b] for k in _OBS_KEYS}, N
+                )
             results.append(result)
         return results
 
@@ -499,6 +644,8 @@ class OfflineChunkCreator:
         if det is not None:
             result["keypoint_valid"] = np.asarray(det["valid"], bool)
             result["descriptors"] = np.asarray(det["descriptors"], np.float16)
+        if "obs_frame" in host:
+            _store_refined_observations(result, host, N)
         for dense_key in ("points_dense", "local_points_dense", "conf_dense", "masks_dense"):
             if dense_key in host:
                 arr = host[dense_key]

@@ -48,6 +48,18 @@ class OfflineCreatorConfig:
     # global-attention FLOPs by the factor; approximate, validate accuracy
     # on a real checkpoint first. 1 = exact (default).
     global_kv_merge: int = 1
+    # correlation-based observation refinement (the reference's README TODO,
+    # implemented in ops/correlation.py): the track observation fan is
+    # projected and ZNCC-refined inside the device step (images still on
+    # device) and persisted in the chunk; the reconstructor then uses the
+    # photometrically measured observations instead of re-projecting (its
+    # --max-observations-per-track is superseded by the stored fan width).
+    # Offline creator only.
+    refine_observations: bool = False
+    refine_max_observations: int = 10
+    refine_patch_radius: int = 3
+    refine_search_radius: int = 4
+    refine_min_zncc: float = 0.5
     resume: bool = False  # skip chunks whose files already exist
     # chunk-level data parallelism: process this many chunks per device step,
     # sharded over the mesh's dp axis (1 = single-chip path)

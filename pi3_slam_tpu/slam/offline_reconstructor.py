@@ -52,7 +52,7 @@ def load_chunk_npz(path: str) -> Dict:
     }
     for opt in (
         "intrinsics", "masks", "conf", "metric_scale", "start_idx", "end_idx",
-        "keypoint_valid",
+        "keypoint_valid", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
     ):
         if opt in z.files:
             chunk[opt] = z[opt]
