@@ -98,6 +98,10 @@ def main(argv=None):
                        help="Print per-alignment overlap diagnostics (overlap frame "
                             "ids, common-track counts, conf stats) and append them "
                             "to <output>/overlap_debug.jsonl")
+    g_out.add_argument("--loop-closure", action="store_true",
+                       help="Loop-closure finalization before the exports: "
+                            "descriptor-based revisit detection + Sim3 pose-graph "
+                            "drift correction (needs --keypoints aliked)")
     g_out.add_argument("--tum-integer-timestamps", action="store_true",
                        help="Write integer frame-index timestamps in the TUM export "
                             "(the reference's --tum_integer_timestamp; matches the "
@@ -159,9 +163,11 @@ def main(argv=None):
         output_dir=args.output,
         save_debug_projections=args.save_debug_projections,
         debug_overlap=args.debug_overlap,
+        loop_closure=args.loop_closure,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)
+    slam.apply_loop_closure()
     slam.apply_telemetry()
     os.makedirs(args.output, exist_ok=True)
     slam.save_final_result(

@@ -154,6 +154,11 @@ class OnlineConfig:
     # the reference's _debug_print_overlap_indices
     # (slam/online_reconstructor.py:1754-1810)
     debug_overlap: bool = False
+    # loop-closure finalization (sfm/loops.py — see ReconstructorConfig):
+    # applied over the accumulated chunk reconstructions before the exports
+    loop_closure: bool = False
+    loop_min_inliers: int = 20
+    loop_min_cosine: float = 0.85
     # gravity/GPS constrained finalization (sfm/priors.py, shared with the
     # offline reconstructor's --telemetry)
     telemetry_path: Optional[str] = None

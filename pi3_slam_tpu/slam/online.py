@@ -609,6 +609,32 @@ class Pi3SLAMOnline:
             "fps": fps,
         }
 
+    def apply_loop_closure(self):
+        """Loop-closure finalization over the accumulated chunk
+        reconstructions (sfm/loops.close_loops): detect revisits by
+        descriptor matching, distribute drift with the Sim3 pose graph.
+        Call after processing, before apply_telemetry (georeferencing should
+        see the loop-consistent geometry). Needs ALIKED chunks."""
+        if not self.config.loop_closure or len(self.reconstructions) < 2:
+            return None
+        from ..sfm.loops import close_loops
+
+        stats = close_loops(
+            self.reconstructions,
+            min_inliers=self.config.loop_min_inliers,
+            min_cosine=self.config.loop_min_cosine,
+        )
+        if stats["num_loop_edges"]:
+            print(
+                f"loop closure: {stats['num_loop_edges']} edge(s), pose-graph "
+                f"cost {stats['initial_cost']:.4f} -> {stats['final_cost']:.4f}"
+            )
+        else:
+            has_desc = any(r.track_desc is not None for r in self.reconstructions)
+            why = "" if has_desc else " (grid chunks carry no descriptors — use --keypoints aliked)"
+            print(f"loop closure: no verified loop edges{why}")
+        return stats
+
     def apply_telemetry(self):
         """Gravity + GPS constrained finalization over the accumulated chunk
         reconstructions (sfm/priors.constrain_with_telemetry — the

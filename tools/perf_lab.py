@@ -368,6 +368,37 @@ def bench_forward():
     print(f"pi3_forward full{tag}: {dt*1e3:.1f} ms = {100/dt:.2f} FPS")
 
 
+def bench_refine():
+    """Cost of correlation-based observation refinement at the eval shape:
+    the full chunk step with refine_obs on vs off (100 frames @ 308x406,
+    400 keypoints, fan width 10)."""
+    from pi3_slam_tpu.models import Pi3Config, init_pi3_params
+    from pi3_slam_tpu.slam.chunk_creator import make_chunk_step
+    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
+
+    cfg = Pi3Config()
+    params = jax.device_put(cast_tree_bf16_host(init_pi3_params(0, cfg)))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(1, 100, 3, 308, 406)).astype(np.float32))
+    kps = jnp.asarray(
+        np.stack(
+            [rng.uniform(8, 398, (100, 400)), rng.uniform(8, 300, (100, 400))], axis=-1
+        ).astype(np.float32)
+    )
+    for refine, label in ((None, "chunk step (no refinement)"),
+                          ((10, 3, 4, 0.5), "chunk step + ZNCC obs refinement")):
+        step = make_chunk_step(cfg, jnp.bfloat16, 0.1, 0.03, True, refine_obs=refine)
+        out = step(params, imgs, kps)
+        drain(out["camera_poses"])
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            out = step(params, imgs, kps)
+        drain(out["camera_poses"])
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{label:55s} {dt * 1e3:9.1f} ms = {100 / dt:.2f} FPS")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend(), jax.devices())
@@ -387,3 +418,5 @@ if __name__ == "__main__":
         bench_mlp(sweep=True)
     if which in ("forward", "all"):
         bench_forward()
+    if which == "refine":
+        bench_refine()
