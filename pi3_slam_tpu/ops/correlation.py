@@ -135,10 +135,31 @@ def zncc_refine_observations(
     x0 = base_flat[:, 0].astype(jnp.int32) - margin
     y0 = base_flat[:, 1].astype(jnp.int32) - margin
 
-    def slice_window(f, y, x):
-        return jax.lax.dynamic_slice(gray, (f, y, x), (1, wp, wp)).reshape(wp * wp)
+    # XLA lowers this batched slice-gather to a sequential loop; grouping 32
+    # slices per iteration amortizes the per-iteration overhead (measured
+    # 938 -> 654 ms at the eval shape; a Pallas lane-gather is not available
+    # on TPU and a dense MXU conv reformulation is HBM-bound at the same
+    # cost, so this is the practical floor for the access pattern)
+    group = 32
+    tm_pad = -(-tm // group) * group
+    pad = tm_pad - tm
+    f_p = jnp.pad(frame_flat, (0, pad))
+    y_p = jnp.pad(y0, (0, pad))
+    x_p = jnp.pad(x0, (0, pad))
 
-    win = jax.vmap(slice_window)(frame_flat, y0, x0)  # (TM, Wp^2)
+    def slice_group(fs, ys, xs):
+        return jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    gray, (fs[i], ys[i], xs[i]), (1, wp, wp)
+                ).reshape(wp * wp)
+                for i in range(group)
+            ]
+        )
+
+    win = jax.vmap(slice_group)(
+        f_p.reshape(-1, group), y_p.reshape(-1, group), x_p.reshape(-1, group)
+    ).reshape(tm_pad, wp * wp)[:tm]
     win = win.T.reshape(wp, wp, tm)
 
     # ZNCC for every displacement: static slices, fused by XLA
