@@ -46,6 +46,10 @@ def main(argv=None):
     g_proc.add_argument("--no-pad-tail", dest="pad_tail_chunks", action="store_false",
                         help="Compile a separate XLA program for the short tail chunk "
                              "instead of padding it to --chunk-length")
+    g_proc.add_argument("--refine-observations", action="store_true",
+                        help="Correlation-based observation refinement inside the "
+                             "device step (ZNCC patch matching; see "
+                             "create_offline_chunks.py --refine-observations)")
     g_proc.add_argument("--global-kv-merge", type=int, default=1,
                         help="EXPERIMENTAL: merge this many consecutive frames' k/v "
                              "tokens in global attention (FastVGGT-style); "
@@ -164,6 +168,7 @@ def main(argv=None):
         save_debug_projections=args.save_debug_projections,
         debug_overlap=args.debug_overlap,
         loop_closure=args.loop_closure,
+        refine_observations=args.refine_observations,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)

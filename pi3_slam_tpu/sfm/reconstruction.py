@@ -204,9 +204,10 @@ def build_chunk_reconstruction(
         # measurements instead of re-projecting the model geometry. The
         # stored fan width supersedes max_observations_per_track.
         M = np.asarray(stored_obs).shape[-1]
-        obs_frame = np.asarray(stored_obs, np.int32).reshape(T, M)
-        obs_uv = np.asarray(chunk["obs_uv"], np.float64).reshape(T, M, 2)
-        obs_valid = np.asarray(chunk["obs_valid"], np.float64).reshape(T, M)
+        # np.array (copy): device-backed buffers arrive as read-only views
+        obs_frame = np.array(stored_obs, np.int32).reshape(T, M)
+        obs_uv = np.array(chunk["obs_uv"], np.float64).reshape(T, M, 2)
+        obs_valid = np.array(chunk["obs_valid"], np.float64).reshape(T, M)
         # slot 0 refreshed from the track arrays (authoritative detection)
         obs_frame[:, 0] = track_frame
         obs_uv[:, 0] = track_uv

@@ -159,6 +159,14 @@ class OnlineConfig:
     loop_closure: bool = False
     loop_min_inliers: int = 20
     loop_min_cosine: float = 0.85
+    # correlation-based observation refinement inside the device step (see
+    # OfflineCreatorConfig.refine_observations); the online reconstruction
+    # then consumes the photometric measurements directly
+    refine_observations: bool = False
+    refine_max_observations: int = 10
+    refine_patch_radius: int = 3
+    refine_search_radius: int = 4
+    refine_min_zncc: float = 0.5
     # gravity/GPS constrained finalization (sfm/priors.py, shared with the
     # offline reconstructor's --telemetry)
     telemetry_path: Optional[str] = None

@@ -144,6 +144,14 @@ class Pi3SLAMOnline:
             self.visualizer = OnlineVisualizer(port=config.viz_port)
 
     def _make_steps(self) -> None:
+        refine = None
+        if self.config.refine_observations:
+            refine = (
+                self.config.refine_max_observations,
+                self.config.refine_patch_radius,
+                self.config.refine_search_radius,
+                self.config.refine_min_zncc,
+            )
         if self.mesh is not None:
             from .chunk_creator import make_sharded_chunk_step
 
@@ -151,6 +159,7 @@ class Pi3SLAMOnline:
                 self.pi3_config, self.compute_dtype,
                 self.config.conf_threshold, self.config.depth_edge_rtol,
                 self.config.estimate_camera_params, self.mesh,
+                refine_obs=refine,
             )
             self.params = shard_params(self._host_params)
         else:
@@ -158,6 +167,7 @@ class Pi3SLAMOnline:
                 self.pi3_config, self.compute_dtype,
                 self.config.conf_threshold, self.config.depth_edge_rtol,
                 self.config.estimate_camera_params,
+                refine_obs=refine,
             )
 
     # ----- per-chunk stages -----
@@ -165,7 +175,7 @@ class Pi3SLAMOnline:
     # per-frame device-step outputs sliced back after tail padding
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
-        "camera_poses",
+        "camera_poses", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
     )
 
     def _pad_tail(self, images: np.ndarray, kps: np.ndarray, axis: int = 0):
@@ -316,6 +326,13 @@ class Pi3SLAMOnline:
         }
         if "intrinsics" in host:
             chunk["intrinsics"] = host["intrinsics"].astype(np.float64)
+        if "obs_frame" in host:
+            # ZNCC-refined observation fan from the device step; padded tail
+            # frame references invalidated (see chunk_creator)
+            of = host["obs_frame"]
+            chunk["obs_frame"] = of
+            chunk["obs_uv"] = host["obs_uv"]
+            chunk["obs_valid"] = host["obs_valid"] & (of < n_frames)
         det = pending.get("det")
         if det is not None:
             # ALIKED: sub-threshold filler slots must not spawn live tracks;

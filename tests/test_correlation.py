@@ -221,3 +221,43 @@ def test_creator_refined_chunks_end_to_end(tmp_path):
     assert recons[0].obs_frame.shape[1] == 4
     for art in result["artifacts"].values():
         assert os.path.exists(art)
+
+
+def test_online_refined_observations(tmp_path):
+    """Online mode with --refine-observations: the consumed reconstructions
+    carry the device-refined observation fan (incl. the padded tail)."""
+    from PIL import Image
+
+    from pi3_slam_tpu.slam import OnlineConfig, Pi3SLAMOnline
+    from test_pi3_model import TINY, make_tiny_params
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    base = rng.integers(30, 220, (64, 84, 3)).astype(np.uint8)
+    paths = []
+    for i in range(7):
+        p = d / f"frame_{i:04d}.png"
+        Image.fromarray(np.roll(base, shift=3 * i, axis=1)).save(p)
+        paths.append(str(p))
+
+    cfg = OnlineConfig(
+        chunk_length=4,
+        overlap=2,
+        pixel_limit=4000,
+        use_metric_depth=False,
+        max_keypoints=30,
+        compute_dtype="float32",
+        output_dir=str(tmp_path / "out"),
+        refine_observations=True,
+        refine_max_observations=4,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    slam.process_image_paths(paths)
+    assert len(slam.reconstructions) >= 2
+    for r in slam.reconstructions:
+        assert r.obs_frame.shape[1] == 4
+    tail = slam.reconstructions[-1]
+    assert tail.num_frames == 3
+    assert not (tail.obs_valid[tail.obs_frame >= tail.num_frames] > 0).any()
