@@ -128,6 +128,72 @@ def test_register_reconstruction_recovers_sim3(rng):
     np.testing.assert_allclose(query.points[:n_kp], seed, atol=1e-3)
 
 
+def test_localize_camera_cli_pnp_mode(rng, tmp_path):
+    """PnP-mode CLI plumbing drive with random ALIKED weights: extraction,
+    validity filtering, map-resolution handling, default intrinsics, bucket
+    padding, stats export. Random descriptors cannot match the fabricated
+    map, so per-image localization correctly FAILS (rc 1) — accuracy of the
+    solver is covered by test_localize_by_descriptors."""
+    import json as _json
+
+    import localize_camera
+    from pi3_slam_tpu.models.aliked import CONFIGS
+    from pi3_slam_tpu.models.convert import convert_aliked_state_dict, save_params_npz
+    from tests.test_aliked import _torch_layout_state_dict
+    from tests.test_posegraph import _make_desc_chunk
+    from PIL import Image
+
+    sd = _torch_layout_state_dict(CONFIGS["aliked-n16"], seed=5)
+    aliked_path = str(tmp_path / "aliked.npz")
+    save_params_npz(aliked_path, convert_aliked_state_dict(sd, model_name="aliked-n16"))
+
+    n_kp = 48
+    seed = np.stack(
+        [rng.uniform(-2, 2, n_kp), rng.uniform(-1.5, 1.5, n_kp), rng.uniform(4, 7, n_kp)],
+        axis=1,
+    )
+    desc = rng.normal(size=(n_kp, 128))
+    desc = (desc / np.linalg.norm(desc, axis=-1, keepdims=True)).astype(np.float32)
+    map_dir = str(tmp_path / "map")
+    chunk = _make_desc_chunk(rng, ["m0", "m1", "m2"], seed, desc, start=0)
+    os.makedirs(map_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(map_dir, "chunk_000000.npz"),
+        keypoints=chunk["keypoints"].astype(np.float16),
+        points=chunk["points"].astype(np.float16),
+        colors=(chunk["colors"] * 255).astype(np.uint8),
+        camera_poses=chunk["camera_poses"].astype(np.float64),
+        intrinsics=chunk["intrinsics"].astype(np.float32),
+        image_paths=np.asarray([str(p) for p in chunk["image_paths"]]),
+        original_width=chunk["original_width"],
+        original_height=chunk["original_height"],
+        descriptors=chunk["descriptors"].astype(np.float16),
+    )
+
+    q_dir = tmp_path / "qimgs"
+    q_dir.mkdir()
+    img = rng.integers(0, 255, (64, 84, 3)).astype(np.uint8)
+    for i in range(2):
+        Image.fromarray(np.roll(img, 5 * i, axis=1)).save(q_dir / f"{i:04d}.png")
+
+    out = str(tmp_path / "loc_out")
+    rc = localize_camera.main(
+        [
+            "--map-chunks", map_dir,
+            "--query-images", str(q_dir),
+            "--aliked-path", aliked_path,
+            "--max-keypoints", "64",
+            "--output", out,
+            "--device", "cpu",
+            "--ba-iterations", "2",
+        ]
+    )
+    assert rc in (0, 1)
+    stats = _json.load(open(os.path.join(out, "localization_stats.json")))
+    assert len(stats) == 2
+    assert all("num_matches" in s for s in stats)
+
+
 def test_localize_camera_cli_register_mode(rng, tmp_path):
     """End-to-end CLI drive: fabricated ALIKED-style map + query chunk files,
     register mode; checks outputs and the recovered placement."""
