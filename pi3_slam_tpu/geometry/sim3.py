@@ -200,6 +200,49 @@ def umeyama(
 
 
 @f32_matmul
+def sim3_from_camera_poses(
+    ref_rot_cw: jnp.ndarray,
+    ref_centers: jnp.ndarray,
+    q_rot_cw: jnp.ndarray,
+    q_centers: jnp.ndarray,
+    rot_weight: jnp.ndarray | None = None,
+) -> Sim3:
+    """Sim3 aligning query camera poses onto reference poses of the same
+    frames: minimizes sum |s R c_q + t - c_ref|^2 - lambda tr((R R_wc,q)^T
+    R_wc,ref) over Sim3.
+
+    Camera centers of a forward-moving chunk are nearly collinear, which
+    leaves Umeyama's rotation free about the motion axis — the chordal
+    rotation term (world rotations R_wc = R_cw^T of the shared frames)
+    resolves it. lambda defaults to the mean squared center spread so both
+    terms carry comparable weight. Used as the alignment fallback when no
+    common tracks survive (the reference has no fallback and simply leaves
+    the chunk in its own gauge)."""
+    mu_q = jnp.mean(q_centers, axis=0)
+    mu_r = jnp.mean(ref_centers, axis=0)
+    qc = q_centers - mu_q
+    rc = ref_centers - mu_r
+    cov_pts = rc.T @ qc  # sum dst src^T
+    var_q = jnp.sum(qc * qc) / qc.shape[0]
+    if rot_weight is None:
+        rot_weight = jnp.maximum(var_q, 1e-8)
+    r_wc_ref = jnp.swapaxes(ref_rot_cw, -1, -2)
+    r_wc_q = jnp.swapaxes(q_rot_cw, -1, -2)
+    cov_rot = jnp.einsum("nij,nkj->ik", r_wc_ref, r_wc_q)
+    cov = cov_pts / qc.shape[0] + rot_weight * cov_rot / q_rot_cw.shape[0]
+    u, _, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    u_fix = jnp.concatenate([u[:, :-1], u[:, -1:] * jnp.where(det < 0, -1.0, 1.0)], axis=1)
+    R = u_fix @ vt
+    # scale from centers only; guard the near-stationary case
+    num = jnp.sum(rc * (qc @ R.T)) / qc.shape[0]
+    scale = jnp.where(var_q > 1e-10, num / jnp.maximum(var_q, 1e-10), 1.0)
+    scale = jnp.where(scale > 1e-6, scale, 1.0)
+    t = mu_r - scale * R @ mu_q
+    return Sim3(scale=scale, rotation=R, translation=t)
+
+
+@f32_matmul
 def robust_umeyama(
     src: jnp.ndarray,
     dst: jnp.ndarray,

@@ -9,6 +9,15 @@ jit-compiled JAX solvers over padded static shapes.
 from .ba import BAProblem, bundle_adjust, reprojection_errors
 from .reconstruction import ChunkReconstruction, build_chunk_reconstruction
 from .alignment import align_chunks, AlignmentResult
+from .posegraph import optimize_sim3_pose_graph, PoseGraphResult
+from .loops import close_loops, detect_loop_closures, LoopEdge
+from .localize import (
+    ransac_pnp,
+    localize_by_descriptors,
+    register_reconstruction,
+    LocalizationResult,
+    RegistrationResult,
+)
 
 __all__ = [
     "BAProblem",
@@ -18,4 +27,14 @@ __all__ = [
     "build_chunk_reconstruction",
     "align_chunks",
     "AlignmentResult",
+    "optimize_sim3_pose_graph",
+    "PoseGraphResult",
+    "close_loops",
+    "detect_loop_closures",
+    "LoopEdge",
+    "ransac_pnp",
+    "localize_by_descriptors",
+    "register_reconstruction",
+    "LocalizationResult",
+    "RegistrationResult",
 ]

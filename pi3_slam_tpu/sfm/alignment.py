@@ -37,6 +37,11 @@ class AlignmentResult:
     num_common_tracks: int
     num_used_tracks: int
     success: bool
+    # "tracks" = common-track Sim3 (the reference's path); "poses" = the
+    # shared-frame camera-pose fallback (sim3_from_camera_poses) used when
+    # no common tracks survive — the reference has no fallback and leaves
+    # the chunk unaligned in its own gauge
+    method: str = "tracks"
 
 
 def create_view_graph_matches(chunk_size: int, overlap: int) -> List[Tuple[int, int]]:
@@ -161,37 +166,62 @@ def align_chunks(
     min_common_tracks: int = 4,
 ) -> AlignmentResult:
     """Align query chunk onto ref chunk in place."""
-    ref_ids, q_ids = find_common_tracks(ref, query)
-    n_common = ref_ids.size
-    if n_common < min_common_tracks:
-        return AlignmentResult(
-            sim3=Sim3(jnp.ones(()), jnp.eye(3), jnp.zeros(3)),
-            num_common_tracks=int(n_common),
-            num_used_tracks=0,
-            success=False,
-        )
-
-    dst = ref.points[ref_ids].astype(np.float64)
-    src = query.points[q_ids].astype(np.float64)
-
-    # median-distance filter w.r.t. the reference chunk's last camera
-    last_cam = ref.centers[-1].astype(np.float64)
-    d = np.linalg.norm(dst - last_cam, axis=-1)
-    keep = d <= np.median(d)
-    if keep.sum() >= min_common_tracks:
-        dst = dst[keep]
-        src = src[keep]
-
     from .device import sfm_compute
 
-    with sfm_compute():
-        s = robust_umeyama(
-            jnp.asarray(src, jnp.float32),
-            jnp.asarray(dst, jnp.float32),
-            huber_delta=huber_delta_sim3,
-            iterations=sim3_iterations,
-        )
-    apply_sim3_to_reconstruction(query, s)
+    ref_ids, q_ids = find_common_tracks(ref, query)
+    n_common = ref_ids.size
+    method = "tracks"
+    if n_common < min_common_tracks:
+        # fallback: Sim3 from the shared frames' camera poses (centers +
+        # chordal rotation term — centers alone are collinear under forward
+        # motion). Zero common tracks happens when confidence masking kills
+        # the overlap keypoints; the poses still carry the alignment.
+        name_to_ref = {nm: i for i, nm in enumerate(ref.frame_names)}
+        shared = [
+            (name_to_ref[nm], j)
+            for j, nm in enumerate(query.frame_names)
+            if nm in name_to_ref
+        ]
+        if len(shared) < 2:
+            return AlignmentResult(
+                sim3=Sim3(jnp.ones(()), jnp.eye(3), jnp.zeros(3)),
+                num_common_tracks=int(n_common),
+                num_used_tracks=0,
+                success=False,
+            )
+        ri = np.array([i for i, _ in shared])
+        qj = np.array([j for _, j in shared])
+        from ..geometry.sim3 import sim3_from_camera_poses
+
+        with sfm_compute():
+            s = sim3_from_camera_poses(
+                jnp.asarray(ref.rotations[ri]),
+                jnp.asarray(ref.centers[ri]),
+                jnp.asarray(query.rotations[qj]),
+                jnp.asarray(query.centers[qj]),
+            )
+        apply_sim3_to_reconstruction(query, s)
+        method = "poses"
+    else:
+        dst = ref.points[ref_ids].astype(np.float64)
+        src = query.points[q_ids].astype(np.float64)
+
+        # median-distance filter w.r.t. the reference chunk's last camera
+        last_cam = ref.centers[-1].astype(np.float64)
+        d = np.linalg.norm(dst - last_cam, axis=-1)
+        keep = d <= np.median(d)
+        if keep.sum() >= min_common_tracks:
+            dst = dst[keep]
+            src = src[keep]
+
+        with sfm_compute():
+            s = robust_umeyama(
+                jnp.asarray(src, jnp.float32),
+                jnp.asarray(dst, jnp.float32),
+                huber_delta=huber_delta_sim3,
+                iterations=sim3_iterations,
+            )
+        apply_sim3_to_reconstruction(query, s)
 
     if refine:
         # priors: overlap views of the query pulled toward ref's poses
@@ -228,6 +258,7 @@ def align_chunks(
     return AlignmentResult(
         sim3=s,
         num_common_tracks=int(n_common),
-        num_used_tracks=int(src.shape[0]),
+        num_used_tracks=int(src.shape[0]) if method == "tracks" else 0,
         success=True,
+        method=method,
     )

@@ -121,8 +121,9 @@ class OfflineReconstructor:
                 )
                 align_stats.append(res)
                 status = "ok" if res.success else "FAILED"
+                via = " via pose fallback" if res.method == "poses" else ""
                 print(
-                    f"    align -> {status} (common {res.num_common_tracks}, "
+                    f"    align -> {status}{via} (common {res.num_common_tracks}, "
                     f"scale {float(res.sim3.scale):.4f})"
                 )
             recons.append(recon)

@@ -187,3 +187,42 @@ def test_align_chunks_insufficient_overlap(rng):
     res = align_chunks(ra, rb)
     assert not res.success
     assert res.num_common_tracks == 0
+
+
+def test_align_chunks_pose_fallback(rng):
+    """Zero common tracks (keypoints jittered so the position join fails)
+    but shared frames: align_chunks must fall back to the camera-pose Sim3
+    (sim3_from_camera_poses) and still recover the displacement — including
+    the rotation component that collinear centers alone cannot fix."""
+    chunk_a, seed = make_chunk(rng, ["f0", "f1", "f2", "f3", "f4"])
+    chunk_b, _ = make_chunk(rng, ["f3", "f4", "f5", "f6", "f7"], seed_points=seed, start=3)
+    # jitter B's keypoints by > the 0.25 px quantization so no track matches
+    chunk_b["keypoints"] = chunk_b["keypoints"] + rng.uniform(1.0, 2.0, chunk_b["keypoints"].shape)
+    ra = build_chunk_reconstruction(chunk_a, run_ba=False)
+    rb = build_chunk_reconstruction(chunk_b, run_ba=False)
+
+    gt = Sim3(
+        jnp.asarray(1.3),
+        jnp.asarray(Rotation.from_euler("xyz", [0.3, -0.15, 0.25]).as_matrix()),
+        jnp.asarray(np.array([0.7, -0.4, 1.2])),
+    )
+    apply_sim3_to_reconstruction(rb, gt)
+
+    res = align_chunks(ra, rb, refine=False)
+    assert res.success and res.method == "poses"
+    assert res.num_common_tracks == 0
+    name_to_a = {n: i for i, n in enumerate(ra.frame_names)}
+    for j, nm in enumerate(rb.frame_names):
+        if nm in name_to_a:
+            i = name_to_a[nm]
+            np.testing.assert_allclose(rb.centers[j], ra.centers[i], atol=1e-3)
+            np.testing.assert_allclose(rb.rotations[j], ra.rotations[i], atol=1e-3)
+
+
+def test_align_chunks_no_shared_frames_fails(rng):
+    chunk_a, _ = make_chunk(rng, ["f0", "f1", "f2"])
+    chunk_b, _ = make_chunk(rng, ["g0", "g1", "g2"], start=5)
+    ra = build_chunk_reconstruction(chunk_a, run_ba=False)
+    rb = build_chunk_reconstruction(chunk_b, run_ba=False)
+    res = align_chunks(ra, rb, refine=False)
+    assert not res.success and res.method == "tracks"
