@@ -223,6 +223,53 @@ def test_creator_refined_chunks_end_to_end(tmp_path):
         assert os.path.exists(art)
 
 
+def test_creator_refined_chunk_dp_matches_single(tmp_path):
+    """--refine-observations under chunk-data-parallel sharding on the CPU
+    mesh: obs arrays are produced per chunk and match the single-chip path."""
+    import glob
+
+    import jax
+    import pytest
+    from PIL import Image
+
+    from pi3_slam_tpu.slam import OfflineChunkCreator, OfflineCreatorConfig
+    from test_pi3_model import TINY, make_tiny_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    base = rng.integers(30, 220, (64, 84, 3)).astype(np.uint8)
+    for i in range(8):
+        Image.fromarray(np.roll(base, shift=3 * i, axis=1)).save(d / f"f_{i:04d}.png")
+    paths = sorted(glob.glob(os.path.join(str(d), "*.png")))
+
+    outs = {}
+    for dp in (1, 2):
+        out = str(tmp_path / f"dp{dp}")
+        cfg = OfflineCreatorConfig(
+            output_dir=out, chunk_length=4, overlap=2, pixel_limit=4000,
+            use_metric_depth=False, max_keypoints=24, compute_dtype="float32",
+            data_parallel_chunks=dp,
+            refine_observations=True, refine_max_observations=4,
+        )
+        creator = OfflineChunkCreator(cfg, pi3_config=TINY)
+        creator.params = make_tiny_params()
+        if dp > 1 and creator.mesh is None:
+            pytest.skip("mesh unavailable")
+        outs[dp] = creator.process_and_save(paths)
+
+    assert len(outs[1]) == len(outs[2])
+    for p1, p2 in zip(outs[1], outs[2]):
+        z1, z2 = np.load(p1), np.load(p2)
+        assert z1["obs_frame"].shape == z2["obs_frame"].shape
+        np.testing.assert_array_equal(z1["obs_frame"], z2["obs_frame"])
+        np.testing.assert_array_equal(z1["obs_valid"], z2["obs_valid"])
+        np.testing.assert_allclose(z1["obs_uv"], z2["obs_uv"], atol=2e-2)
+
+
 def test_online_refined_observations(tmp_path):
     """Online mode with --refine-observations: the consumed reconstructions
     carry the device-refined observation fan (incl. the padded tail)."""
