@@ -94,6 +94,9 @@ def _register_mode(args, map_recons) -> int:
         print(f"no chunk files under {args.query_chunks}", file=sys.stderr)
         return 2
 
+    from pi3_slam_tpu.sfm.localize import _pool_map_tracks
+
+    map_pool = _pool_map_tracks(map_recons)
     registered, stats = [], []
     for i, path in enumerate(files):
         recon = build_chunk_reconstruction(
@@ -104,6 +107,7 @@ def _register_mode(args, map_recons) -> int:
             recon,
             min_cosine=args.min_cosine,
             min_inliers=max(args.min_inliers, 20),
+            map_pool=map_pool,
         )
         status = "ok" if res.success else "FAILED"
         print(
@@ -183,7 +187,9 @@ def _pnp_mode(args, map_recons) -> int:
         with open(meta_path) as f:
             ts = json.load(f).get("target_size")
         if ts:
-            target_hw = (int(ts[1]), int(ts[0]))  # stored (W, H)
+            # chunk_metadata stores target_size as (H, W) — the creator's
+            # calculate_target_size order (chunk_creator.py writer)
+            target_hw = (int(ts[0]), int(ts[1]))
 
     paths = collect_image_paths(args.query_images)
     if not paths:
@@ -203,6 +209,9 @@ def _pnp_mode(args, map_recons) -> int:
     else:  # reference default prior: f = max(W, H), pp at center
         intr = np.array([max(w, h), max(w, h), w / 2.0, h / 2.0], np.float32)
 
+    from pi3_slam_tpu.sfm.localize import _pool_map_tracks
+
+    map_pool = _pool_map_tracks(map_recons)
     results, centers, rotations, kept_ts = [], [], [], []
     for k, path in enumerate(paths):
         img = first if k == 0 else load_image(path, target_hw)
@@ -220,6 +229,7 @@ def _pnp_mode(args, map_recons) -> int:
             min_cosine=args.min_cosine,
             min_inliers=args.min_inliers,
             seed=k,
+            map_pool=map_pool,
         )
         status = "ok" if res.success else "FAILED"
         print(

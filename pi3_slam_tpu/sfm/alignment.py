@@ -50,6 +50,32 @@ def create_view_graph_matches(chunk_size: int, overlap: int) -> List[Tuple[int, 
     return [(chunk_size - overlap + i, i) for i in range(overlap)]
 
 
+def mutual_nn_match(
+    query_desc: np.ndarray, ref_desc: np.ndarray, min_cosine: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mutual-nearest-neighbour cosine matching of L2-normalized descriptor
+    sets. Returns (query_idx, ref_idx). The one matching core shared by
+    cross-chunk track matching (here), loop detection (sfm/loops.py), and
+    second-camera localization (sfm/localize.py)."""
+    if query_desc.shape[0] == 0 or ref_desc.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    sim = query_desc @ ref_desc.T  # (Q, R) cosine
+    best_r = sim.argmax(axis=1)
+    best_q = sim.argmax(axis=0)
+    rows = np.arange(query_desc.shape[0])
+    ok = (best_q[best_r] == rows) & (sim[rows, best_r] >= min_cosine)
+    return rows[ok], best_r[ok]
+
+
+def subsample_live_tracks(recon: ChunkReconstruction, cap: int) -> np.ndarray:
+    """Evenly-subsampled live-track indices (keeps spatial coverage — tracks
+    are stored frame-major); shared by loop detection and map pooling."""
+    live = np.nonzero(recon.track_valid > 0)[0]
+    if live.size <= cap:
+        return live
+    return live[np.linspace(0, live.size - 1, cap).astype(np.int64)]
+
+
 def match_tracks_by_descriptor(
     ref: ChunkReconstruction,
     query: ChunkReconstruction,
@@ -82,17 +108,11 @@ def match_tracks_by_descriptor(
         qi = np.nonzero((query.track_frame == j) & (query.track_valid > 0))[0]
         if ri.size == 0 or qi.size == 0:
             continue
-        sim = query.track_desc[qi] @ ref.track_desc[ri].T  # (Q, R) cosine
-        best_r = sim.argmax(axis=1)
-        best_q = sim.argmax(axis=0)
-        rows = np.arange(qi.size)
-        ok = (best_q[best_r] == rows) & (sim[rows, best_r] >= min_cosine)
-        duv = np.linalg.norm(
-            query.track_uv[qi] - ref.track_uv[ri[best_r]], axis=-1
-        )
-        ok &= duv <= max_px
-        ref_ids.append(ri[best_r[ok]])
-        q_ids.append(qi[ok])
+        qm, rm = mutual_nn_match(query.track_desc[qi], ref.track_desc[ri], min_cosine)
+        duv = np.linalg.norm(query.track_uv[qi[qm]] - ref.track_uv[ri[rm]], axis=-1)
+        keep_px = duv <= max_px
+        ref_ids.append(ri[rm[keep_px]])
+        q_ids.append(qi[qm[keep_px]])
     if not ref_ids:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     return np.concatenate(ref_ids), np.concatenate(q_ids)

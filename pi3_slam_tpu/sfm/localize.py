@@ -174,27 +174,18 @@ def _pool_map_tracks(
     recons: Sequence[ChunkReconstruction], cap_per_chunk: int = 4096
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pooled (points, descriptors) of live described tracks across the map."""
+    from .alignment import subsample_live_tracks
+
     pts, descs = [], []
     for r in recons:
         if r.track_desc is None:
             continue
-        live = np.nonzero(r.track_valid > 0)[0]
-        if live.size > cap_per_chunk:
-            live = live[np.linspace(0, live.size - 1, cap_per_chunk).astype(np.int64)]
+        live = subsample_live_tracks(r, cap_per_chunk)
         pts.append(r.points[live])
         descs.append(r.track_desc[live])
     if not pts:
         return np.zeros((0, 3), np.float32), np.zeros((0, 0), np.float32)
     return np.concatenate(pts).astype(np.float32), np.concatenate(descs).astype(np.float32)
-
-
-def _mutual_nn(query_desc: np.ndarray, map_desc: np.ndarray, min_cosine: float):
-    sim = query_desc @ map_desc.T
-    best_m = sim.argmax(axis=1)
-    best_q = sim.argmax(axis=0)
-    rows = np.arange(query_desc.shape[0])
-    ok = (best_q[best_m] == rows) & (sim[rows, best_m] >= min_cosine)
-    return rows[ok], best_m[ok]
 
 
 @dataclasses.dataclass
@@ -216,21 +207,32 @@ def localize_by_descriptors(
     min_cosine: float = 0.85,
     min_inliers: int = 12,
     seed: int = 0,
+    map_pool: Tuple[np.ndarray, np.ndarray] | None = None,
     **ransac_kwargs,
 ) -> LocalizationResult:
     """Localize one query image: match its descriptors to the map's track
     descriptors, pad correspondences to a power-of-two bucket (bounds XLA
-    recompiles across images), and solve robust PnP on the SfM backend."""
-    map_pts, map_desc = _pool_map_tracks(map_recons)
+    recompiles across images), and solve robust PnP on the SfM backend.
+
+    map_pool: optional precomputed _pool_map_tracks output — the pool is
+    invariant across query images, so callers localizing many images should
+    pool once instead of re-concatenating the whole map per image."""
+    map_pts, map_desc = map_pool if map_pool is not None else _pool_map_tracks(map_recons)
     if map_pts.shape[0] == 0:
         return LocalizationResult(False, None, None, 0, 0, float("inf"))
-    qi, mi = _mutual_nn(
+    from .alignment import mutual_nn_match
+
+    qi, mi = mutual_nn_match(
         descriptors / np.maximum(np.linalg.norm(descriptors, axis=-1, keepdims=True), 1e-9),
         map_desc,
         min_cosine,
     )
     n_match = int(qi.size)
-    if n_match < max(min_inliers, 6):
+    # every RANSAC minimal sample draws sample_size points: fewer real
+    # matches than that would pull padded zero-correspondences into every
+    # DLT hypothesis
+    sample_size = ransac_kwargs.get("sample_size", 8)
+    if n_match < max(min_inliers, sample_size):
         return LocalizationResult(False, None, None, n_match, 0, float("inf"))
 
     cap = 1 << max(6, int(np.ceil(np.log2(n_match))))
@@ -283,17 +285,21 @@ def register_reconstruction(
     min_inliers: int = 20,
     inlier_scale_factor: float = 0.05,
     apply: bool = True,
+    map_pool: Tuple[np.ndarray, np.ndarray] | None = None,
 ) -> RegistrationResult:
     """Sim3-register a second camera's chunk onto the map by 3D-3D
     descriptor matching (reconstruction of another camera: the registered
-    chunk's tracks live in the map frame afterwards)."""
+    chunk's tracks live in the map frame afterwards). map_pool as in
+    localize_by_descriptors."""
     if query.track_desc is None:
         return RegistrationResult(False, None, 0, 0, float("inf"))
-    map_pts, map_desc = _pool_map_tracks(map_recons)
+    map_pts, map_desc = map_pool if map_pool is not None else _pool_map_tracks(map_recons)
     if map_pts.shape[0] == 0:
         return RegistrationResult(False, None, 0, 0, float("inf"))
+    from .alignment import mutual_nn_match
+
     live = np.nonzero(query.track_valid > 0)[0]
-    qi, mi = _mutual_nn(query.track_desc[live], map_desc, min_cosine)
+    qi, mi = mutual_nn_match(query.track_desc[live], map_desc, min_cosine)
     n_match = int(qi.size)
     if n_match < min_matches:
         return RegistrationResult(False, None, n_match, 0, float("inf"))

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.sim3 import Sim3, robust_umeyama, sim3_apply
-from .alignment import apply_sim3_to_reconstruction
+from .alignment import (
+    apply_sim3_to_reconstruction,
+    mutual_nn_match,
+    subsample_live_tracks,
+)
 from .posegraph import optimize_sim3_pose_graph, sequential_edges, stack_sim3, index_sim3
 from .reconstruction import ChunkReconstruction
 
@@ -36,15 +40,6 @@ class LoopEdge:
     num_matches: int
     num_inliers: int
     inlier_rms: float
-
-
-def _subsample_tracks(recon: ChunkReconstruction, cap: int) -> np.ndarray:
-    live = np.nonzero(recon.track_valid > 0)[0]
-    if live.size <= cap:
-        return live
-    # even subsample keeps spatial coverage across frames (tracks are stored
-    # frame-major)
-    return live[np.linspace(0, live.size - 1, cap).astype(np.int64)]
 
 
 def _chunk_proximity(a: ChunkReconstruction, b: ChunkReconstruction) -> float:
@@ -89,22 +84,18 @@ def detect_loop_closures(
             if _chunk_proximity(a, b) > max_proximity:
                 continue
             if subs[i] is None:
-                subs[i] = _subsample_tracks(a, max_desc_tracks)
+                subs[i] = subsample_live_tracks(a, max_desc_tracks)
             if subs[j] is None:
-                subs[j] = _subsample_tracks(b, max_desc_tracks)
+                subs[j] = subsample_live_tracks(b, max_desc_tracks)
             ai, bj = subs[i], subs[j]
             if ai.size < min_matches or bj.size < min_matches:
                 continue
-            sim = b.track_desc[bj] @ a.track_desc[ai].T  # (Q, R) cosine
-            best_r = sim.argmax(axis=1)
-            best_q = sim.argmax(axis=0)
-            rows = np.arange(bj.size)
-            ok = (best_q[best_r] == rows) & (sim[rows, best_r] >= min_cosine)
-            n_match = int(ok.sum())
+            qm, rm = mutual_nn_match(b.track_desc[bj], a.track_desc[ai], min_cosine)
+            n_match = int(qm.size)
             if n_match < min_matches:
                 continue
-            src = b.points[bj[ok]].astype(np.float64)  # query (later chunk)
-            dst = a.points[ai[best_r[ok]]].astype(np.float64)
+            src = b.points[bj[qm]].astype(np.float64)  # query (later chunk)
+            dst = a.points[ai[rm]].astype(np.float64)
 
             spread = np.median(
                 np.linalg.norm(dst - np.median(dst, axis=0), axis=-1)

@@ -32,30 +32,40 @@ from ..utils.keypoints import grid_keypoints
 from .config import OfflineCreatorConfig
 
 
-def _project_and_refine_observations(images, keypoints, pts_kp, poses, cam, refine_obs):
+def _fan_table(n_real: int, n_padded: int, max_obs: int) -> np.ndarray:
+    """Candidate-frame table for the in-step observation fan, computed over
+    the REAL frame count (padded tail frames must neither receive slots nor
+    spend the earlier-frame subsample budget — the reconstructor's fan uses
+    the real N); rows for padded frames stay all -1."""
+    from ..sfm.reconstruction import _candidate_frames
+
+    t = np.full((n_padded, max_obs - 1), -1, np.int32)
+    for f in range(n_real):
+        c = _candidate_frames(f, n_real, max_obs)
+        t[f, : c.size] = c
+    return t
+
+
+def _project_and_refine_observations(images, keypoints, pts_kp, poses, cam, refine_obs,
+                                     cand):
     """Observation fan + ZNCC refinement inside the device step.
 
     Projects each frame's keypoint 3D into its candidate frames (the same
-    evenly-subsampled fan the reconstructor uses,
-    sfm/reconstruction._candidate_frames) and re-measures every in-bounds
-    projection photometrically (ops/correlation.zncc_refine_observations).
-    Returns (N, K, M)-shaped obs arrays (slot 0 = the detection itself) so
-    per-frame tail-padding slices apply; padded-frame references are
-    invalidated host-side after slicing.
+    evenly-subsampled fan the reconstructor uses — ``cand`` is the
+    host-computed _fan_table over the chunk's REAL frame count, -1-padded)
+    and re-measures every in-bounds projection photometrically
+    (ops/correlation.zncc_refine_observations). Returns (N, K, M)-shaped obs
+    arrays (slot 0 = the detection itself) so per-frame tail-padding slices
+    apply.
     """
     from ..ops.correlation import rgb_to_gray, zncc_refine_observations
-    from ..sfm.reconstruction import _candidate_frames
 
     m_obs, patch_r, search_r, min_zncc = refine_obs
     n, _, h, w = images.shape
     k = keypoints.shape[1]
     t = n * k
 
-    cand_np = np.full((n, m_obs - 1), -1, np.int32)
-    for f in range(n):
-        c = _candidate_frames(f, n, m_obs)
-        cand_np[f, : c.size] = c
-    cand = jnp.asarray(cand_np)  # (N, M-1), -1 padded
+    cand = jnp.asarray(cand, jnp.int32)  # (N, M-1), -1 padded
     cand_safe = jnp.maximum(cand, 0)
 
     if cam is not None:
@@ -161,7 +171,7 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
     instead of re-projecting the model geometry.
     """
 
-    def single(params, images, keypoints):
+    def single(params, images, keypoints, cand=None):
         # images (N, 3, H, W) float32 [0,1] or uint8 (normalized here — the
         # loader ships raw bytes to cut host->device transfer 4x)
         if images.dtype == jnp.uint8:
@@ -206,7 +216,7 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             result["shift"] = cam["shift"]
         if refine_obs is not None:
             obs = _project_and_refine_observations(
-                images, keypoints, pts_kp, poses, cam, refine_obs
+                images, keypoints, pts_kp, poses, cam, refine_obs, cand
             )
             result.update(obs)
         if return_dense:
@@ -216,11 +226,13 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             result["masks_dense"] = masks
         return result
 
-    def step(params, images, keypoints):
+    def step(params, images, keypoints, cand=None):
         if images.ndim == 5 and keypoints.ndim == 3:
             # legacy single-chunk call: (1, N, 3, H, W) + (N, K, 2)
-            return single(params, images[0], keypoints)
-        return jax.vmap(single, in_axes=(None, 0, 0))(params, images, keypoints)
+            return single(params, images[0], keypoints, cand)
+        return jax.vmap(
+            single, in_axes=(None, 0, 0, None if cand is None else 0)
+        )(params, images, keypoints, cand)
 
     return jax.jit(step)
 
@@ -248,13 +260,15 @@ def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float
 
     dp = NamedSharding(mesh, P("dp"))
 
-    def step(params, images, keypoints):
+    def step(params, images, keypoints, cand=None):
         images = jax.device_put(images, dp)
         keypoints = jax.device_put(keypoints, dp)
+        if cand is not None:
+            cand = jax.device_put(cand, dp)
         # tp context active while the jitted base traces: attention runs
         # head-sharded via shard_map instead of GSPMD's all-gather+replicate
         with tp_mesh_context(mesh):
-            return base(params, images, keypoints)
+            return base(params, images, keypoints, cand)
 
     return step, shard_params
 
@@ -464,7 +478,15 @@ class OfflineChunkCreator:
         ]
         images = np.stack([p[0] for p in padded])  # (B, Np, 3, H, W)
         kps_dev = np.stack([p[1] for p in padded])
-        dev = step(self.params, jnp.asarray(images), jnp.asarray(kps_dev))
+        cand = None
+        if self.config.refine_observations:
+            # observation fan over each chunk's REAL frame count (padded
+            # tail frames must not consume fan slots)
+            cand = jnp.asarray(np.stack([
+                _fan_table(nf, images.shape[1], self.config.refine_max_observations)
+                for nf in n_frames
+            ]))
+        dev = step(self.params, jnp.asarray(images), jnp.asarray(kps_dev), cand)
         # queue the MoGe batch behind the sharded step before materializing;
         # one dp-sharded forward covers all B first frames (B sequential
         # unsharded forwards would serialize on chip 0 while the rest idle)
@@ -570,7 +592,12 @@ class OfflineChunkCreator:
         step = self._get_step()
         t0 = time.time()
         imgs_dev, kps_dev = self._pad_tail(images, kps)
-        dev = step(self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev))
+        cand = None
+        if self.config.refine_observations:
+            cand = jnp.asarray(
+                _fan_table(N, imgs_dev.shape[0], self.config.refine_max_observations)
+            )
+        dev = step(self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev), cand)
         # queue MoGe right behind the Pi3 step BEFORE materializing: the
         # device runs both back-to-back while the host works (the reference
         # hides this forward in its worker process,

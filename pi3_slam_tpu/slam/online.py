@@ -172,6 +172,19 @@ class Pi3SLAMOnline:
 
     # ----- per-chunk stages -----
 
+    def _fan_arg(self, n_reals, n_padded):
+        """Per-chunk candidate tables for in-step observation refinement,
+        computed over each chunk's REAL frame count (chunk_creator._fan_table);
+        None when refinement is off."""
+        if not self.config.refine_observations:
+            return None
+        from .chunk_creator import _fan_table
+
+        return jnp.asarray(np.stack([
+            _fan_table(n, n_padded, self.config.refine_max_observations)
+            for n in n_reals
+        ]))
+
     # per-frame device-step outputs sliced back after tail padding
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
@@ -215,7 +228,11 @@ class Pi3SLAMOnline:
             kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
         with self.timing.track("dispatch"):
             imgs_dev, kps_dev = self._pad_tail(images, kps)
-            dev = self.step(self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev))
+            cand = self._fan_arg([N], imgs_dev.shape[0])
+            dev = self.step(
+                self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev),
+                None if cand is None else cand[0],
+            )
             moge_depth = None
             if self.moge is not None:
                 moge_depth = self.moge.infer_depth_async(images[0])
@@ -256,7 +273,10 @@ class Pi3SLAMOnline:
             pp = [self._pad_tail(b["images"], k) for b, k in zip(padded, kps_list)]
             images = np.stack([p[0] for p in pp])  # (B, Np, 3, H, W)
             kps_dev = np.stack([p[1] for p in pp])
-            dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps_dev))
+            cand = self._fan_arg(
+                [b["images"].shape[0] for b in padded], images.shape[1]
+            )
+            dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps_dev), cand)
             # one dp-sharded MoGe batch (every chunk's first frame on its own
             # devices) queued behind the sharded step
             moge_dev = (

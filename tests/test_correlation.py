@@ -112,7 +112,10 @@ def _exact_scene(rng, n=4, k=30, h=60, w=80, f=70.0):
 def test_step_fan_matches_reconstructor_fan(rng):
     """With refinement acceptance disabled (min_zncc > 1), the in-step
     projected fan must equal the reconstructor's own projection fan."""
-    from pi3_slam_tpu.slam.chunk_creator import _project_and_refine_observations
+    from pi3_slam_tpu.slam.chunk_creator import (
+        _fan_table,
+        _project_and_refine_observations,
+    )
     from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
 
     chunk = _exact_scene(rng)
@@ -136,6 +139,7 @@ def test_step_fan_matches_reconstructor_fan(rng):
         jnp.asarray(chunk["camera_poses"], jnp.float32),
         cam,
         (m, 3, 4, 1.1),  # min_zncc > 1: nothing accepted, pure projection
+        jnp.asarray(_fan_table(n, n, m)),
     )
     got_frame = np.asarray(obs["obs_frame"]).reshape(n * k, m)
     got_uv = np.asarray(obs["obs_uv"]).reshape(n * k, m, 2)
@@ -207,6 +211,10 @@ def test_creator_refined_chunks_end_to_end(tmp_path):
     assert nt == 3
     assert zt["obs_frame"].shape[0] == nt
     assert not zt["obs_valid"][zt["obs_frame"] >= nt].any()
+    # the fan is computed over the REAL frame count: tail tracks keep real
+    # observation slots instead of spending them on padded frames
+    assert (zt["obs_frame"] < nt).all()
+    assert zt["obs_valid"][:, :, 1:].mean() > 0.2
 
     rec = OfflineReconstructor(
         ReconstructorConfig(
