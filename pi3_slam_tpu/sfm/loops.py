@@ -51,6 +51,20 @@ def _chunk_proximity(a: ChunkReconstruction, b: ChunkReconstruction) -> float:
     return float(np.linalg.norm(ca - cb)) / max(ra + rb, 1e-9)
 
 
+def chunk_global_descriptor(recon: ChunkReconstruction, cap: int = 2048) -> np.ndarray:
+    """Chunk-level place signature: L2-normalized mean of (subsampled) track
+    descriptors — a cheap bag-of-features aggregate whose cosine similarity
+    prefilters candidate pairs so full mutual-NN matching stays off the
+    O(n_chunks^2) path on long sequences."""
+    if recon.track_desc is None:
+        return np.zeros(0, np.float32)
+    live = subsample_live_tracks(recon, cap)
+    if live.size == 0:
+        return np.zeros(recon.track_desc.shape[1], np.float32)
+    g = recon.track_desc[live].mean(axis=0)
+    return (g / max(np.linalg.norm(g), 1e-9)).astype(np.float32)
+
+
 def detect_loop_closures(
     recons: Sequence[ChunkReconstruction],
     *,
@@ -62,6 +76,7 @@ def detect_loop_closures(
     min_inliers: int = 20,
     min_inlier_ratio: float = 0.5,
     inlier_scale_factor: float = 0.05,
+    global_prefilter_top_k: int | None = None,
 ) -> List[LoopEdge]:
     """Find verified loop edges between non-adjacent chunks.
 
@@ -76,10 +91,34 @@ def detect_loop_closures(
     edges: List[LoopEdge] = []
     n = len(recons)
     subs = [None] * n
+
+    # optional place-recognition prefilter: rank candidate partners of each
+    # chunk by global-descriptor cosine, run full matching only on the top-k
+    # — keeps long sequences off the O(n^2) mutual-NN path
+    allowed = None
+    if global_prefilter_top_k is not None and n > 2:
+        described = [k for k, r in enumerate(recons) if r.track_desc is not None]
+        dims = {recons[k].track_desc.shape[1] for k in described}
+        if len(described) > 2 and len(dims) == 1:
+            gd = np.stack([chunk_global_descriptor(recons[k]) for k in described])
+            gsim = gd @ gd.T
+            allowed = set()
+            for jj, j in enumerate(described):
+                cand = [
+                    (float(gsim[ii, jj]), i)
+                    for ii, i in enumerate(described)
+                    if abs(i - j) > min_separation
+                ]
+                cand.sort(reverse=True)
+                for _, i in cand[:global_prefilter_top_k]:
+                    allowed.add((min(i, j), max(i, j)))
+
     for i in range(n):
         for j in range(i + min_separation + 1, n):
             a, b = recons[i], recons[j]
             if a.track_desc is None or b.track_desc is None:
+                continue
+            if allowed is not None and (i, j) not in allowed:
                 continue
             if _chunk_proximity(a, b) > max_proximity:
                 continue

@@ -19,12 +19,25 @@ OVERLAP=${OVERLAP:-20}
 MAX_KP=${MAX_KP:-400}
 MAX_OBS=${MAX_OBS:-10}
 MODE=${MODE:-offline}
+# optional accuracy features (off = reference-equivalent protocol):
+# KEYPOINTS=aliked ALIKED_NPZ=... enables learned keypoints; LOOP=1 enables
+# loop closure (needs aliked); REFINE=1 enables ZNCC observation refinement
+KEYPOINTS=${KEYPOINTS:-grid}
+ALIKED_NPZ=${ALIKED_NPZ:-}
+LOOP=${LOOP:-0}
+REFINE=${REFINE:-0}
 SCENES=${SCENES:-"chess fire heads office pumpkin redkitchen stairs"}
 SCRIPT_DIR=$(cd "$(dirname "$0")" && pwd)
 REPO_ROOT=$(dirname "$SCRIPT_DIR")
 
 MOGE_ARGS=""
 if [[ -n "$MOGE_NPZ" ]]; then MOGE_ARGS="--moge-path $MOGE_NPZ"; else MOGE_ARGS="--no-metric-depth"; fi
+KP_ARGS="--keypoints $KEYPOINTS"
+if [[ -n "$ALIKED_NPZ" ]]; then KP_ARGS="$KP_ARGS --aliked-path $ALIKED_NPZ"; fi
+CREATE_EXTRA=""
+if [[ "$REFINE" == "1" ]]; then CREATE_EXTRA="--refine-observations"; fi
+RECON_EXTRA=""
+if [[ "$LOOP" == "1" ]]; then RECON_EXTRA="--loop-closure"; fi
 
 declare -A APE
 for scene in $SCENES; do
@@ -38,7 +51,7 @@ for scene in $SCENES; do
       --model-path "$PI3_NPZ" $MOGE_ARGS \
       --output "$out_dir" \
       --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
-      --keypoints grid --max-kp "$MAX_KP" \
+      $KP_ARGS --max-kp "$MAX_KP" $CREATE_EXTRA $RECON_EXTRA \
       --max-observations-per-track "$MAX_OBS" \
       --tum-integer-timestamps
   else
@@ -47,9 +60,9 @@ for scene in $SCENES; do
       --model-path "$PI3_NPZ" $MOGE_ARGS \
       --output "$out_dir" --resume \
       --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
-      --keypoints grid --max-kp "$MAX_KP"
+      $KP_ARGS --max-kp "$MAX_KP" $CREATE_EXTRA
     python "$REPO_ROOT/reconstruct_offline.py" \
-      --chunks "$out_dir" \
+      --chunks "$out_dir" $RECON_EXTRA \
       --max-observations-per-track "$MAX_OBS"
   fi
   gt="$SCRIPT_DIR/groundtruths/7scenes/$scene.txt"

@@ -204,3 +204,36 @@ def test_close_loops_no_descriptors(rng):
     recons = [build_chunk_reconstruction(c, run_ba=False) for c in chunks]
     stats = close_loops(recons)
     assert stats["num_loop_edges"] == 0 and not stats["applied"]
+
+
+def test_detect_loops_global_prefilter(rng):
+    """With the place-recognition prefilter at top_k=1, the genuine revisit
+    (identical descriptors) must still be ranked first and detected."""
+    from pi3_slam_tpu.sfm.reconstruction import build_chunk_reconstruction
+    from pi3_slam_tpu.sfm.alignment import apply_sim3_to_reconstruction
+
+    n_kp = 48
+    seed_a = np.stack(
+        [rng.uniform(-2, 2, n_kp), rng.uniform(-1.5, 1.5, n_kp), rng.uniform(4, 7, n_kp)],
+        axis=1,
+    )
+    desc_a = rng.normal(size=(n_kp, 64))
+    desc_a = (desc_a / np.linalg.norm(desc_a, axis=-1, keepdims=True)).astype(np.float32)
+
+    def unit_desc(k):
+        d = rng.normal(size=(k, 64))
+        return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    chunks = [_make_desc_chunk(rng, ["a0", "a1", "a2", "a3"], seed_a, desc_a, start=0)]
+    for k, start in ((1, 3), (2, 6)):
+        seed = seed_a + np.array([0.8 * start, 0.0, 0.0])
+        chunks.append(
+            _make_desc_chunk(rng, [f"c{k}f{i}" for i in range(4)], seed, unit_desc(n_kp), start=start)
+        )
+    chunks.append(_make_desc_chunk(rng, ["b0", "b1", "b2", "b3"], seed_a, desc_a, start=0))
+    recons = [build_chunk_reconstruction(c, run_ba=False) for c in chunks]
+    drift = sim3_exp(jnp.asarray([0.1, 0.05, -0.05, 0.02, -0.01, 0.03, 0.01], jnp.float32))
+    apply_sim3_to_reconstruction(recons[3], drift)
+
+    edges = detect_loop_closures(recons, global_prefilter_top_k=1)
+    assert [(e.i, e.j) for e in edges] == [(0, 3)]
