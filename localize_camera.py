@@ -46,6 +46,13 @@ def main(argv=None):
     parser.add_argument("--min-inliers", type=int, default=12)
     parser.add_argument("--min-cosine", type=float, default=0.85)
     parser.add_argument("--ba-iterations", type=int, default=10)
+    parser.add_argument("--triangulate", action="store_true",
+                        help="PnP mode: also reconstruct the second camera's own "
+                             "points — chain descriptor tracks across localized "
+                             "query images and triangulate them (multi-view DLT) "
+                             "into query_points.ply")
+    parser.add_argument("--triangulate-max-rms", type=float, default=3.0,
+                        help="Reprojection gate (px) for triangulated points")
     args = parser.parse_args(argv)
 
     if bool(args.query_chunks) == bool(args.query_images):
@@ -213,6 +220,7 @@ def _pnp_mode(args, map_recons) -> int:
 
     map_pool = _pool_map_tracks(map_recons)
     results, centers, rotations, kept_ts = [], [], [], []
+    kept_dets, kept_poses = [], []
     for k, path in enumerate(paths):
         img = first if k == 0 else load_image(path, target_hw)
         det = extractor.extract(img[None])
@@ -250,6 +258,12 @@ def _pnp_mode(args, map_recons) -> int:
             centers.append(res.center)
             rotations.append(res.rotation.T)  # world->cam -> cam-to-world
             kept_ts.append(timestamps[k] / 1e9)
+            if args.triangulate:
+                kept_dets.append({"keypoints": kp, "descriptors": desc})
+                kept_poses.append(res.rotation)
+
+    if args.triangulate and len(kept_dets) >= 2:
+        _triangulate_query_points(args, kept_dets, kept_poses, centers, intr)
 
     if centers:
         write_tum_trajectory(
@@ -263,6 +277,40 @@ def _pnp_mode(args, map_recons) -> int:
     n_ok = len(centers)
     print(f"localized {n_ok}/{len(paths)} images -> {args.output}")
     return 0 if n_ok else 1
+
+
+def _triangulate_query_points(args, kept_dets, kept_poses, centers, intr) -> None:
+    """Reconstruct the second camera's own points from its localized views:
+    descriptor tracks chained across query images, triangulated by the
+    batched multi-view DLT (sfm/localize.triangulate_points)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pi3_slam_tpu.io.ply import write_ply
+    from pi3_slam_tpu.sfm.device import sfm_compute
+    from pi3_slam_tpu.sfm.localize import build_query_tracks, triangulate_points
+
+    obs_uv, obs_valid = build_query_tracks(kept_dets, min_cosine=args.min_cosine)
+    if obs_uv.shape[0] == 0:
+        print("triangulate: no multi-view query tracks found")
+        return
+    with sfm_compute():
+        pts, rms, n_front = triangulate_points(
+            jnp.asarray(np.stack(kept_poses), jnp.float32),
+            jnp.asarray(np.stack(centers), jnp.float32),
+            jnp.asarray(intr, jnp.float32),
+            jnp.asarray(obs_uv),
+            jnp.asarray(obs_valid),
+        )
+    pts, rms, n_front = np.asarray(pts), np.asarray(rms), np.asarray(n_front)
+    n_views = obs_valid.sum(axis=1)
+    keep = (rms <= args.triangulate_max_rms) & (n_front >= 2) & (n_front == n_views)
+    out = os.path.join(args.output, "query_points.ply")
+    write_ply(pts[keep], np.tile([0.2, 0.8, 0.2], (int(keep.sum()), 1)), out)
+    print(
+        f"triangulate: {int(keep.sum())}/{obs_uv.shape[0]} query tracks -> {out} "
+        f"(rms gate {args.triangulate_max_rms} px)"
+    )
 
 
 if __name__ == "__main__":

@@ -15,6 +15,8 @@ from .localize import (
     ransac_pnp,
     localize_by_descriptors,
     register_reconstruction,
+    triangulate_points,
+    build_query_tracks,
     LocalizationResult,
     RegistrationResult,
 )
@@ -35,6 +37,8 @@ __all__ = [
     "ransac_pnp",
     "localize_by_descriptors",
     "register_reconstruction",
+    "triangulate_points",
+    "build_query_tracks",
     "LocalizationResult",
     "RegistrationResult",
 ]

@@ -170,6 +170,96 @@ _ransac_pnp_jit = jax.jit(
 )
 
 
+@f32_matmul
+def triangulate_points(
+    rotations: jnp.ndarray,
+    centers: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    obs_valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-view DLT triangulation, all tracks as one batched SVD.
+
+    rotations (V, 3, 3) world->camera, centers (V, 3), intrinsics
+    (fx, fy, cx, cy); obs_uv (T, V, 2) pixel observations with validity mask
+    obs_valid (T, V) (invalid rows are zero-weighted). Returns (points (T, 3),
+    reprojection rms px (T,), positive-depth view counts (T,)).
+    """
+    v = rotations.shape[0]
+    t = jnp.asarray(-jnp.einsum("vij,vj->vi", rotations, centers))  # (V, 3)
+    p_mat = jnp.concatenate([rotations, t[..., None]], axis=-1)  # (V, 3, 4) normalized
+
+    xn = jnp.stack(
+        [
+            (obs_uv[..., 0] - intrinsics[2]) / intrinsics[0],
+            (obs_uv[..., 1] - intrinsics[3]) / intrinsics[1],
+        ],
+        axis=-1,
+    )  # (T, V, 2)
+    w = jnp.asarray(obs_valid, jnp.float32)[..., None]  # (T, V, 1)
+    r1 = xn[..., 0:1] * p_mat[None, :, 2, :] - p_mat[None, :, 0, :]
+    r2 = xn[..., 1:2] * p_mat[None, :, 2, :] - p_mat[None, :, 1, :]
+    a = jnp.concatenate([r1 * w, r2 * w], axis=1)  # (T, 2V, 4)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    xh = vt[:, -1, :]  # (T, 4)
+    denom = jnp.where(jnp.abs(xh[:, 3:4]) < 1e-9, 1e-9, xh[:, 3:4])
+    pts = xh[:, :3] / denom
+
+    # quality: reprojection error + cheirality per view
+    x_cam = jnp.einsum("vij,tvj->tvi", rotations, pts[:, None, :] - centers[None])
+    z = x_cam[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = intrinsics[0] * x_cam[..., 0] / zs + intrinsics[2]
+    vv = intrinsics[1] * x_cam[..., 1] / zs + intrinsics[3]
+    err2 = (u - obs_uv[..., 0]) ** 2 + (vv - obs_uv[..., 1]) ** 2
+    wv = jnp.asarray(obs_valid, jnp.float32)
+    n_obs = jnp.maximum(wv.sum(axis=1), 1.0)
+    rms = jnp.sqrt(jnp.sum(jnp.where(wv > 0, err2, 0.0), axis=1) / n_obs)
+    n_front = jnp.sum((z > 0) & (wv > 0), axis=1)
+    return pts, rms, n_front
+
+
+def build_query_tracks(
+    detections: List[dict], min_cosine: float = 0.85
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chain mutual-NN descriptor matches across consecutive query images
+    into multi-view tracks (a light feature tracker for triangulating a
+    second camera's OWN points — the 'reconstruction' half of the reference
+    TODO in PnP mode, where no Pi3 geometry exists for the query camera).
+
+    detections: per image {'keypoints': (K, 2), 'descriptors': (K, D)}.
+    Returns (obs_uv (T, V, 2), obs_valid (T, V)) for tracks seen in >= 2
+    images.
+    """
+    from .alignment import mutual_nn_match
+
+    n_img = len(detections)
+    track_of: List[dict] = [dict() for _ in range(n_img)]  # kp idx -> track id
+    tracks: List[dict] = []  # track id -> {img: kp_idx}
+    for k in range(1, n_img):
+        prev, cur = detections[k - 1], detections[k]
+        if prev["descriptors"].shape[0] == 0 or cur["descriptors"].shape[0] == 0:
+            continue
+        qi, pi = mutual_nn_match(cur["descriptors"], prev["descriptors"], min_cosine)
+        for q, p in zip(qi, pi):
+            tid = track_of[k - 1].get(int(p))
+            if tid is None:
+                tid = len(tracks)
+                tracks.append({k - 1: int(p)})
+                track_of[k - 1][int(p)] = tid
+            tracks[tid][k] = int(q)
+            track_of[k][int(q)] = tid
+
+    multi = [tr for tr in tracks if len(tr) >= 2]
+    obs_uv = np.zeros((len(multi), n_img, 2), np.float32)
+    obs_valid = np.zeros((len(multi), n_img), np.float32)
+    for ti, tr in enumerate(multi):
+        for img, kp in tr.items():
+            obs_uv[ti, img] = detections[img]["keypoints"][kp]
+            obs_valid[ti, img] = 1.0
+    return obs_uv, obs_valid
+
+
 def _pool_map_tracks(
     recons: Sequence[ChunkReconstruction], cap_per_chunk: int = 4096
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -258,3 +258,95 @@ def test_localize_camera_cli_register_mode(rng, tmp_path):
     assert stats[0]["success"]
     assert os.path.exists(os.path.join(out, "query_trajectory_tum.txt"))
     assert os.path.exists(os.path.join(out, "combined_points.ply"))
+
+
+def test_triangulate_points_recovers_geometry(rng):
+    from pi3_slam_tpu.sfm.localize import triangulate_points
+
+    v = 4
+    Rs = np.stack(
+        [Rotation.from_euler("y", 5 * k, degrees=True).as_matrix() for k in range(v)]
+    )
+    cs = np.stack([np.array([0.4 * k, 0.02 * k, 0.0]) for k in range(v)])
+    t = 80
+    X = np.stack(
+        [rng.uniform(-1.5, 1.5, t), rng.uniform(-1, 1, t), rng.uniform(3, 8, t)], axis=1
+    )
+    obs = np.zeros((t, v, 2), np.float32)
+    val = np.ones((t, v), np.float32)
+    for k in range(v):
+        xc = (X - cs[k]) @ Rs[k].T
+        obs[:, k, 0] = INTR[0] * xc[:, 0] / xc[:, 2] + INTR[2]
+        obs[:, k, 1] = INTR[1] * xc[:, 1] / xc[:, 2] + INTR[3]
+    obs += rng.normal(size=obs.shape) * 0.3
+    val[: t // 4, 2:] = 0  # two-view tracks
+
+    pts, rms, n_front = triangulate_points(
+        jnp.asarray(Rs, jnp.float32),
+        jnp.asarray(cs, jnp.float32),
+        jnp.asarray(INTR),
+        jnp.asarray(obs),
+        jnp.asarray(val),
+    )
+    err = np.linalg.norm(np.asarray(pts) - X, axis=1)
+    assert err.mean() < 0.05 and err.max() < 0.5
+    assert float(np.asarray(rms).mean()) < 1.0
+    assert int(np.asarray(n_front).min()) >= 2
+
+
+def test_pnp_then_triangulate_second_camera(rng):
+    """The PnP-mode reconstruction story end-to-end at the library level:
+    localize query views against the map by descriptors, chain tracks of
+    NEW (unmapped) points across the query views, triangulate them with the
+    ESTIMATED poses — the new points must land at their true positions."""
+    from pi3_slam_tpu.sfm.localize import build_query_tracks, triangulate_points
+
+    n_map = 64
+    seed = np.stack(
+        [rng.uniform(-2, 2, n_map), rng.uniform(-1.5, 1.5, n_map), rng.uniform(4, 7, n_map)],
+        axis=1,
+    )
+    desc_map = rng.normal(size=(n_map, 64))
+    desc_map = (desc_map / np.linalg.norm(desc_map, axis=-1, keepdims=True)).astype(np.float32)
+    recons = _desc_map_recons(rng, seed, desc_map)
+
+    n_new = 40  # second camera's own points, absent from the map
+    seed_new = np.stack(
+        [rng.uniform(-2, 2, n_new), rng.uniform(-1.5, 1.5, n_new), rng.uniform(3.5, 6.5, n_new)],
+        axis=1,
+    )
+    desc_new = rng.normal(size=(n_new, 64))
+    desc_new = (desc_new / np.linalg.norm(desc_new, axis=-1, keepdims=True)).astype(np.float32)
+
+    dets, poses_est, centers_est = [], [], []
+    for k in range(3):
+        R_q = Rotation.from_euler("yx", [6 * k - 6, 2], degrees=True).as_matrix()
+        c_q = np.array([0.3 * k - 0.3, 0.1, 0.2])
+        pts_all = np.concatenate([seed, seed_new])
+        xc = (pts_all - c_q) @ R_q.T
+        uv = np.stack(
+            [INTR[0] * xc[:, 0] / xc[:, 2] + INTR[2], INTR[1] * xc[:, 1] / xc[:, 2] + INTR[3]],
+            axis=1,
+        ).astype(np.float32)
+        desc_all = np.concatenate([desc_map, desc_new])
+        res = localize_by_descriptors(recons, uv, desc_all, INTR, min_inliers=12, seed=k)
+        assert res.success
+        np.testing.assert_allclose(res.center, c_q, atol=1e-2)
+        dets.append({"keypoints": uv, "descriptors": desc_all})
+        poses_est.append(res.rotation)
+        centers_est.append(res.center)
+
+    obs_uv, obs_valid = build_query_tracks(dets)
+    pts, rms, n_front = triangulate_points(
+        jnp.asarray(np.stack(poses_est), jnp.float32),
+        jnp.asarray(np.stack(centers_est), jnp.float32),
+        jnp.asarray(INTR),
+        jnp.asarray(obs_uv),
+        jnp.asarray(obs_valid),
+    )
+    pts = np.asarray(pts)
+    # every new point must be reconstructed near its true position by SOME track
+    gt_err = np.min(
+        np.linalg.norm(pts[None, :, :] - seed_new[:, None, :], axis=-1), axis=1
+    )
+    assert gt_err.max() < 0.05, gt_err.max()
