@@ -2,5 +2,12 @@
 
 from .ply import write_ply, read_ply
 from .tum import write_tum_trajectory, read_tum_trajectory
+from .colmap import write_colmap_text
 
-__all__ = ["write_ply", "read_ply", "write_tum_trajectory", "read_tum_trajectory"]
+__all__ = [
+    "write_ply",
+    "read_ply",
+    "write_tum_trajectory",
+    "read_tum_trajectory",
+    "write_colmap_text",
+]

@@ -112,6 +112,10 @@ class ReconstructorConfig:
     loop_closure: bool = False
     loop_min_inliers: int = 20
     loop_min_cosine: float = 0.85
+    # also export a COLMAP text model (cameras/images/points3D.txt) into
+    # <output>/colmap for downstream novel-view pipelines (gaussian
+    # splatting, nerfstudio). Beyond the reference (PLY + TUM only).
+    save_colmap: bool = False
 
 
 @dataclass

@@ -235,4 +235,11 @@ class OfflineReconstructor:
         print(
             f"Exported {cloud.shape[0]} points, {len(centers)} poses -> {self.output_dir}"
         )
-        return {"points": ply_path, "cameras": cam_ply_path, "trajectory": tum_path}
+        artifacts = {"points": ply_path, "cameras": cam_ply_path, "trajectory": tum_path}
+        if self.config.save_colmap:
+            from ..io.colmap import write_colmap_text
+
+            colmap_dir = os.path.join(self.output_dir, "colmap")
+            artifacts["colmap"] = write_colmap_text(recons, colmap_dir)["images"]
+            print(f"Exported COLMAP text model -> {colmap_dir}")
+        return artifacts

@@ -36,6 +36,10 @@ def main(argv=None):
                              "appearance signal; beyond the reference)")
     parser.add_argument("--loop-min-inliers", type=int, default=20,
                         help="Minimum verified 3D inliers to accept a loop edge")
+    parser.add_argument("--save-colmap", action="store_true",
+                        help="Also export a COLMAP text model (cameras/images/"
+                             "points3D.txt) for gaussian-splatting / nerfstudio "
+                             "pipelines (beyond the reference)")
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.utils.precision import select_platform
@@ -58,6 +62,7 @@ def main(argv=None):
         gravity_sigma=args.gravity_sigma,
         loop_closure=args.loop_closure,
         loop_min_inliers=args.loop_min_inliers,
+        save_colmap=args.save_colmap,
     )
     OfflineReconstructor(config).run()
     return 0

@@ -186,6 +186,7 @@ def test_localize_camera_cli_pnp_mode(rng, tmp_path):
             "--output", out,
             "--device", "cpu",
             "--ba-iterations", "2",
+            "--triangulate",
         ]
     )
     assert rc in (0, 1)

@@ -399,6 +399,46 @@ def bench_refine():
         print(f"{label:55s} {dt * 1e3:9.1f} ms = {100 / dt:.2f} FPS")
 
 
+def bench_kv_accuracy():
+    """Output deltas of --global-kv-merge vs exact attention on the SAME
+    weights (pass PI3_WEIGHTS=converted.npz to measure a real checkpoint —
+    the number that matters before enabling the feature; random weights
+    only sanity-check the plumbing). Reports pose rotation angle diff,
+    camera-center RMSE (scene-normalized), and point RMSE."""
+    import os
+
+    from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
+    from pi3_slam_tpu.models.convert import load_params_npz
+    from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
+
+    wpath = os.environ.get("PI3_WEIGHTS")
+    params = load_params_npz(wpath) if wpath else init_pi3_params(0, Pi3Config())
+    params = jax.device_put(cast_tree_bf16_host(params))
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get("PI3_KV_FRAMES", "20"))
+    imgs = jnp.asarray(rng.uniform(size=(1, n, 3, 154, 210)).astype(np.float32))
+    outs = {}
+    for m in (1, int(os.environ.get("PI3_KV_MERGE", "2"))):
+        cfg = Pi3Config(global_kv_merge=m)
+        f = jax.jit(lambda p, x, c=cfg: pi3_forward(p, x, c, compute_dtype=jnp.bfloat16))
+        outs[m] = {k: np.asarray(v) for k, v in f(params, imgs).items()}
+    a, b = outs[1], outs[list(outs)[-1]]
+    ra = a["camera_poses"][0, :, :3, :3]
+    rb = b["camera_poses"][0, :, :3, :3]
+    tr = np.clip((np.einsum("nij,nij->n", ra, rb) - 1) / 2, -1, 1)
+    ang = np.degrees(np.arccos(tr)).max()
+    span = np.linalg.norm(
+        a["camera_poses"][0, :, :3, 3].max(0) - a["camera_poses"][0, :, :3, 3].min(0)
+    )
+    c_rmse = np.sqrt(((a["camera_poses"][0, :, :3, 3] - b["camera_poses"][0, :, :3, 3]) ** 2).mean())
+    p_rmse = np.sqrt(((a["points"] - b["points"]) ** 2).mean())
+    print(
+        f"kv-merge accuracy vs exact ({'real' if wpath else 'RANDOM'} weights, {n} frames): "
+        f"max pose angle diff {ang:.3f} deg, center RMSE {c_rmse:.4g} "
+        f"({c_rmse / max(span, 1e-9):.2%} of trajectory span), point RMSE {p_rmse:.4g}"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend(), jax.devices())
@@ -420,3 +460,5 @@ if __name__ == "__main__":
         bench_forward()
     if which == "refine":
         bench_refine()
+    if which == "kv-accuracy":
+        bench_kv_accuracy()
