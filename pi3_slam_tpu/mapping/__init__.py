@@ -1,0 +1,13 @@
+"""Dense mapping: TSDF fusion of Pi3 depth maps + mesh extraction.
+
+Beyond the reference (which exports point clouds only): the dense
+per-pixel point maps Pi3 produces are fused into a truncated signed
+distance volume on the TPU (mapping/tsdf.py) and meshed with a
+vectorized surface-nets extractor (mapping/surface_nets.py), giving the
+watertight-surface export downstream tools expect.
+"""
+
+from .tsdf import TSDFConfig, TSDFVolume, fuse_tsdf
+from .surface_nets import surface_nets
+
+__all__ = ["TSDFConfig", "TSDFVolume", "fuse_tsdf", "surface_nets"]

@@ -1,0 +1,188 @@
+"""Dense-mapping tests: TSDF fusion + surface-nets extraction + mesh IO.
+
+Ground truth is an analytic sphere: depth maps are rendered by exact
+ray-sphere intersection, so every check (surface radius, outward
+normals, watertight topology, integrated color) has a closed form.
+"""
+
+import numpy as np
+import pytest
+
+from pi3_slam_tpu.io.mesh import read_mesh_ply, write_mesh_ply
+from pi3_slam_tpu.mapping import TSDFConfig, fuse_tsdf, surface_nets
+
+RADIUS = 1.0
+SPHERE_COLOR = np.array([0.3, 0.6, 0.9])
+
+
+def _look_at_origin(center):
+    z = -center / np.linalg.norm(center)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z)) > 0.99:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z])  # rows: world->camera rotation
+
+
+def _render_sphere_depth(center, R, intr, h, w, radius=RADIUS):
+    """Exact z-depth of the sphere |p| = radius from a pinhole camera."""
+    fx, fy, cx, cy = intr
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    xn = (u - cx) / fx
+    yn = (v - cy) / fy
+    # p_cam = s * (xn, yn, 1); world: R^T p_cam + center
+    rc = R @ center
+    a = xn**2 + yn**2 + 1.0
+    b = 2.0 * (xn * rc[0] + yn * rc[1] + rc[2])
+    c0 = float(center @ center) - radius**2
+    disc = b**2 - 4 * a * c0
+    hit = disc > 0
+    s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a), 0.0)
+    return np.where(hit & (s > 0), s, 0.0)
+
+
+def _sphere_views(n_views=12, h=60, w=80, dist=3.0):
+    intr = np.array([70.0, 70.0, w / 2, h / 2])
+    depths, rots, cens, intrs = [], [], [], []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        elev = 0.35 * np.sin(3 * ang)
+        c = dist * np.array(
+            [np.cos(ang) * np.cos(elev), np.sin(ang) * np.cos(elev), np.sin(elev)]
+        )
+        R = _look_at_origin(c)
+        depths.append(_render_sphere_depth(c, R, intr, h, w))
+        rots.append(R)
+        cens.append(c)
+        intrs.append(intr)
+    return (
+        np.stack(depths),
+        np.stack(intrs),
+        np.stack(rots),
+        np.stack(cens),
+    )
+
+
+def _face_normals(verts, faces):
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    n = np.cross(e1, e2)
+    return n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
+
+
+def test_mesh_ply_roundtrip(tmp_path, rng):
+    verts = rng.normal(size=(30, 3)).astype(np.float32)
+    faces = rng.integers(0, 30, size=(50, 3)).astype(np.int32)
+    cols = rng.uniform(size=(30, 3))
+    p = str(tmp_path / "m.ply")
+    write_mesh_ply(verts, faces, p, colors=cols)
+    back = read_mesh_ply(p)
+    np.testing.assert_allclose(back["vertices"], verts, atol=1e-6)
+    np.testing.assert_array_equal(back["faces"], faces)
+    np.testing.assert_allclose(
+        back["rgb"], np.clip(cols * 255, 0, 255).astype(np.uint8)
+    )
+    # out-of-range faces must be rejected
+    with pytest.raises(ValueError):
+        write_mesh_ply(verts, np.array([[0, 1, 30]]), p)
+
+
+def test_surface_nets_sphere_geometry():
+    """Analytic sphere SDF -> mesh: radius, outward normals, watertightness."""
+    n = 33
+    g = np.linspace(-1.6, 1.6, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(X**2 + Y**2 + Z**2) - RADIUS
+    vs = g[1] - g[0]
+    verts, faces, _ = surface_nets(sdf, origin=np.array([-1.6] * 3), voxel_size=vs)
+
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - RADIUS) < vs
+    assert r.std() < vs
+
+    # outward normals: every face normal within 60 deg of the radial dir
+    nrm = _face_normals(verts, faces)
+    centroids = verts[faces].mean(axis=1)
+    radial = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cosang = (nrm * radial).sum(axis=1)
+    assert (cosang > 0.5).mean() > 0.99, f"outward fraction {(cosang > 0.5).mean()}"
+
+    # watertight closed surface: every edge shared by exactly two faces
+    # with opposite direction, Euler characteristic V - E + F = 2
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    und = np.sort(edges, axis=1)
+    uniq, counts = np.unique(und, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    assert len(verts) - len(uniq) + len(faces) == 2
+
+
+def test_surface_nets_respects_observed_mask():
+    n = 17
+    g = np.linspace(-1.5, 1.5, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(X**2 + Y**2 + Z**2) - RADIUS
+    observed = X <= 0  # only half the volume carries data
+    verts, faces, _ = surface_nets(
+        sdf, origin=np.array([-1.5] * 3), voxel_size=g[1] - g[0], observed=observed
+    )
+    assert len(verts) > 0
+    assert verts[:, 0].max() < 0.2  # nothing extracted in the unobserved half
+
+
+def test_tsdf_sphere_fusion():
+    depths, intrs, rots, cens = _sphere_views()
+    colors = np.ones(depths.shape + (3,)) * SPHERE_COLOR
+    cfg = TSDFConfig(voxel_size=0.05)
+    vol = fuse_tsdf(depths, intrs, rots, cens, colors=colors, config=cfg)
+
+    assert vol.weight.max() > 0
+    verts, faces, vcols = vol.extract_mesh()
+    assert len(verts) > 200 and len(faces) > 200
+
+    r = np.linalg.norm(verts, axis=1)
+    # projective TSDF has a known thin bias; 1.5 voxels is tight enough
+    assert abs(np.median(r) - RADIUS) < 1.5 * cfg.voxel_size
+    assert np.percentile(np.abs(r - RADIUS), 95) < 3 * cfg.voxel_size
+
+    # integrated color survives fusion
+    assert vcols is not None
+    np.testing.assert_allclose(np.median(vcols, axis=0), SPHERE_COLOR, atol=0.05)
+
+    # outward normals from the fused (noisier) surface
+    nrm = _face_normals(verts, faces)
+    centroids = verts[faces].mean(axis=1)
+    radial = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    assert ((nrm * radial).sum(axis=1) > 0).mean() > 0.95
+
+
+def test_tsdf_incremental_matches_oneshot():
+    depths, intrs, rots, cens = _sphere_views(n_views=8)
+    cfg = TSDFConfig(voxel_size=0.08)
+    lo = np.array([-1.5] * 3)
+    hi = np.array([1.5] * 3)
+
+    one = fuse_tsdf(depths, intrs, rots, cens, config=cfg, bounds=(lo, hi))
+    part = fuse_tsdf(depths[:4], intrs[:4], rots[:4], cens[:4], config=cfg, bounds=(lo, hi))
+    part = fuse_tsdf(depths[4:], intrs[4:], rots[4:], cens[4:], config=cfg, volume=part)
+
+    assert one.shape == part.shape
+    np.testing.assert_allclose(part.weight, one.weight, atol=1e-5)
+    np.testing.assert_allclose(part.tsdf, one.tsdf, atol=1e-4)
+
+
+def test_tsdf_voxel_cap_coarsens():
+    depths, intrs, rots, cens = _sphere_views(n_views=4, h=24, w=32)
+    cfg = TSDFConfig(voxel_size=0.01, max_voxels=40**3)
+    vol = fuse_tsdf(depths, intrs, rots, cens, config=cfg)
+    assert np.prod(vol.shape) <= 40**3
+    assert vol.voxel_size > 0.01
+
+
+def test_tsdf_conf_gating():
+    depths, intrs, rots, cens = _sphere_views(n_views=6)
+    conf = np.zeros_like(depths)  # everything below threshold
+    with pytest.raises(ValueError):
+        fuse_tsdf(depths, intrs, rots, cens, conf=conf)
