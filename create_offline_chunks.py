@@ -77,6 +77,16 @@ def main(argv=None):
     parser.add_argument("--pixel-limit", type=int, default=255000 // 2)
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--resume", action="store_true", help="Skip chunks already on disk")
+    parser.add_argument("--save-dense", action="store_true",
+                        help="Store strided dense per-pixel maps (depth/points/"
+                             "conf/rgb) alongside the sparse tracks — enables "
+                             "reconstruct_offline --export-mesh (TSDF fusion; "
+                             "beyond the reference)")
+    parser.add_argument("--dense-stride", type=int, default=None,
+                        help="Spatial subsampling of the stored dense maps "
+                             "(applied on-device; stride^2 smaller chunks). "
+                             "Default: 2 with --save-dense, 1 (full res, "
+                             "reference parity) with --keypoints none")
     parser.add_argument("--refine-observations", action="store_true",
                         help="Correlation-based observation refinement (the "
                              "reference's README TODO): project the track "
@@ -129,6 +139,8 @@ def main(argv=None):
         cam_dist_path=args.cam_dist_path,
         num_loader_workers=args.num_workers,
         resume=args.resume,
+        save_dense=args.save_dense,
+        dense_stride=args.dense_stride or (2 if args.save_dense else 1),
         pad_tail_chunks=args.pad_tail_chunks,
         global_kv_merge=args.global_kv_merge,
         refine_observations=args.refine_observations,

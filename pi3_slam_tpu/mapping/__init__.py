@@ -9,5 +9,6 @@ watertight-surface export downstream tools expect.
 
 from .tsdf import TSDFConfig, TSDFVolume, fuse_tsdf
 from .surface_nets import surface_nets
+from .fuse import fuse_chunks
 
-__all__ = ["TSDFConfig", "TSDFVolume", "fuse_tsdf", "surface_nets"]
+__all__ = ["TSDFConfig", "TSDFVolume", "fuse_tsdf", "surface_nets", "fuse_chunks"]

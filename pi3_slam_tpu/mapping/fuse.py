@@ -1,0 +1,170 @@
+"""Fuse saved chunk files + their aligned reconstructions into one TSDF.
+
+Glue between the SLAM pipeline and mapping/tsdf.py: each chunk npz
+(created with ``--save-dense`` or ``--keypoints none``) carries strided
+dense per-pixel maps in the CHUNK frame; the aligned ChunkReconstruction
+carries the final per-frame poses in the GLOBAL frame (Sim3 chaining +
+BA + loop closure + telemetry, whatever ran). Depth lives in the chunk
+metric, so each chunk's residual scale correction is recovered from the
+ratio of consecutive-camera baselines (aligned vs stored) and applied to
+the depth before integration.
+
+No reference equivalent — the reference stops at point-cloud export
+(pi3/utils/basic.py:377-459).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .tsdf import TSDFConfig, TSDFVolume, auto_bounds, fuse_tsdf
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, np.float32)))
+
+
+def _chunk_scale(recon, chunk_poses: np.ndarray) -> float:
+    """Residual scale applied to this chunk during alignment: median ratio
+    of consecutive-camera baselines, aligned centers vs stored ones."""
+    ca = np.asarray(recon.centers, np.float64)
+    cs = np.asarray(chunk_poses[:, :3, 3], np.float64)
+    n = min(len(ca), len(cs))
+    if n < 2:
+        return 1.0
+    da = np.linalg.norm(np.diff(ca[:n], axis=0), axis=1)
+    ds = np.linalg.norm(np.diff(cs[:n], axis=0), axis=1)
+    ok = ds > 1e-9
+    if not ok.any():
+        return 1.0
+    return float(np.median(da[ok] / ds[ok]))
+
+
+def _dense_frames(chunk: dict):
+    """Extract (depth, conf, rgb, stride) from a dense-carrying chunk."""
+    if "local_points_dense" not in chunk:
+        raise ValueError(
+            "chunk carries no dense maps — create chunks with --save-dense "
+            "(or --keypoints none) to enable mesh export"
+        )
+    local = np.asarray(chunk["local_points_dense"], np.float32)
+    depth = local[..., 2]
+    conf = _sigmoid(chunk["conf_dense"])[..., 0] if "conf_dense" in chunk else None
+    if conf is not None and "masks_dense" in chunk:
+        conf = conf * np.asarray(chunk["masks_dense"], np.float32)
+    rgb = (
+        np.asarray(chunk["rgb_dense"], np.float32) / 255.0
+        if "rgb_dense" in chunk
+        else None
+    )
+    stride = float(chunk.get("dense_stride", 1))
+    return depth, conf, rgb, stride
+
+
+def _strided_intrinsics(chunk: dict, n_frames: int, stride: float) -> np.ndarray:
+    """(N, 4) fx fy cx cy on the strided dense-pixel lattice (dense pixel i
+    maps to original pixel i*stride, so all four parameters divide)."""
+    if "intrinsics" in chunk:
+        # [:n_frames] tolerates chunks whose intrinsics kept padded tail rows
+        K = np.asarray(chunk["intrinsics"], np.float32).reshape(-1, 3, 3)[:n_frames]
+        intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], axis=1)
+    else:
+        h = float(chunk["original_height"])
+        w = float(chunk["original_width"])
+        f = 1.1 * max(h, w)
+        intr = np.tile(np.array([f, f, w / 2, h / 2], np.float32), (n_frames, 1))
+    return intr / stride
+
+
+def fuse_chunks(
+    chunks: Sequence[dict],
+    recons: Sequence,
+    config: TSDFConfig = TSDFConfig(),
+    overlap: int = 0,
+    voxel_size: Optional[float] = None,
+) -> TSDFVolume:
+    """Integrate every chunk's dense maps into one global TSDF volume.
+
+    chunks: loaded chunk dicts (np arrays); recons: the matching ALIGNED
+    ChunkReconstructions (same order — poses define the global frame).
+    overlap: frames shared with the previous chunk; they are skipped for
+    chunks after the first so overlap regions are not double-weighted.
+    voxel_size: overrides config.voxel_size; None with
+    config.voxel_size <= 0 auto-sizes to ~192 voxels across the largest
+    scene dimension (subject to config.max_voxels).
+    """
+    if len(chunks) != len(recons):
+        raise ValueError(f"{len(chunks)} chunks vs {len(recons)} reconstructions")
+
+    # ---- global bounds from the aligned sparse tracks (cheap, robust);
+    # dense-only recons (no valid tracks) fall back to back-projected depth
+    pts = [
+        np.asarray(r.points)[np.asarray(r.track_valid) > 0]
+        for r in recons
+        if r.num_tracks
+    ]
+    track_pts = np.concatenate(pts) if pts else np.zeros((0, 3))
+    vs = voxel_size if voxel_size is not None else config.voxel_size
+
+    prepared = []
+    bounds_pts = [track_pts] if len(track_pts) >= 100 else []
+    for i, (chunk, recon) in enumerate(zip(chunks, recons)):
+        depth, conf, rgb, stride = _dense_frames(chunk)
+        n = depth.shape[0]
+        skip = overlap if i > 0 else 0
+        skip = min(skip, max(n - 1, 0))
+        scale = _chunk_scale(recon, np.asarray(chunk["camera_poses"], np.float64))
+        intr = _strided_intrinsics(chunk, n, stride)
+        rot = np.asarray(recon.rotations, np.float32)[:n]
+        cen = np.asarray(recon.centers, np.float32)[:n]
+        prepared.append(
+            dict(
+                depth=depth[skip:] * scale,
+                conf=None if conf is None else conf[skip:],
+                rgb=None if rgb is None else rgb[skip:],
+                intr=intr[skip:],
+                rot=rot[skip:],
+                cen=cen[skip:],
+            )
+        )
+        if not bounds_pts:
+            # probe world points from the stored dense world map, if any
+            if "points_dense" in chunk:
+                w = np.asarray(chunk["points_dense"], np.float32).reshape(-1, 3)
+                m = np.asarray(chunk.get("masks_dense", np.ones(w.shape[0]))).reshape(-1)
+                bounds_pts.append(w[m.astype(bool)][:: max(1, w.shape[0] // 20000)])
+
+    if not bounds_pts:
+        raise ValueError("no points available to bound the TSDF volume")
+    all_pts = np.concatenate(bounds_pts)
+
+    cfg = config
+    if vs is None or vs <= 0:
+        lo, hi = auto_bounds(all_pts, margin=0.0)
+        vs = float(np.max(hi - lo) / 192.0)
+    if vs != config.voxel_size:
+        from dataclasses import replace
+
+        cfg = replace(config, voxel_size=vs, trunc=config.trunc)
+    bounds = auto_bounds(all_pts, margin=cfg.trunc_dist * 2)
+
+    volume = None
+    for p in prepared:
+        if p["depth"].shape[0] == 0:
+            continue
+        volume = fuse_tsdf(
+            p["depth"],
+            p["intr"],
+            p["rot"],
+            p["cen"],
+            colors=p["rgb"],
+            conf=p["conf"],
+            config=cfg,
+            bounds=bounds,
+            volume=volume,
+        )
+    if volume is None:
+        raise ValueError("no frames to fuse")
+    return volume

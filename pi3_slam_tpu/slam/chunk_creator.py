@@ -151,8 +151,32 @@ def _store_refined_observations(result: Dict, host: Dict, n_real: int) -> None:
     result["obs_refined"] = np.asarray(host["obs_refined"])[:n_real]
 
 
+_DENSE_KEYS = (
+    "points_dense", "local_points_dense", "conf_dense", "masks_dense", "rgb_dense"
+)
+
+
+def _store_dense_maps(
+    result: Dict, host: Dict, scale_factor, n_real: int, stride: int
+) -> None:
+    """Copy dense per-pixel maps into the chunk dict ([:n_real] drops padded
+    tail frames; metric scale applies to the two point maps)."""
+    stored = False
+    for key in _DENSE_KEYS:
+        if key not in host:
+            continue
+        arr = host[key][:n_real]
+        if scale_factor is not None and key in ("points_dense", "local_points_dense"):
+            arr = (arr.astype(np.float32) * scale_factor).astype(np.float16)
+        result[key] = arr
+        stored = True
+    if stored:
+        result["dense_stride"] = np.int16(stride)
+
+
 def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_rtol: float,
                     estimate_intrinsics: bool, return_dense: bool = False,
+                    dense_stride: int = 1,
                     refine_obs: tuple | None = None):
     """Build the jitted per-chunk device step.
 
@@ -220,10 +244,17 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
             )
             result.update(obs)
         if return_dense:
-            result["points_dense"] = world.astype(jnp.float16)
-            result["local_points_dense"] = local.astype(jnp.float16)
-            result["conf_dense"] = conf.astype(jnp.float16)
-            result["masks_dense"] = masks
+            # strided on-device: cuts the device->host pull (and the npz)
+            # by stride^2 — dense consumers (TSDF fusion, mapping/tsdf.py)
+            # do not need full resolution
+            s = dense_stride
+            result["points_dense"] = world[:, ::s, ::s].astype(jnp.float16)
+            result["local_points_dense"] = local[:, ::s, ::s].astype(jnp.float16)
+            result["conf_dense"] = conf[:, ::s, ::s].astype(jnp.float16)
+            result["masks_dense"] = masks[:, ::s, ::s]
+            result["rgb_dense"] = (
+                images.transpose(0, 2, 3, 1)[:, ::s, ::s] * 255.0
+            ).clip(0, 255).astype(jnp.uint8)
         return result
 
     def step(params, images, keypoints, cand=None):
@@ -239,6 +270,7 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
 
 def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float,
                             edge_rtol: float, estimate_intrinsics: bool, mesh,
+                            return_dense: bool = False, dense_stride: int = 1,
                             refine_obs: tuple | None = None):
     """Chunk-data-parallel step over a device mesh: the (B, ...) chunk batch
     is sharded on the mesh's dp axis, parameters on tp (see parallel/mesh.py).
@@ -252,6 +284,7 @@ def make_sharded_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float
 
     base = make_chunk_step(
         cfg, compute_dtype, conf_threshold, edge_rtol, estimate_intrinsics,
+        return_dense=return_dense, dense_stride=dense_stride,
         refine_obs=refine_obs,
     )
 
@@ -375,9 +408,11 @@ class OfflineChunkCreator:
         )
 
     def _get_step(self):
-        dense = self.config.keypoint_type == "none"
+        dense = self.config.keypoint_type == "none" or self.config.save_dense
+        stride = self.config.dense_stride
         refine = self._refine_cfg()
-        key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense, refine)
+        key = (self.config.conf_threshold, self.config.depth_edge_rtol, dense,
+               stride, refine)
         if key not in self._step_cache:
             if not self._step_cache:
                 print(
@@ -393,6 +428,8 @@ class OfflineChunkCreator:
                     self.config.depth_edge_rtol,
                     self.config.estimate_camera_params,
                     self.mesh,
+                    return_dense=dense,
+                    dense_stride=stride,
                     refine_obs=refine,
                 )
                 self.params = shard_params(self.params)
@@ -405,6 +442,7 @@ class OfflineChunkCreator:
                     self.config.depth_edge_rtol,
                     self.config.estimate_camera_params,
                     return_dense=dense,
+                    dense_stride=stride,
                     refine_obs=refine,
                 )
         return self._step_cache[key]
@@ -414,7 +452,8 @@ class OfflineChunkCreator:
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
         "camera_poses", "points_dense", "local_points_dense", "conf_dense",
-        "masks_dense", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
+        "masks_dense", "rgb_dense", "obs_frame", "obs_uv", "obs_valid",
+        "obs_refined", "intrinsics",
     )
 
     def _pad_tail(self, images: np.ndarray, kps: np.ndarray):
@@ -558,7 +597,7 @@ class OfflineChunkCreator:
             if scale_factor is not None:
                 result["metric_scale"] = np.float32(scale_factor)
             if "intrinsics" in host:
-                result["intrinsics"] = host["intrinsics"][b].astype(np.float32)
+                result["intrinsics"] = host["intrinsics"][b][:N].astype(np.float32)
             if valid_kp is not None:
                 result["keypoint_valid"] = valid_kp
                 result["descriptors"] = np.asarray(
@@ -568,6 +607,13 @@ class OfflineChunkCreator:
                 _store_refined_observations(
                     result, {k: host[k][b] for k in _OBS_KEYS}, N
                 )
+            _store_dense_maps(
+                result,
+                {k: host[k][b] for k in _DENSE_KEYS if k in host},
+                scale_factor,
+                N,
+                self.config.dense_stride,
+            )
             results.append(result)
         return results
 
@@ -673,12 +719,7 @@ class OfflineChunkCreator:
             result["descriptors"] = np.asarray(det["descriptors"], np.float16)
         if "obs_frame" in host:
             _store_refined_observations(result, host, N)
-        for dense_key in ("points_dense", "local_points_dense", "conf_dense", "masks_dense"):
-            if dense_key in host:
-                arr = host[dense_key]
-                if scale_factor is not None and dense_key in ("points_dense", "local_points_dense"):
-                    arr = (arr.astype(np.float32) * scale_factor).astype(np.float16)
-                result[dense_key] = arr
+        _store_dense_maps(result, host, scale_factor, N, self.config.dense_stride)
         return result
 
     def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:

@@ -60,6 +60,14 @@ class OfflineCreatorConfig:
     refine_patch_radius: int = 3
     refine_search_radius: int = 4
     refine_min_zncc: float = 0.5
+    # store strided dense per-pixel maps (depth/points/conf/mask/rgb)
+    # ALONGSIDE the sparse tracks — feeds the dense-mapping subsystem
+    # (mapping/tsdf.py: TSDF fusion + mesh export in reconstruct_offline
+    # --export-mesh). dense_stride subsamples spatially on-device, cutting
+    # the pull + npz cost by stride^2. keypoint_type='none' keeps the
+    # reference's full-res dense-only chunks (stride still applies).
+    save_dense: bool = False
+    dense_stride: int = 1
     resume: bool = False  # skip chunks whose files already exist
     # chunk-level data parallelism: process this many chunks per device step,
     # sharded over the mesh's dp axis (1 = single-chip path)
@@ -116,6 +124,16 @@ class ReconstructorConfig:
     # <output>/colmap for downstream novel-view pipelines (gaussian
     # splatting, nerfstudio). Beyond the reference (PLY + TUM only).
     save_colmap: bool = False
+    # TSDF-fuse the chunks' dense maps (requires chunks created with
+    # --save-dense) with the final aligned poses and export a surface-nets
+    # triangle mesh to <output>/fused_mesh.ply (mapping/; beyond the
+    # reference). mesh_voxel_size <= 0 auto-sizes to ~192 voxels across
+    # the scene.
+    export_mesh: bool = False
+    mesh_voxel_size: float = 0.0
+    mesh_max_voxels: int = 192**3
+    mesh_conf_threshold: float = 0.25
+    mesh_min_weight: float = 1.0
 
 
 @dataclass

@@ -53,6 +53,9 @@ def load_chunk_npz(path: str) -> Dict:
     for opt in (
         "intrinsics", "masks", "conf", "metric_scale", "start_idx", "end_idx",
         "keypoint_valid", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
+        # dense per-pixel maps (--save-dense) feed mesh export (mapping/)
+        "points_dense", "local_points_dense", "conf_dense", "masks_dense",
+        "rgb_dense", "dense_stride",
     ):
         if opt in z.files:
             chunk[opt] = z[opt]
@@ -137,6 +140,10 @@ class OfflineReconstructor:
             telemetry_stats = self._apply_telemetry(recons)
 
         artifacts = self.export(recons)
+        if self.config.export_mesh:
+            mesh_path = self._export_mesh(recons, files)
+            if mesh_path:
+                artifacts["mesh"] = mesh_path
         return {
             "reconstructions": recons,
             "alignment": align_stats,
@@ -144,6 +151,47 @@ class OfflineReconstructor:
             "artifacts": artifacts,
             "telemetry": telemetry_stats,
         }
+
+    def _export_mesh(self, recons, files) -> str | None:
+        """TSDF-fuse the chunks' dense maps under the final aligned poses and
+        write a surface-nets mesh (mapping/; beyond the reference)."""
+        from ..io.mesh import write_mesh_ply
+        from ..mapping.fuse import fuse_chunks
+        from ..mapping.tsdf import TSDFConfig
+
+        chunks = [load_chunk_npz(p) for p in files]
+        if any("local_points_dense" not in c for c in chunks):
+            print(
+                "mesh export skipped: chunks carry no dense maps — recreate "
+                "them with create_offline_chunks --save-dense"
+            )
+            return None
+        cfg = TSDFConfig(
+            voxel_size=self.config.mesh_voxel_size,
+            max_voxels=self.config.mesh_max_voxels,
+            conf_threshold=self.config.mesh_conf_threshold,
+        )
+        t0 = time.time()
+        try:
+            volume = fuse_chunks(
+                chunks, recons, config=cfg, overlap=self.config.overlap or 0
+            )
+        except ValueError as e:
+            # degenerate geometry (e.g. no confident depth) should not kill
+            # the run — the point-cloud/trajectory exports already succeeded
+            print(f"mesh export skipped: {e}")
+            return None
+        verts, faces, vcols = volume.extract_mesh(
+            min_weight=self.config.mesh_min_weight
+        )
+        path = os.path.join(self.output_dir, "fused_mesh.ply")
+        write_mesh_ply(verts, faces, path, colors=vcols)
+        print(
+            f"Fused {len(chunks)} chunks into a {volume.shape} TSDF "
+            f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
+            f"{len(faces)} faces in {time.time() - t0:.1f}s -> {path}"
+        )
+        return path
 
     def _close_loops(self, recons) -> Dict:
         """Drift correction via loop closure (sfm/loops.py) — a capability

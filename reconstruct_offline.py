@@ -40,6 +40,17 @@ def main(argv=None):
                         help="Also export a COLMAP text model (cameras/images/"
                              "points3D.txt) for gaussian-splatting / nerfstudio "
                              "pipelines (beyond the reference)")
+    parser.add_argument("--export-mesh", action="store_true",
+                        help="TSDF-fuse the chunks' dense maps under the final "
+                             "aligned poses and export a triangle mesh "
+                             "(fused_mesh.ply). Needs chunks created with "
+                             "--save-dense (beyond the reference)")
+    parser.add_argument("--mesh-voxel-size", type=float, default=0.0,
+                        help="TSDF voxel size in scene units; 0 = auto "
+                             "(~192 voxels across the scene)")
+    parser.add_argument("--mesh-conf-threshold", type=float, default=0.25,
+                        help="Minimum sigmoid confidence for a depth sample "
+                             "to be integrated")
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.utils.precision import select_platform
@@ -63,6 +74,9 @@ def main(argv=None):
         loop_closure=args.loop_closure,
         loop_min_inliers=args.loop_min_inliers,
         save_colmap=args.save_colmap,
+        export_mesh=args.export_mesh,
+        mesh_voxel_size=args.mesh_voxel_size,
+        mesh_conf_threshold=args.mesh_conf_threshold,
     )
     OfflineReconstructor(config).run()
     return 0

@@ -1,0 +1,223 @@
+"""End-to-end mesh export: --save-dense chunks -> reconstruct -> TSDF mesh.
+
+A synthetic two-chunk sphere scene with per-chunk Sim3 gauge corruption
+(incl. scale) goes through the REAL offline reconstructor with
+export_mesh=True; the fused mesh must recover the sphere surface in the
+aligned (chunk-0 gauge) frame — this exercises alignment, the per-chunk
+residual-scale recovery in mapping/fuse.py, overlap skipping, and the
+dense-map npz round trip. A second test drives the device chunk step with
+return_dense + stride on a tiny Pi3 config.
+"""
+
+import json
+import os
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from pi3_slam_tpu.io.mesh import read_mesh_ply
+from pi3_slam_tpu.slam.config import ReconstructorConfig
+from pi3_slam_tpu.slam.offline_reconstructor import OfflineReconstructor
+
+RADIUS = 1.0
+H, W = 48, 64
+INTR = np.array([[55.0, 0, W / 2], [0, 55.0, H / 2], [0, 0, 1.0]])
+
+
+def _look_at_origin(center):
+    z = -center / np.linalg.norm(center)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z)) > 0.99:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z])  # world->camera rows
+
+
+def _render_depth(center, R_wc):
+    fx, fy, cx, cy = INTR[0, 0], INTR[1, 1], INTR[0, 2], INTR[1, 2]
+    v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    xn = (u - cx) / fx
+    yn = (v - cy) / fy
+    rc = R_wc @ center
+    a = xn**2 + yn**2 + 1.0
+    b = 2.0 * (xn * rc[0] + yn * rc[1] + rc[2])
+    c0 = float(center @ center) - RADIUS**2
+    disc = b**2 - 4 * a * c0
+    hit = disc > 0
+    s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a), 0.0)
+    return np.where(hit & (s > 0), s, 0.0).astype(np.float32), hit
+
+
+def write_sphere_chunks(tmp_path, rng, n_frames=10, chunk_length=6, overlap=2,
+                        n_kp=100):
+    """Two overlapping chunks of a camera orbit around a unit sphere, each
+    in its own corrupted Sim3 gauge, with dense maps. Returns the chunk-0
+    gauge (s, R, t) defining the aligned global frame."""
+    # landmarks on the sphere for the alignment tracks
+    dirs = rng.normal(size=(400, 3))
+    landmarks = dirs / np.linalg.norm(dirs, axis=1, keepdims=True) * RADIUS
+
+    centers, rots = [], []
+    for i in range(n_frames):
+        ang = 2 * np.pi * i / n_frames
+        c = 3.0 * np.array([np.cos(ang), np.sin(ang), 0.3])
+        centers.append(c)
+        rots.append(_look_at_origin(c))
+
+    from pi3_slam_tpu.data.datasets import chunk_windows
+
+    windows = chunk_windows(n_frames, chunk_length, overlap)
+    chunks_dir = tmp_path / "chunks"
+    os.makedirs(chunks_dir, exist_ok=True)
+    gauges = []
+    for ci, (s0, e0) in enumerate(windows):
+        frames = list(range(s0, e0))
+        nf = len(frames)
+        g_s = rng.uniform(0.8, 1.3)
+        g_R = Rotation.from_rotvec(rng.normal(size=3) * 0.1).as_matrix()
+        g_t = rng.normal(size=3) * 0.4
+        gauges.append((g_s, g_R, g_t))
+
+        kps = np.zeros((nf, n_kp, 2), np.float32)
+        pts = np.zeros((nf, n_kp, 3), np.float32)
+        poses = np.tile(np.eye(4), (nf, 1, 1))
+        depth = np.zeros((nf, H, W), np.float32)
+        conf_logit = np.zeros((nf, H, W, 1), np.float32)
+        masks_d = np.zeros((nf, H, W), bool)
+        rgb = np.zeros((nf, H, W, 3), np.uint8)
+        for j, f in enumerate(frames):
+            R, c = rots[f], centers[f]
+            cam = (landmarks - c) @ R.T
+            z = cam[:, 2]
+            uv = np.stack(
+                [INTR[0, 0] * cam[:, 0] / z + INTR[0, 2],
+                 INTR[1, 1] * cam[:, 1] / z + INTR[1, 2]], axis=1
+            )
+            # front hemisphere only: the ray must exit through the landmark
+            vis = (z > 0.5) & (np.linalg.norm(cam, axis=1) < np.linalg.norm(c)) \
+                & (uv[:, 0] > 2) & (uv[:, 0] < W - 2) & (uv[:, 1] > 2) & (uv[:, 1] < H - 2)
+            sel_rng = np.random.default_rng(f)
+            ids = np.nonzero(vis)[0]
+            sel = ids[sel_rng.permutation(len(ids))[:n_kp]]
+            sel = np.concatenate([sel, np.repeat(sel[-1:], n_kp - len(sel))])
+            kps[j] = uv[sel]
+            pts[j] = g_s * landmarks[sel] @ g_R.T + g_t
+            poses[j, :3, :3] = g_R @ R.T  # cam->world rotation, corrupted
+            poses[j, :3, 3] = g_s * g_R @ c + g_t
+            d, hit = _render_depth(c, R)
+            depth[j] = d * g_s  # depth in the chunk gauge's metric
+            conf_logit[j, ..., 0] = np.where(hit, 4.0, -4.0)
+            masks_d[j] = hit
+            rgb[j] = np.where(hit[..., None], 200, 20)
+
+        np.savez_compressed(
+            chunks_dir / f"chunk_{ci:06d}.npz",
+            keypoints=kps.astype(np.float16),
+            points=pts.astype(np.float16),
+            colors=np.full((nf, n_kp, 3), 128, np.uint8),
+            camera_poses=poses.astype(np.float32),
+            intrinsics=np.tile(INTR, (nf, 1, 1)).astype(np.float32),
+            image_paths=np.asarray([f"frame_{f:04d}.png" for f in frames]),
+            original_width=W,
+            original_height=H,
+            masks=np.ones((nf, n_kp), bool),
+            conf=np.full((nf, n_kp, 1), 4.0, np.float16),
+            local_points_dense=np.stack(
+                [np.zeros_like(depth), np.zeros_like(depth), depth], axis=-1
+            ).astype(np.float16),
+            conf_dense=conf_logit.astype(np.float16),
+            masks_dense=masks_d,
+            rgb_dense=rgb,
+            dense_stride=np.int16(1),
+        )
+    with open(tmp_path / "chunk_metadata.json", "w") as f:
+        json.dump(
+            {"chunk_length": chunk_length, "overlap": overlap,
+             "target_size": [H, W]}, f
+        )
+    return gauges[0]
+
+
+def test_export_mesh_end_to_end(tmp_path, rng):
+    g_s, g_R, g_t = write_sphere_chunks(tmp_path, rng)
+    out = OfflineReconstructor(
+        ReconstructorConfig(
+            chunk_dir=str(tmp_path),
+            output_dir=str(tmp_path / "recon"),
+            ba_iterations=4,
+            align_refine_iterations=10,
+            export_mesh=True,
+            mesh_voxel_size=0.06 * g_s,
+        )
+    ).run()
+
+    assert "mesh" in out["artifacts"], "mesh artifact missing"
+    mesh = read_mesh_ply(out["artifacts"]["mesh"])
+    verts, faces = mesh["vertices"], mesh["faces"]
+    assert len(verts) > 200 and len(faces) > 200
+
+    # the aligned global frame is chunk 0's gauge: sphere center g_t, radius g_s
+    r = np.linalg.norm(verts - g_t, axis=1) / g_s
+    assert abs(np.median(r) - RADIUS) < 0.12, f"median radius {np.median(r)}"
+    assert np.percentile(np.abs(r - RADIUS), 90) < 0.25
+
+    # colors come from the integrated rgb_dense (sphere pixels are 200/255)
+    assert mesh["rgb"] is not None
+    assert abs(np.median(mesh["rgb"]) - 200) < 30
+
+
+def test_export_mesh_requires_dense(tmp_path, rng, capsys):
+    from test_system_ape import write_synthetic_chunks
+
+    write_synthetic_chunks(tmp_path, rng, n_frames=8, chunk_length=5, overlap=2)
+    out = OfflineReconstructor(
+        ReconstructorConfig(
+            chunk_dir=str(tmp_path),
+            output_dir=str(tmp_path / "recon"),
+            ba_iterations=2,
+            align_refine_iterations=5,
+            export_mesh=True,
+        )
+    ).run()
+    assert "mesh" not in out["artifacts"]
+    assert "save-dense" in capsys.readouterr().out
+
+
+def test_chunk_step_returns_strided_dense(rng):
+    """Device step with return_dense + stride: strided dense maps + rgb
+    alongside the sparse keypoint outputs."""
+    import jax.numpy as jnp
+
+    from pi3_slam_tpu.slam.chunk_creator import make_chunk_step
+    from test_pi3_model import TINY, make_tiny_params
+
+    params = make_tiny_params()
+    n, h, w = 2, 42, 56
+    imgs = jnp.asarray(rng.uniform(size=(1, n, 3, h, w)).astype(np.float32))
+    kps = jnp.asarray(
+        rng.uniform(low=2, high=40, size=(n, 5, 2)).astype(np.float32)
+    )
+    step = make_chunk_step(
+        TINY, jnp.float32, conf_threshold=0.1, edge_rtol=0.03,
+        estimate_intrinsics=False, return_dense=True, dense_stride=2,
+    )
+    out = step(params, imgs, kps)
+    assert out["points_kp"].shape == (n, 5, 3)
+    hs, ws = (h + 1) // 2, (w + 1) // 2
+    assert out["points_dense"].shape == (n, hs, ws, 3)
+    assert out["local_points_dense"].shape == (n, hs, ws, 3)
+    assert out["conf_dense"].shape == (n, hs, ws, 1)
+    assert out["masks_dense"].shape == (n, hs, ws)
+    assert out["rgb_dense"].shape == (n, hs, ws, 3)
+    assert out["rgb_dense"].dtype == jnp.uint8
+    # strided maps subsample the full-res ones exactly
+    full = make_chunk_step(
+        TINY, jnp.float32, conf_threshold=0.1, edge_rtol=0.03,
+        estimate_intrinsics=False, return_dense=True, dense_stride=1,
+    )(params, imgs, kps)
+    np.testing.assert_allclose(
+        np.asarray(out["points_dense"]),
+        np.asarray(full["points_dense"])[:, ::2, ::2],
+    )
