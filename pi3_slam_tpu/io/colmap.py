@@ -85,13 +85,20 @@ def write_colmap_text(recons: Sequence, out_dir: str) -> Dict[str, str]:
 
     from ..geometry.transforms import rotation_matrix_to_quaternion as _rmq
 
+    # one batched device call for every pose (per-image dispatch costs
+    # seconds each through this machine's remote-device tunnel)
+    quats = (
+        np.asarray(_rmq(jnp.asarray(np.stack([R for R, _ in img_pose]))))
+        if img_pose
+        else np.zeros((0, 4))
+    )  # (N, 4) as (w, x, y, z)
     with open(img_path, "w") as f:
         f.write("# Image list with two lines of data per image:\n")
         f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
         f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
         for i, nm in enumerate(img_rows):
             R, c = img_pose[i]
-            q = np.asarray(_rmq(jnp.asarray(R[None]))[0])  # (w, x, y, z)
+            q = quats[i]
             t = -R @ c
             f.write(
                 f"{i + 1} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f} "

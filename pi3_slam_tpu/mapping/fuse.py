@@ -15,15 +15,24 @@ No reference equivalent — the reference stops at point-cloud export
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
 
-from .tsdf import TSDFConfig, TSDFVolume, auto_bounds, fuse_tsdf
+from ..sfm.reconstruction import _intrinsics_to_fxfycxcy
+from .tsdf import TSDFConfig, TSDFVolume, _backproject_sample, auto_bounds, fuse_tsdf
+
+ChunkSource = Union[dict, Callable[[], dict]]
 
 
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-np.asarray(x, np.float32)))
+
+
+def _load(chunk: ChunkSource) -> dict:
+    """Chunks may be pre-loaded dicts or zero-arg loaders (lazy loading
+    keeps peak memory at one chunk's dense maps)."""
+    return chunk() if callable(chunk) else chunk
 
 
 def _chunk_scale(recon, chunk_poses: np.ndarray) -> float:
@@ -69,17 +78,43 @@ def _strided_intrinsics(chunk: dict, n_frames: int, stride: float) -> np.ndarray
     if "intrinsics" in chunk:
         # [:n_frames] tolerates chunks whose intrinsics kept padded tail rows
         K = np.asarray(chunk["intrinsics"], np.float32).reshape(-1, 3, 3)[:n_frames]
-        intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], axis=1)
+        intr = _intrinsics_to_fxfycxcy(K)
     else:
         h = float(chunk["original_height"])
         w = float(chunk["original_width"])
-        f = 1.1 * max(h, w)
+        # same default prior as the reconstruction path (f = max(W, H), pp
+        # at center — sfm/reconstruction.py::_default_intrinsics); a
+        # different fallback here would project depth inconsistently with
+        # the poses that were solved under that prior
+        f = max(h, w)
         intr = np.tile(np.array([f, f, w / 2, h / 2], np.float32), (n_frames, 1))
     return intr / stride
 
 
+def _prepare(chunk: dict, recon, index: int, overlap: int) -> dict:
+    """Per-chunk fusion inputs in the ALIGNED global frame: scaled depth,
+    strided intrinsics, aligned world->cam rotations and centers, with the
+    frames shared with the previous chunk skipped (no double weighting)."""
+    depth, conf, rgb, stride = _dense_frames(chunk)
+    n = depth.shape[0]
+    skip = overlap if index > 0 else 0
+    skip = min(skip, max(n - 1, 0))
+    scale = _chunk_scale(recon, np.asarray(chunk["camera_poses"], np.float64))
+    intr = _strided_intrinsics(chunk, n, stride)
+    rot = np.asarray(recon.rotations, np.float32)[:n]
+    cen = np.asarray(recon.centers, np.float32)[:n]
+    return dict(
+        depth=depth[skip:] * scale,
+        conf=None if conf is None else conf[skip:],
+        rgb=None if rgb is None else rgb[skip:],
+        intr=intr[skip:],
+        rot=rot[skip:],
+        cen=cen[skip:],
+    )
+
+
 def fuse_chunks(
-    chunks: Sequence[dict],
+    chunks: Sequence[ChunkSource],
     recons: Sequence,
     config: TSDFConfig = TSDFConfig(),
     overlap: int = 0,
@@ -87,8 +122,10 @@ def fuse_chunks(
 ) -> TSDFVolume:
     """Integrate every chunk's dense maps into one global TSDF volume.
 
-    chunks: loaded chunk dicts (np arrays); recons: the matching ALIGNED
-    ChunkReconstructions (same order — poses define the global frame).
+    chunks: loaded chunk dicts, or zero-arg callables returning them (lazy
+    loading — each chunk's dense maps are materialized once, fused, and
+    dropped); recons: the matching ALIGNED ChunkReconstructions (same
+    order — their poses define the global frame).
     overlap: frames shared with the previous chunk; they are skipped for
     chunks after the first so overlap regions are not double-weighted.
     voxel_size: overrides config.voxel_size; None with
@@ -98,48 +135,44 @@ def fuse_chunks(
     if len(chunks) != len(recons):
         raise ValueError(f"{len(chunks)} chunks vs {len(recons)} reconstructions")
 
-    # ---- global bounds from the aligned sparse tracks (cheap, robust);
-    # dense-only recons (no valid tracks) fall back to back-projected depth
+    # ---- global bounds from the aligned sparse tracks (cheap, no chunk
+    # loads); when too few tracks survive, fall back to back-projecting
+    # each chunk's strided depth under its ALIGNED pose + residual scale —
+    # the volume lives in the aligned frame, so chunk-local world maps
+    # (pre-loop-closure, pre-georeferencing gauge) must not bound it
     pts = [
         np.asarray(r.points)[np.asarray(r.track_valid) > 0]
         for r in recons
         if r.num_tracks
     ]
     track_pts = np.concatenate(pts) if pts else np.zeros((0, 3))
-    vs = voxel_size if voxel_size is not None else config.voxel_size
-
-    prepared = []
-    bounds_pts = [track_pts] if len(track_pts) >= 100 else []
-    for i, (chunk, recon) in enumerate(zip(chunks, recons)):
-        depth, conf, rgb, stride = _dense_frames(chunk)
-        n = depth.shape[0]
-        skip = overlap if i > 0 else 0
-        skip = min(skip, max(n - 1, 0))
-        scale = _chunk_scale(recon, np.asarray(chunk["camera_poses"], np.float64))
-        intr = _strided_intrinsics(chunk, n, stride)
-        rot = np.asarray(recon.rotations, np.float32)[:n]
-        cen = np.asarray(recon.centers, np.float32)[:n]
-        prepared.append(
-            dict(
-                depth=depth[skip:] * scale,
-                conf=None if conf is None else conf[skip:],
-                rgb=None if rgb is None else rgb[skip:],
-                intr=intr[skip:],
-                rot=rot[skip:],
-                cen=cen[skip:],
+    if len(track_pts) >= 100:
+        all_pts = track_pts
+    else:
+        probes = []
+        for i, (chunk_src, recon) in enumerate(zip(chunks, recons)):
+            p = _prepare(_load(chunk_src), recon, i, overlap)
+            if p["depth"].shape[0] == 0:
+                continue
+            conf = (
+                p["conf"]
+                if p["conf"] is not None
+                else np.ones_like(p["depth"], np.float32)
             )
-        )
-        if not bounds_pts:
-            # probe world points from the stored dense world map, if any
-            if "points_dense" in chunk:
-                w = np.asarray(chunk["points_dense"], np.float32).reshape(-1, 3)
-                m = np.asarray(chunk.get("masks_dense", np.ones(w.shape[0]))).reshape(-1)
-                bounds_pts.append(w[m.astype(bool)][:: max(1, w.shape[0] // 20000)])
+            try:
+                probes.append(
+                    _backproject_sample(
+                        p["depth"], conf, p["intr"], p["rot"], p["cen"], config,
+                        max_per_frame=512,
+                    )
+                )
+            except ValueError:
+                continue  # this chunk has no confident depth; others may
+        if not probes:
+            raise ValueError("no points available to bound the TSDF volume")
+        all_pts = np.concatenate(probes)
 
-    if not bounds_pts:
-        raise ValueError("no points available to bound the TSDF volume")
-    all_pts = np.concatenate(bounds_pts)
-
+    vs = voxel_size if voxel_size is not None else config.voxel_size
     cfg = config
     if vs is None or vs <= 0:
         lo, hi = auto_bounds(all_pts, margin=0.0)
@@ -150,8 +183,10 @@ def fuse_chunks(
         cfg = replace(config, voxel_size=vs, trunc=config.trunc)
     bounds = auto_bounds(all_pts, margin=cfg.trunc_dist * 2)
 
+    # ---- streaming fusion: one chunk's dense maps in memory at a time
     volume = None
-    for p in prepared:
+    for i, (chunk_src, recon) in enumerate(zip(chunks, recons)):
+        p = _prepare(_load(chunk_src), recon, i, overlap)
         if p["depth"].shape[0] == 0:
             continue
         volume = fuse_tsdf(

@@ -131,8 +131,14 @@ def _fuse_frames(
     def step(carry, fr):
         tsdf, weight, color = carry
         depth, conf, rgb, intr, rot, center = fr
-        # camera-frame voxel coords: one (V, 3) x (3, 3) matmul
-        pc = p_w @ rot.T - (rot @ center)[None, :]
+        # camera-frame voxel coords: one (V, 3) x (3, 3) matmul. HIGHEST
+        # precision: the TPU default is bf16 passes, whose ~2cm rounding at
+        # 5m would be on the order of the voxel size itself (CLAUDE.md's
+        # f32-for-geometry rule)
+        f32 = jax.lax.Precision.HIGHEST
+        pc = jnp.matmul(p_w, rot.T, precision=f32) - jnp.matmul(
+            rot, center, precision=f32
+        )[None, :]
         z = pc[:, 2]
         zsafe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
         u = intr[0] * pc[:, 0] / zsafe + intr[2]
@@ -162,7 +168,11 @@ def _fuse_frames(
 
         w_new = weight + w_obs
         denom = jnp.maximum(w_new, 1e-9)
-        tsdf = (tsdf * weight + sdf * w_obs) / denom
+        # never-observed voxels must keep the +1 free-space init (w_new=0
+        # would otherwise zero them onto the isosurface)
+        tsdf = jnp.where(
+            w_new > 0.0, (tsdf * weight + sdf * w_obs) / denom, tsdf
+        )
         color = (color * weight[:, None] + g[:, 2:5] * w_obs[:, None]) / denom[:, None]
         return (tsdf, w_new, color), None
 

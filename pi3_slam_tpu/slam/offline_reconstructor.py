@@ -159,8 +159,10 @@ class OfflineReconstructor:
         from ..mapping.fuse import fuse_chunks
         from ..mapping.tsdf import TSDFConfig
 
-        chunks = [load_chunk_npz(p) for p in files]
-        if any("local_points_dense" not in c for c in chunks):
+        # npz headers only — don't decompress every chunk's dense maps here
+        if any(
+            "local_points_dense" not in np.load(p).files for p in files
+        ):
             print(
                 "mesh export skipped: chunks carry no dense maps — recreate "
                 "them with create_offline_chunks --save-dense"
@@ -173,8 +175,13 @@ class OfflineReconstructor:
         )
         t0 = time.time()
         try:
+            # lazy loaders: fuse_chunks materializes one chunk's dense maps
+            # at a time (a long run's dense frames would not fit in RAM)
             volume = fuse_chunks(
-                chunks, recons, config=cfg, overlap=self.config.overlap or 0
+                [lambda p=p: load_chunk_npz(p) for p in files],
+                recons,
+                config=cfg,
+                overlap=self.config.overlap or 0,
             )
         except ValueError as e:
             # degenerate geometry (e.g. no confident depth) should not kill
@@ -187,7 +194,7 @@ class OfflineReconstructor:
         path = os.path.join(self.output_dir, "fused_mesh.ply")
         write_mesh_ply(verts, faces, path, colors=vcols)
         print(
-            f"Fused {len(chunks)} chunks into a {volume.shape} TSDF "
+            f"Fused {len(files)} chunks into a {volume.shape} TSDF "
             f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
             f"{len(faces)} faces in {time.time() - t0:.1f}s -> {path}"
         )

@@ -186,3 +186,25 @@ def test_tsdf_conf_gating():
     conf = np.zeros_like(depths)  # everything below threshold
     with pytest.raises(ValueError):
         fuse_tsdf(depths, intrs, rots, cens, conf=conf)
+
+
+def test_tsdf_unobserved_voxels_keep_free_space_init():
+    """Voxels never touched by any observation must keep the +1 free-space
+    init — a running-average denominator guard of max(w, eps) would zero
+    them onto the isosurface and wrap the scene in phantom surface."""
+    depths, intrs, rots, cens = _sphere_views(n_views=4)
+    # bounds far larger than the camera orbit: most voxels are never in view
+    lo = np.array([-8.0] * 3)
+    hi = np.array([8.0] * 3)
+    vol = fuse_tsdf(
+        depths, intrs, rots, cens, config=TSDFConfig(voxel_size=0.25),
+        bounds=(lo, hi),
+    )
+    unobserved = vol.weight == 0
+    assert unobserved.any()
+    np.testing.assert_allclose(vol.tsdf[unobserved], 1.0)
+    # and extract_mesh(min_weight=0) must not emit phantom sheets at the
+    # observed/unobserved boundary far from the true surface
+    verts, _, _ = vol.extract_mesh(min_weight=0.0)
+    if len(verts):
+        assert np.linalg.norm(verts, axis=1).max() < 2.0

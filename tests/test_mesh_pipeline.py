@@ -221,3 +221,67 @@ def test_chunk_step_returns_strided_dense(rng):
         np.asarray(out["points_dense"]),
         np.asarray(full["points_dense"])[:, ::2, ::2],
     )
+
+
+def test_fuse_chunks_lazy_loading_and_aligned_bounds_fallback(tmp_path, rng):
+    """fuse_chunks accepts zero-arg loaders (streamed, one chunk in RAM at a
+    time) and, with too few sparse tracks to bound the volume, falls back to
+    back-projecting EVERY chunk's depth under its ALIGNED pose + residual
+    scale — not the chunk-local world maps, whose gauge the alignment moved."""
+    from types import SimpleNamespace
+
+    from pi3_slam_tpu.mapping.fuse import fuse_chunks
+
+    write_sphere_chunks(tmp_path, rng)
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "chunks" / "*.npz")))
+    loads = []
+
+    def loader(p):
+        def _l():
+            loads.append(p)
+            return dict(np.load(p))
+
+        return _l
+
+    # aligned recons: the TRUE (uncorrupted) global poses, scaled 2x —
+    # fuse must recover each chunk's residual scale from baseline ratios
+    S = 2.0
+    recons = []
+    for p in files:
+        z = np.load(p)
+        n = z["camera_poses"].shape[0]
+        start = int(p.split("_")[-1].split(".")[0]) * 4  # stride 6-2
+        rots, cens = [], []
+        for j in range(n):
+            f = start + j
+            ang = 2 * np.pi * f / 10
+            c = 3.0 * np.array([np.cos(ang), np.sin(ang), 0.3])
+            rots.append(_look_at_origin(c))
+            cens.append(S * c)
+        recons.append(
+            SimpleNamespace(
+                rotations=np.stack(rots).astype(np.float32),
+                centers=np.stack(cens).astype(np.float32),
+                points=np.zeros((3, 3), np.float32),  # too few tracks (<100)
+                track_valid=np.ones(3, np.float32),
+                num_tracks=3,
+            )
+        )
+
+    vol = fuse_chunks(
+        [loader(p) for p in files], recons, overlap=2, voxel_size=S * 0.06
+    )
+    assert loads, "lazy loaders were never invoked"
+
+    verts, faces, _ = vol.extract_mesh()
+    assert len(verts) > 100
+    # sphere fused in the aligned frame: centered at origin, radius ~S
+    r = np.linalg.norm(verts, axis=1) / S
+    assert abs(np.median(r) - RADIUS) < 0.12, f"median radius {np.median(r)}"
+    # bounds must cover the whole sphere (every octant meshed), which fails
+    # if only the first chunk's field of view bounded the volume
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            assert ((np.sign(verts[:, 0]) == sx) & (np.sign(verts[:, 1]) == sy)).any()
