@@ -106,6 +106,23 @@ def main(argv=None):
                        help="Loop-closure finalization before the exports: "
                             "descriptor-based revisit detection + Sim3 pose-graph "
                             "drift correction (needs --keypoints aliked)")
+    g_out.add_argument("--save-dense", action="store_true",
+                       help="Stash strided dense per-pixel maps per chunk under "
+                            "<output>/dense/ (feeds --export-mesh or later "
+                            "offline fusion; beyond the reference)")
+    g_out.add_argument("--export-mesh", action="store_true",
+                       help="TSDF-fuse the dense maps under the final poses "
+                            "(after loop closure / telemetry) and export "
+                            "fused_mesh.ply (implies --save-dense)")
+    g_out.add_argument("--dense-stride", type=int, default=2,
+                       help="Spatial subsampling of the stashed dense maps "
+                            "(applied on-device; stride^2 smaller stashes)")
+    g_out.add_argument("--mesh-voxel-size", type=float, default=0.0,
+                       help="TSDF voxel size in scene units; 0 = auto "
+                            "(~192 voxels across the scene)")
+    g_out.add_argument("--mesh-conf-threshold", type=float, default=0.25,
+                       help="Minimum sigmoid confidence for a depth sample to "
+                            "be integrated")
     g_out.add_argument("--tum-integer-timestamps", action="store_true",
                        help="Write integer frame-index timestamps in the TUM export "
                             "(the reference's --tum_integer_timestamp; matches the "
@@ -169,11 +186,19 @@ def main(argv=None):
         debug_overlap=args.debug_overlap,
         loop_closure=args.loop_closure,
         refine_observations=args.refine_observations,
+        save_dense=args.save_dense or args.export_mesh,
+        export_mesh=args.export_mesh,
+        dense_stride=args.dense_stride,
+        mesh_voxel_size=args.mesh_voxel_size,
+        mesh_conf_threshold=args.mesh_conf_threshold,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)
     slam.apply_loop_closure()
     slam.apply_telemetry()
+    if args.export_mesh:
+        # after loop closure/telemetry: the mesh bakes in the final poses
+        slam.export_mesh()
     os.makedirs(args.output, exist_ok=True)
     slam.save_final_result(
         os.path.join(args.output, "final_points.ply"), max_points=args.max_points

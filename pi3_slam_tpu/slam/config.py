@@ -209,3 +209,16 @@ class OnlineConfig:
     tensor_parallel: int = 1
     # sequence parallelism: ring attention over sp for very long chunks
     sequence_parallel: int = 1
+    # dense mapping (mapping/; beyond the reference): the device step also
+    # returns strided dense per-pixel maps, stashed per chunk to
+    # <output>/dense/ at consume time (disk-bounded, never accumulated in
+    # RAM); export_mesh() TSDF-fuses them under the FINAL chunk poses —
+    # call it after loop closure / telemetry so the mesh sees the corrected
+    # geometry. save_dense stashes without meshing (fuse later offline).
+    save_dense: bool = False
+    export_mesh: bool = False
+    dense_stride: int = 2
+    mesh_voxel_size: float = 0.0  # <= 0: auto (~192 voxels across the scene)
+    mesh_max_voxels: int = 192**3
+    mesh_conf_threshold: float = 0.25
+    mesh_min_weight: float = 1.0

@@ -152,6 +152,7 @@ class Pi3SLAMOnline:
                 self.config.refine_search_radius,
                 self.config.refine_min_zncc,
             )
+        dense = self.config.save_dense or self.config.export_mesh
         if self.mesh is not None:
             from .chunk_creator import make_sharded_chunk_step
 
@@ -159,6 +160,7 @@ class Pi3SLAMOnline:
                 self.pi3_config, self.compute_dtype,
                 self.config.conf_threshold, self.config.depth_edge_rtol,
                 self.config.estimate_camera_params, self.mesh,
+                return_dense=dense, dense_stride=self.config.dense_stride,
                 refine_obs=refine,
             )
             self.params = shard_params(self._host_params)
@@ -167,6 +169,7 @@ class Pi3SLAMOnline:
                 self.pi3_config, self.compute_dtype,
                 self.config.conf_threshold, self.config.depth_edge_rtol,
                 self.config.estimate_camera_params,
+                return_dense=dense, dense_stride=self.config.dense_stride,
                 refine_obs=refine,
             )
 
@@ -189,6 +192,8 @@ class Pi3SLAMOnline:
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
         "camera_poses", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
+        "points_dense", "local_points_dense", "conf_dense", "masks_dense",
+        "rgb_dense", "intrinsics",
     )
 
     def _pad_tail(self, images: np.ndarray, kps: np.ndarray, axis: int = 0):
@@ -324,6 +329,7 @@ class Pi3SLAMOnline:
 
         poses = host["camera_poses"].astype(np.float64)
         points_kp = host["points_kp"].astype(np.float64)
+        scale_factor = None
         with self.timing.track("metric_scale"):
             if pending["moge_depth"] is not None:
                 depth = np.asarray(pending["moge_depth"])
@@ -331,9 +337,9 @@ class Pi3SLAMOnline:
                 ratio = depth[mask0] / np.maximum(host["depth0"][mask0], 1e-9)
                 ratio = ratio[np.isfinite(ratio)]
                 if ratio.size >= 10:
-                    s = float(np.median(ratio))
-                    points_kp *= s
-                    poses[:, :3, 3] *= s
+                    scale_factor = float(np.median(ratio))
+                    points_kp *= scale_factor
+                    poses[:, :3, 3] *= scale_factor
 
         chunk = {
             "keypoints": pending["kps"],
@@ -359,6 +365,9 @@ class Pi3SLAMOnline:
             # descriptors enable feature-based cross-chunk matching
             chunk["keypoint_valid"] = np.asarray(det["valid"], bool)
             chunk["descriptors"] = np.asarray(det["descriptors"], np.float32)
+
+        if "local_points_dense" in host:
+            self._stash_dense(host, poses, chunk, scale_factor, n_frames)
 
         with self.timing.track("reconstruction"):
             recon = build_chunk_reconstruction(
@@ -447,6 +456,93 @@ class Pi3SLAMOnline:
         ) as f:
             f.write(_json.dumps(entry) + "\n")
 
+    # ----- dense mapping (mapping/; beyond the reference) -----
+
+    def _stash_dense(self, host, poses, chunk, scale_factor, n_frames) -> None:
+        """Write this chunk's strided dense maps to <output>/dense/ at
+        consume time (disk keeps RAM bounded at one chunk; the npz layout
+        matches the offline --save-dense chunks so mapping/fuse.py consumes
+        both). Poses stored are the PRE-alignment, metric-scaled ones the
+        reconstruction was built from — fuse_chunks recovers each chunk's
+        residual alignment scale from their baselines vs the final ones."""
+        import os as _os
+
+        from .chunk_creator import _store_dense_maps
+
+        with self.timing.track("dense_stash"):
+            dense = {
+                "camera_poses": poses.astype(np.float32),
+                "original_height": chunk["original_height"],
+                "original_width": chunk["original_width"],
+            }
+            if "intrinsics" in chunk:
+                dense["intrinsics"] = chunk["intrinsics"].astype(np.float32)
+            _store_dense_maps(
+                dense, host, scale_factor, n_frames, self.config.dense_stride
+            )
+            ddir = _os.path.join(self.config.output_dir, "dense")
+            _os.makedirs(ddir, exist_ok=True)
+            np.savez_compressed(
+                _os.path.join(ddir, f"dense_{self._consumed:06d}.npz"), **dense
+            )
+
+    def export_mesh(self, path: Optional[str] = None) -> Optional[str]:
+        """TSDF-fuse the stashed dense maps under the FINAL chunk poses and
+        write a surface-nets mesh. Call after apply_loop_closure /
+        apply_telemetry — the reconstructions' poses at call time define the
+        mesh frame, so drift corrections are baked in. Returns the mesh path
+        (None when skipped)."""
+        import glob as _glob
+        import os as _os
+
+        from ..io.mesh import write_mesh_ply
+        from ..mapping.fuse import fuse_chunks
+        from ..mapping.tsdf import TSDFConfig
+
+        files = sorted(
+            _glob.glob(_os.path.join(self.config.output_dir, "dense", "dense_*.npz"))
+        )
+        if not files:
+            print(
+                "mesh export skipped: no stashed dense maps — run with "
+                "export_mesh/save_dense enabled (--export-mesh)"
+            )
+            return None
+        if len(files) != len(self.reconstructions):
+            print(
+                f"mesh export skipped: {len(files)} dense chunks vs "
+                f"{len(self.reconstructions)} reconstructions (stale dense/ "
+                "directory from a previous run?)"
+            )
+            return None
+        cfg = TSDFConfig(
+            voxel_size=self.config.mesh_voxel_size,
+            max_voxels=self.config.mesh_max_voxels,
+            conf_threshold=self.config.mesh_conf_threshold,
+        )
+        t0 = time.time()
+        try:
+            volume = fuse_chunks(
+                [lambda p=p: dict(np.load(p)) for p in files],
+                self.reconstructions,
+                config=cfg,
+                overlap=self.config.overlap,
+            )
+        except ValueError as e:
+            print(f"mesh export skipped: {e}")
+            return None
+        verts, faces, vcols = volume.extract_mesh(
+            min_weight=self.config.mesh_min_weight
+        )
+        path = path or _os.path.join(self.config.output_dir, "fused_mesh.ply")
+        write_mesh_ply(verts, faces, path, colors=vcols)
+        print(
+            f"Fused {len(files)} chunks into a {volume.shape} TSDF "
+            f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
+            f"{len(faces)} faces in {time.time() - t0:.1f}s -> {path}"
+        )
+        return path
+
     def _recover_backend(self) -> None:
         try:
             jax.clear_caches()
@@ -508,6 +604,16 @@ class Pi3SLAMOnline:
         """Pipelined streaming: device step k+1 in flight while host finishes
         chunk k (the reference's producer/consumer overlap, without IPC).
         pipelined=False processes strictly one chunk at a time."""
+        if self.config.save_dense or self.config.export_mesh:
+            # clear stale stashes: export_mesh pairs dense_*.npz with this
+            # run's reconstructions by index
+            import glob as _glob
+            import os as _os
+
+            for p in _glob.glob(
+                _os.path.join(self.config.output_dir, "dense", "dense_*.npz")
+            ):
+                _os.remove(p)
         target = calculate_target_size(image_paths[0], self.config.pixel_limit)
         print(f"Target size: {target}")
         dataset = ChunkDataset(

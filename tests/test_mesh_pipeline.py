@@ -285,3 +285,114 @@ def test_fuse_chunks_lazy_loading_and_aligned_bounds_fallback(tmp_path, rng):
     for sx in (-1, 1):
         for sy in (-1, 1):
             assert ((np.sign(verts[:, 0]) == sx) & (np.sign(verts[:, 1]) == sy)).any()
+
+
+def _online_slam(tmp_path, **kw):
+    from pi3_slam_tpu.slam import OnlineConfig, Pi3SLAMOnline
+    from test_pi3_model import TINY, make_tiny_params
+
+    cfg = OnlineConfig(
+        chunk_length=4,
+        overlap=2,
+        pixel_limit=4000,
+        use_metric_depth=False,
+        max_keypoints=20,
+        compute_dtype="float32",
+        output_dir=str(tmp_path / "online"),
+        **kw,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    return slam
+
+
+def test_online_save_dense_stashes_chunks(tmp_path):
+    """Online --save-dense: every consumed chunk stashes strided dense maps
+    to <output>/dense/, and export_mesh() consumes them without crashing
+    (random weights: a garbage mesh or a graceful skip are both fine —
+    geometry is asserted by the synthetic test below)."""
+    import glob
+    import os
+
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    os.makedirs(d)
+    r = np.random.default_rng(5)
+    base = r.integers(30, 220, (64, 84, 3)).astype(np.uint8)
+    for i in range(8):
+        Image.fromarray(np.roll(base, 3 * i, axis=1)).save(d / f"f_{i:04d}.png")
+
+    slam = _online_slam(tmp_path, save_dense=True, export_mesh=True,
+                        dense_stride=2)
+    paths = sorted(glob.glob(str(d / "*.png")))
+    result = slam.process_image_paths(paths)
+    assert result["num_chunks"] == 4
+
+    files = sorted(glob.glob(str(tmp_path / "online" / "dense" / "dense_*.npz")))
+    assert len(files) == 4
+    z = np.load(files[0])
+    for key in ("local_points_dense", "conf_dense", "masks_dense", "rgb_dense",
+                "camera_poses", "dense_stride"):
+        assert key in z.files, key
+    n, hs, ws = z["local_points_dense"].shape[:3]
+    assert n == 4
+    # stride 2 on the resized (14-multiple) frames
+    assert hs <= 64 // 2 + 1 and ws <= 84 // 2 + 1
+    assert z["rgb_dense"].dtype == np.uint8
+    assert int(z["dense_stride"]) == 2
+
+    slam.export_mesh()  # must not raise (skip or mesh both acceptable)
+
+    # a second run must clear the stale stash (index-paired with recons)
+    slam2 = _online_slam(tmp_path, save_dense=True, dense_stride=2)
+    slam2.process_image_paths(paths[:6])
+    files2 = sorted(glob.glob(str(tmp_path / "online" / "dense" / "dense_*.npz")))
+    assert len(files2) == len(slam2.reconstructions) == 3  # < first run's 4
+
+
+def test_online_export_mesh_geometry(tmp_path, rng):
+    """export_mesh fuses the stashed dense maps under the reconstructions'
+    FINAL poses: sphere stashes written in corrupted per-chunk gauges +
+    aligned recons must mesh the sphere in the aligned frame."""
+    import os
+    from types import SimpleNamespace
+
+    slam = _online_slam(tmp_path, export_mesh=True, mesh_voxel_size=0.06)
+
+    write_sphere_chunks(tmp_path / "sph", rng)
+    import glob
+    import shutil
+
+    src = sorted(glob.glob(str(tmp_path / "sph" / "chunks" / "*.npz")))
+    ddir = tmp_path / "online" / "dense"
+    os.makedirs(ddir)
+    recons = []
+    for i, p in enumerate(src):
+        shutil.copy(p, ddir / f"dense_{i:06d}.npz")
+        z = np.load(p)
+        n = z["camera_poses"].shape[0]
+        start = i * 4
+        rots, cens = [], []
+        for j in range(n):
+            f = start + j
+            ang = 2 * np.pi * f / 10
+            c = 3.0 * np.array([np.cos(ang), np.sin(ang), 0.3])
+            rots.append(_look_at_origin(c))
+            cens.append(c)
+        recons.append(
+            SimpleNamespace(
+                rotations=np.stack(rots).astype(np.float32),
+                centers=np.stack(cens).astype(np.float32),
+                points=np.zeros((3, 3), np.float32),
+                track_valid=np.ones(3, np.float32),
+                num_tracks=3,
+            )
+        )
+    slam.reconstructions = recons
+
+    path = slam.export_mesh()
+    assert path is not None and os.path.exists(path)
+    mesh = read_mesh_ply(path)
+    r = np.linalg.norm(mesh["vertices"], axis=1)
+    assert abs(np.median(r) - RADIUS) < 0.12, f"median radius {np.median(r)}"
