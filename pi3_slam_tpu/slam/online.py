@@ -536,6 +536,8 @@ class Pi3SLAMOnline:
         )
         path = path or _os.path.join(self.config.output_dir, "fused_mesh.ply")
         write_mesh_ply(verts, faces, path, colors=vcols)
+        if self.visualizer is not None:
+            self.visualizer.show_mesh(verts, faces, vcols)
         print(
             f"Fused {len(files)} chunks into a {volume.shape} TSDF "
             f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "

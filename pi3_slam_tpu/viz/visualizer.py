@@ -13,6 +13,9 @@ Parity with the reference visualizer (visualization/visualizer.py):
   * keypoint-overlay image panels (:22-52).
   * console fallback when viser is unimportable (:572-593).
 
+Beyond the reference: a fused-mesh layer (show_mesh) renders the dense
+mapping subsystem's TSDF surface (mapping/) with its own GUI toggle.
+
 Design split (instead of the reference's render-everything monolith): a pure
 ``SceneState`` accumulates layers / trajectory / frustums / follow-cam math
 and is unit-testable without viser; ``OnlineVisualizer`` consumes updates on
@@ -102,6 +105,21 @@ class SceneState:
     chunk_count: int = 0
     latest_frame: Optional[np.ndarray] = None
     latest_keypoints: Optional[np.ndarray] = None
+    # fused TSDF mesh layer (mapping/; set once at finalization or
+    # periodically) — dict with vertices (V,3), faces (F,3), colors (V,3)|None
+    mesh: Optional[Dict] = None
+
+    def set_mesh(
+        self,
+        vertices: np.ndarray,
+        faces: np.ndarray,
+        colors: Optional[np.ndarray] = None,
+    ) -> None:
+        self.mesh = {
+            "vertices": np.asarray(vertices, np.float32).reshape(-1, 3),
+            "faces": np.asarray(faces, np.int32).reshape(-1, 3),
+            "colors": None if colors is None else np.asarray(colors, np.float32).reshape(-1, 3),
+        }
 
     def add_chunk(
         self,
@@ -222,6 +240,7 @@ class OnlineVisualizer:
             g["show_point_cloud"] = gui.add_checkbox("Show Point Cloud", initial_value=True)
             g["show_trajectory"] = gui.add_checkbox("Show Camera Trajectory", initial_value=True)
             g["show_cameras"] = gui.add_checkbox("Show Camera Poses", initial_value=True)
+            g["show_mesh"] = gui.add_checkbox("Show Fused Mesh", initial_value=True)
             g["point_size"] = gui.add_slider("Point Size", min=0.001, max=0.05, step=0.001, initial_value=0.01)
             g["camera_size"] = gui.add_slider("Camera Size", min=0.01, max=0.2, step=0.01, initial_value=0.05)
         with gui.add_folder("SLAM Statistics"):
@@ -282,11 +301,35 @@ class OnlineVisualizer:
         )
         if self._queue is not None:
             try:
-                self._queue.put_nowait(payload)
+                self._queue.put_nowait(("chunk", payload))
             except Exception:
                 pass  # queue full: drop, never stall the SLAM loop
             return
         self._apply_update(*payload)
+
+    def show_mesh(
+        self,
+        vertices: np.ndarray,
+        faces: np.ndarray,
+        colors: Optional[np.ndarray] = None,
+    ) -> None:
+        """Display a fused triangle mesh (mapping/ TSDF output) as its own
+        scene layer. Blocking put — the mesh is a one-shot final artifact
+        and must not be dropped like throttled chunk updates."""
+        if self._queue is not None:
+            self._queue.put(("mesh", (vertices, faces, colors)))
+            return
+        self._apply_mesh(vertices, faces, colors)
+
+    def _apply_mesh(self, vertices, faces, colors) -> None:
+        self.state.set_mesh(vertices, faces, colors)
+        if self._server is not None:
+            self._render()
+        else:
+            print(
+                f"[viz] fused mesh: {len(self.state.mesh['vertices']):,} verts / "
+                f"{len(self.state.mesh['faces']):,} faces"
+            )
 
     def _consume_loop(self):
         import queue as _q
@@ -294,10 +337,13 @@ class OnlineVisualizer:
 
         while not self._stop.is_set():
             try:
-                payload = self._queue.get(timeout=0.1)
+                kind, payload = self._queue.get(timeout=0.1)
             except _q.Empty:
                 continue
-            self._apply_update(*payload)
+            if kind == "mesh":
+                self._apply_mesh(*payload)
+            else:
+                self._apply_update(*payload)
             _t.sleep(0.1)  # ~10 Hz throttle like the reference consumer
 
     def _apply_update(self, pts, cols, centers, rotations, frame, keypoints) -> None:
@@ -340,6 +386,26 @@ class OnlineVisualizer:
         else:
             for name in ("/points/history", "/points/current"):
                 self._try_remove(name)
+
+        if s.mesh is not None and self._gval("show_mesh", True):
+            m = s.mesh
+            try:
+                # vertex colors when the viser build supports them
+                self._server.scene.add_mesh_simple(
+                    "/mesh", vertices=m["vertices"], faces=m["faces"],
+                    vertex_colors=m["colors"],
+                )
+            except TypeError:
+                col = (
+                    tuple(np.median(m["colors"], axis=0))
+                    if m["colors"] is not None
+                    else (0.7, 0.7, 0.75)
+                )
+                self._server.scene.add_mesh_simple(
+                    "/mesh", vertices=m["vertices"], faces=m["faces"], color=col
+                )
+        elif s.mesh is not None:
+            self._try_remove("/mesh")
 
         if self._gval("show_trajectory", True):
             segs = s.trajectory_segments()

@@ -134,3 +134,31 @@ def test_visualizer_receives_frames_from_online(tmp_path):
     assert slam.visualizer.state.latest_frame is not None
     assert slam.visualizer.state.latest_frame.dtype == np.uint8
     assert slam.visualizer.state.latest_keypoints is not None
+
+
+def test_mesh_layer(rng, capsys):
+    """show_mesh threads the fused mesh through the queue into SceneState
+    (console fallback prints it); a one-shot artifact, never dropped."""
+    from pi3_slam_tpu.viz.visualizer import OnlineVisualizer, SceneState
+
+    verts = rng.normal(size=(40, 3)).astype(np.float32)
+    faces = rng.integers(0, 40, size=(60, 3)).astype(np.int32)
+    cols = rng.uniform(size=(40, 3)).astype(np.float32)
+
+    s = SceneState()
+    s.set_mesh(verts, faces, cols)
+    assert s.mesh["vertices"].shape == (40, 3)
+    assert s.mesh["faces"].dtype == np.int32
+
+    viz = OnlineVisualizer(threaded=True)
+    viz.show_mesh(verts, faces, cols)
+    viz.flush()
+    viz.close()
+    assert viz.state.mesh is not None
+    np.testing.assert_allclose(viz.state.mesh["vertices"], verts)
+    assert "fused mesh" in capsys.readouterr().out
+
+    viz2 = OnlineVisualizer(threaded=False)
+    viz2.show_mesh(verts, faces, None)
+    assert viz2.state.mesh["colors"] is None
+    viz2.close()
