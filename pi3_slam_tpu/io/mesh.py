@@ -21,11 +21,14 @@ def write_mesh_ply(
     faces: np.ndarray,
     path: str,
     colors: np.ndarray | None = None,
+    normals: np.ndarray | None = None,
 ) -> None:
     """Write a triangle mesh as binary PLY.
 
     vertices: (V, 3) float; faces: (F, 3) int vertex indices;
-    colors: optional (V, 3) per-vertex colors in [0, 1] or [0, 255].
+    colors: optional (V, 3) per-vertex colors in [0, 1] or [0, 255];
+    normals: optional (V, 3) unit vertex normals (nx ny nz properties —
+    the same layout io/ply.py and the reference's write_ply use).
     """
     vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
     faces = np.asarray(faces, np.int64).reshape(-1, 3)
@@ -42,12 +45,21 @@ def write_mesh_ply(
         if colors.size and colors.max() > 1:
             colors = colors / 255.0
         col = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+    has_normal = normals is not None
+    if has_normal:
+        normals = np.asarray(normals, np.float32).reshape(-1, 3)
+        if len(normals) != len(vertices):
+            raise ValueError("normals must be per-vertex")
 
     vprops = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if has_normal:
+        vprops += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
     if has_color:
         vprops += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
     vrec = np.empty(len(vertices), dtype=np.dtype(vprops))
     vrec["x"], vrec["y"], vrec["z"] = vertices[:, 0], vertices[:, 1], vertices[:, 2]
+    if has_normal:
+        vrec["nx"], vrec["ny"], vrec["nz"] = normals[:, 0], normals[:, 1], normals[:, 2]
     if has_color:
         vrec["red"], vrec["green"], vrec["blue"] = col[:, 0], col[:, 1], col[:, 2]
 
@@ -65,6 +77,8 @@ def write_mesh_ply(
         "property float y",
         "property float z",
     ]
+    if has_normal:
+        header += ["property float nx", "property float ny", "property float nz"]
     if has_color:
         header += ["property uchar red", "property uchar green", "property uchar blue"]
     header += [
@@ -86,7 +100,8 @@ def read_mesh_ply(path: str) -> dict:
     """Read a binary-little-endian PLY triangle mesh written by
     write_mesh_ply (uchar-count int32 face lists, all faces triangles).
 
-    Returns {'vertices': (V,3) f32, 'faces': (F,3) i32, 'rgb': (V,3) u8 or None}.
+    Returns {'vertices': (V,3) f32, 'faces': (F,3) i32, 'rgb': (V,3) u8 or
+    None, 'normals': (V,3) f32 or None}.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -130,6 +145,11 @@ def read_mesh_ply(path: str) -> dict:
     out["rgb"] = (
         np.stack([vrec["red"], vrec["green"], vrec["blue"]], 1)
         if "red" in vdtype.names
+        else None
+    )
+    out["normals"] = (
+        np.stack([vrec["nx"], vrec["ny"], vrec["nz"]], 1).astype(np.float32)
+        if "nx" in vdtype.names
         else None
     )
     return out

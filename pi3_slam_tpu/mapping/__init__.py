@@ -8,7 +8,10 @@ watertight-surface export downstream tools expect.
 """
 
 from .tsdf import TSDFConfig, TSDFVolume, fuse_tsdf
-from .surface_nets import surface_nets
+from .surface_nets import sdf_vertex_normals, surface_nets
 from .fuse import fuse_chunks
 
-__all__ = ["TSDFConfig", "TSDFVolume", "fuse_tsdf", "surface_nets", "fuse_chunks"]
+__all__ = [
+    "TSDFConfig", "TSDFVolume", "fuse_tsdf", "surface_nets",
+    "sdf_vertex_normals", "fuse_chunks",
+]

@@ -36,6 +36,44 @@ def _edge_crossings(d: np.ndarray, level: float, axis: int):
     return cross, np.clip(t, 0.0, 1.0)
 
 
+def sdf_vertex_normals(
+    sdf: np.ndarray,
+    vertices_world: np.ndarray,
+    origin: np.ndarray | None = None,
+    voxel_size: float = 1.0,
+) -> np.ndarray:
+    """Unit vertex normals from the SDF gradient (outward: SDF increases
+    toward free space), trilinearly sampled at the vertex positions.
+
+    Smoother than face-normal averaging because the TSDF itself averages
+    many observations. Degenerate gradients (flat/unobserved regions)
+    fall back to +z.
+    """
+    d = np.asarray(sdf, np.float32)
+    org = np.zeros(3) if origin is None else np.asarray(origin, np.float64)
+    g = np.asarray(vertices_world, np.float64).reshape(-1, 3)
+    g = (g - org) / float(voxel_size)  # grid coords
+
+    grad = np.stack(np.gradient(d), axis=-1)  # (X, Y, Z, 3), d/dgrid
+
+    dims = np.array(d.shape)
+    base = np.clip(np.floor(g).astype(int), 0, dims - 2)
+    t = np.clip(g - base, 0.0, 1.0)
+    n = np.zeros((len(g), 3))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (t[:, 0] if dx else 1 - t[:, 0])
+                    * (t[:, 1] if dy else 1 - t[:, 1])
+                    * (t[:, 2] if dz else 1 - t[:, 2])
+                )
+                n += w[:, None] * grad[base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz]
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    n = np.where(norm > 1e-12, n / np.maximum(norm, 1e-12), [0.0, 0.0, 1.0])
+    return n.astype(np.float32)
+
+
 def surface_nets(
     sdf: np.ndarray,
     level: float = 0.0,

@@ -73,6 +73,14 @@ class TSDFVolume:
             colors=self.color,
         )
 
+    def vertex_normals(self, vertices: np.ndarray) -> np.ndarray:
+        """Outward unit normals at mesh vertices from the TSDF gradient."""
+        from .surface_nets import sdf_vertex_normals
+
+        return sdf_vertex_normals(
+            self.tsdf, vertices, origin=self.origin, voxel_size=self.voxel_size
+        )
+
 
 def auto_bounds(points: np.ndarray, margin: float) -> tuple[np.ndarray, np.ndarray]:
     """Robust world-space bounds from surface points: 1st/99th percentile

@@ -192,7 +192,10 @@ class OfflineReconstructor:
             min_weight=self.config.mesh_min_weight
         )
         path = os.path.join(self.output_dir, "fused_mesh.ply")
-        write_mesh_ply(verts, faces, path, colors=vcols)
+        write_mesh_ply(
+            verts, faces, path, colors=vcols,
+            normals=volume.vertex_normals(verts) if len(verts) else None,
+        )
         print(
             f"Fused {len(files)} chunks into a {volume.shape} TSDF "
             f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "

@@ -535,7 +535,10 @@ class Pi3SLAMOnline:
             min_weight=self.config.mesh_min_weight
         )
         path = path or _os.path.join(self.config.output_dir, "fused_mesh.ply")
-        write_mesh_ply(verts, faces, path, colors=vcols)
+        write_mesh_ply(
+            verts, faces, path, colors=vcols,
+            normals=volume.vertex_normals(verts) if len(verts) else None,
+        )
         if self.visualizer is not None:
             self.visualizer.show_mesh(verts, faces, vcols)
         print(

@@ -208,3 +208,37 @@ def test_tsdf_unobserved_voxels_keep_free_space_init():
     verts, _, _ = vol.extract_mesh(min_weight=0.0)
     if len(verts):
         assert np.linalg.norm(verts, axis=1).max() < 2.0
+
+
+def test_sdf_vertex_normals_radial_and_ply_roundtrip(tmp_path):
+    """Sphere-SDF gradient normals are radial/outward; normals survive the
+    mesh-PLY roundtrip (nx ny nz properties)."""
+    from pi3_slam_tpu.mapping import sdf_vertex_normals
+
+    n = 33
+    g = np.linspace(-1.6, 1.6, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(X**2 + Y**2 + Z**2) - RADIUS
+    vs = g[1] - g[0]
+    origin = np.array([-1.6] * 3)
+    verts, faces, _ = surface_nets(sdf, origin=origin, voxel_size=vs)
+
+    nrm = sdf_vertex_normals(sdf, verts, origin=origin, voxel_size=vs)
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+    radial = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    cosang = (nrm * radial).sum(axis=1)
+    assert cosang.min() > 0.9, f"min cos {cosang.min()}"
+
+    p = str(tmp_path / "m.ply")
+    write_mesh_ply(verts, faces, p, normals=nrm)
+    back = read_mesh_ply(p)
+    np.testing.assert_allclose(back["normals"], nrm, atol=1e-6)
+    assert back["rgb"] is None
+
+    # fused-volume convenience: same normals through TSDFVolume
+    depths, intrs, rots, cens = _sphere_views(n_views=8)
+    vol = fuse_tsdf(depths, intrs, rots, cens, config=TSDFConfig(voxel_size=0.06))
+    v2, f2, _ = vol.extract_mesh()
+    n2 = vol.vertex_normals(v2)
+    r2 = v2 / np.linalg.norm(v2, axis=1, keepdims=True)
+    assert ((n2 * r2).sum(axis=1) > 0.7).mean() > 0.97
