@@ -18,7 +18,7 @@ chunk) and goes one step further to a fused surface.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -108,8 +108,7 @@ def _grid_from_bounds(lo, hi, cfg: TSDFConfig):
     return lo, tuple(int(d) for d in dims), vs
 
 
-@partial(jax.jit, static_argnames=("dims", "height", "width"))
-def _fuse_frames(
+def _fuse_frames_body(
     state,
     frames,
     origin,
@@ -121,20 +120,25 @@ def _fuse_frames(
     dims,
     height,
     width,
+    v_base=0,
 ):
     """Integrate a batch of frames into (tsdf, weight, color) flat state.
 
-    frames: dict of per-frame stacked arrays —
+    frames: tuple of per-frame stacked arrays —
       depth (F, H, W), conf (F, H, W), rgb (F, H, W, 3),
       intr (F, 4) fx fy cx cy, rot (F, 3, 3) world->cam, center (F, 3).
+    state leaves cover flat voxel indices [v_base, v_base + len); padded
+    tail voxels past X*Y*Z integrate garbage that callers slice off.
     """
     X, Y, Z = dims
-    V = X * Y * Z
-    # voxel center world coords, built in-graph (no host transfer)
-    vx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
-    vy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
-    vz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
-    p_w = jnp.stack([vx, vy, vz], axis=-1).reshape(V, 3) * voxel_size + origin
+    V = state[0].shape[0]
+    # voxel center world coords, built in-graph (no host transfer); flat
+    # iota + div/mod so a shard can address its own global index range
+    idx = jax.lax.iota(jnp.int32, V) + v_base
+    vx = (idx // (Y * Z)).astype(jnp.float32)
+    vy = ((idx // Z) % Y).astype(jnp.float32)
+    vz = (idx % Z).astype(jnp.float32)
+    p_w = jnp.stack([vx, vy, vz], axis=-1) * voxel_size + origin
 
     def step(carry, fr):
         tsdf, weight, color = carry
@@ -188,6 +192,46 @@ def _fuse_frames(
     return state
 
 
+_fuse_frames = partial(jax.jit, static_argnames=("dims", "height", "width"))(
+    _fuse_frames_body
+)
+
+
+@lru_cache(maxsize=8)
+def _fuse_frames_sharded(mesh, axis: str, dims, height, width):
+    """Voxel-sharded fusion over a device mesh axis: the flat (V,) state is
+    split across devices, the per-frame pixel table is replicated (a few MB),
+    and each shard integrates its own voxel range — embarrassingly parallel,
+    ZERO steady-state collectives (the voxel->pixel gather direction never
+    crosses shards). The TPU-native scaling story for dense mapping.
+    Cached so multi-chunk fusion reuses one compiled program per grid."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(state, frames, origin, voxel_size, trunc_dist,
+              conf_threshold, depth_min, depth_max):
+        v_base = jax.lax.axis_index(axis) * state[0].shape[0]
+        return _fuse_frames_body(
+            state, frames, origin, voxel_size, trunc_dist,
+            conf_threshold, depth_min, depth_max,
+            dims, height, width, v_base=v_base,
+        )
+
+    from jax.experimental.shard_map import shard_map
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                (P(axis), P(axis), P(axis)),  # tsdf, weight, color
+                (P(), P(), P(), P(), P(), P()),  # frames replicated
+                P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+
 def fuse_tsdf(
     depth: np.ndarray,
     intrinsics: np.ndarray,
@@ -198,6 +242,8 @@ def fuse_tsdf(
     config: TSDFConfig = TSDFConfig(),
     bounds: Optional[tuple] = None,
     volume: Optional[TSDFVolume] = None,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> TSDFVolume:
     """Fuse (F, H, W) depth maps into a TSDF volume.
 
@@ -209,6 +255,9 @@ def fuse_tsdf(
     bounds: optional (lo, hi) world box; auto-computed from the
     back-projected depths otherwise. volume: continue integrating into an
     existing volume (incremental / multi-chunk use; its grid wins).
+    mesh: optional jax.sharding.Mesh — the flat voxel state is sharded
+    over `mesh_axis` (frames replicated, zero steady-state collectives);
+    results are numerically identical to single-device fusion.
     """
     depth = np.asarray(depth, np.float32)
     F, H, W = depth.shape
@@ -224,6 +273,7 @@ def fuse_tsdf(
     cf = np.where(np.isfinite(depth) & (depth > 0), cf, 0.0)
     depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
 
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
     if volume is None:
         if bounds is None:
             bounds = auto_bounds(
@@ -233,10 +283,11 @@ def fuse_tsdf(
         origin, dims, vs = _grid_from_bounds(bounds[0], bounds[1], config)
         X, Y, Z = dims
         V = X * Y * Z
+        Vp = -(-V // n_shards) * n_shards  # pad so the shard axis divides
         state = (
-            jnp.ones(V, jnp.float32),  # tsdf init: +1 (free/unseen ahead)
-            jnp.zeros(V, jnp.float32),
-            jnp.zeros((V, 3), jnp.float32),
+            jnp.ones(Vp, jnp.float32),  # tsdf init: +1 (free/unseen ahead)
+            jnp.zeros(Vp, jnp.float32),
+            jnp.zeros((Vp, 3), jnp.float32),
         )
         trunc = config.trunc_dist if config.voxel_size == vs else max(
             config.trunc_dist, 4.0 * vs
@@ -247,10 +298,12 @@ def fuse_tsdf(
         vs = volume.voxel_size
         trunc = volume.trunc_dist
         V = int(np.prod(dims))
+        Vp = -(-V // n_shards) * n_shards
+        pad = Vp - V
         state = (
-            jnp.asarray(volume.tsdf.reshape(V)),
-            jnp.asarray(volume.weight.reshape(V)),
-            jnp.asarray(volume.color.reshape(V, 3)),
+            jnp.asarray(np.pad(volume.tsdf.reshape(V), (0, pad), constant_values=1.0)),
+            jnp.asarray(np.pad(volume.weight.reshape(V), (0, pad))),
+            jnp.asarray(np.pad(volume.color.reshape(V, 3), ((0, pad), (0, 0)))),
         )
 
     frames = (
@@ -261,24 +314,26 @@ def fuse_tsdf(
         jnp.asarray(rot),
         jnp.asarray(cen),
     )
-    state = _fuse_frames(
-        state,
-        frames,
+    scalars = (
         jnp.asarray(np.asarray(origin, np.float32)),
-        np.float32(vs),
-        np.float32(trunc),
-        np.float32(config.conf_threshold),
-        np.float32(config.depth_min),
-        np.float32(config.depth_max),
-        tuple(dims),
-        H,
-        W,
+        jnp.float32(vs),
+        jnp.float32(trunc),
+        jnp.float32(config.conf_threshold),
+        jnp.float32(config.depth_min),
+        jnp.float32(config.depth_max),
     )
+    if mesh is None:
+        state = _fuse_frames(state, frames, *scalars, tuple(dims), H, W)
+    else:
+        state = _fuse_frames_sharded(mesh, mesh_axis, tuple(dims), H, W)(
+            state, frames, *scalars
+        )
     X, Y, Z = dims
+    V = X * Y * Z  # drop shard-padding voxels, if any
     return TSDFVolume(
-        tsdf=np.asarray(state[0]).reshape(X, Y, Z),
-        weight=np.asarray(state[1]).reshape(X, Y, Z),
-        color=np.asarray(state[2]).reshape(X, Y, Z, 3),
+        tsdf=np.asarray(state[0])[:V].reshape(X, Y, Z),
+        weight=np.asarray(state[1])[:V].reshape(X, Y, Z),
+        color=np.asarray(state[2])[:V].reshape(X, Y, Z, 3),
         origin=np.asarray(origin, np.float64),
         voxel_size=float(vs),
         trunc_dist=float(trunc),

@@ -242,3 +242,37 @@ def test_sdf_vertex_normals_radial_and_ply_roundtrip(tmp_path):
     n2 = vol.vertex_normals(v2)
     r2 = v2 / np.linalg.norm(v2, axis=1, keepdims=True)
     assert ((n2 * r2).sum(axis=1) > 0.7).mean() > 0.97
+
+
+def test_tsdf_sharded_matches_single_device():
+    """Voxel-sharded fusion over an 8-device mesh (flat state split on dp,
+    frames replicated, zero collectives) equals single-device fusion —
+    including when the shard count does not divide the voxel count (the
+    padded tail voxels are sliced off)."""
+    import jax
+    from jax.sharding import Mesh
+
+    depths, intrs, rots, cens = _sphere_views(n_views=6, h=24, w=32)
+    colors = np.ones(depths.shape + (3,)) * SPHERE_COLOR
+    cfg = TSDFConfig(voxel_size=0.11)  # odd grid: V % 8 != 0
+    lo = np.array([-1.5] * 3)
+    hi = np.array([1.5] * 3)
+
+    one = fuse_tsdf(depths, intrs, rots, cens, colors=colors, config=cfg,
+                    bounds=(lo, hi))
+    assert (np.prod(one.shape)) % 8 != 0, "test wants a non-dividing V"
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharded = fuse_tsdf(depths, intrs, rots, cens, colors=colors, config=cfg,
+                        bounds=(lo, hi), mesh=mesh)
+    assert sharded.shape == one.shape
+    np.testing.assert_allclose(sharded.weight, one.weight, atol=1e-5)
+    np.testing.assert_allclose(sharded.tsdf, one.tsdf, atol=1e-5)
+    np.testing.assert_allclose(sharded.color, one.color, atol=1e-5)
+
+    # incremental sharded fusion continues an existing (unsharded) volume
+    more = fuse_tsdf(depths[:3], intrs[:3], rots[:3], cens[:3], colors=colors[:3],
+                     config=cfg, volume=sharded, mesh=mesh)
+    ref = fuse_tsdf(depths[:3], intrs[:3], rots[:3], cens[:3], colors=colors[:3],
+                    config=cfg, volume=one)
+    np.testing.assert_allclose(more.tsdf, ref.tsdf, atol=1e-5)

@@ -439,6 +439,48 @@ def bench_kv_accuracy():
     )
 
 
+def bench_tsdf():
+    """TSDF fusion at eval scale (mapping/tsdf.py): 100 stride-2 dense
+    frames into a ~189^3 grid, device-resident state, chained iterations.
+    PI3_TSDF_VOXELS overrides the grid target (default 192)."""
+    from pi3_slam_tpu.mapping.tsdf import _fuse_frames
+
+    rng = np.random.default_rng(0)
+    F, H, W = 100, 154, 203
+    n = int(os.environ.get("PI3_TSDF_VOXELS", "189"))
+    V = n**3
+    state = (
+        jnp.ones(V, jnp.float32),
+        jnp.zeros(V, jnp.float32),
+        jnp.zeros((V, 3), jnp.float32),
+    )
+    frames = (
+        jnp.asarray(rng.uniform(1, 4, (F, H, W)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.2, 1, (F, H, W)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (F, H, W, 3)).astype(np.float32)),
+        jnp.asarray(np.tile(np.array([200.0, 200.0, W / 2, H / 2], np.float32), (F, 1))),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))),
+        jnp.asarray(rng.uniform(-0.2, 0.2, (F, 3)).astype(np.float32)),
+    )
+    args = (
+        jnp.asarray(np.float32([-3, -3, -3])), jnp.float32(0.032),
+        jnp.float32(0.128), jnp.float32(0.25), jnp.float32(1e-3),
+        jnp.float32(1e4), (n, n, n), H, W,
+    )
+    s = _fuse_frames(state, frames, *args)
+    drain(s[0])
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        s = _fuse_frames(s, frames, *args)
+    drain(s[0])
+    per = (time.perf_counter() - t0) / iters
+    print(
+        f"tsdf fuse {n}^3 x {F} frames: {per:.3f}s/chunk -> {F / per:.1f} "
+        f"fusion-FPS, {V * F / per / 1e9:.2f} Gvoxel-updates/s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend(), jax.devices())
@@ -462,3 +504,5 @@ if __name__ == "__main__":
         bench_refine()
     if which == "kv-accuracy":
         bench_kv_accuracy()
+    if which == "tsdf":
+        bench_tsdf()
