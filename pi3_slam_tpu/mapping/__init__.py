@@ -10,8 +10,9 @@ watertight-surface export downstream tools expect.
 from .tsdf import TSDFConfig, TSDFVolume, fuse_tsdf
 from .surface_nets import sdf_vertex_normals, surface_nets
 from .fuse import fuse_chunks
+from .raycast import raycast_depth
 
 __all__ = [
     "TSDFConfig", "TSDFVolume", "fuse_tsdf", "surface_nets",
-    "sdf_vertex_normals", "fuse_chunks",
+    "sdf_vertex_normals", "fuse_chunks", "raycast_depth",
 ]

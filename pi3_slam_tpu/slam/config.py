@@ -134,6 +134,9 @@ class ReconstructorConfig:
     mesh_max_voxels: int = 192**3
     mesh_conf_threshold: float = 0.25
     mesh_min_weight: float = 1.0
+    # raycast this many depth/normal preview PNG pairs of the fused volume
+    # from evenly spaced final camera poses (mapping/raycast.py)
+    mesh_preview_views: int = 0
 
 
 @dataclass

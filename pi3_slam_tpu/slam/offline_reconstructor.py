@@ -196,12 +196,47 @@ class OfflineReconstructor:
             verts, faces, path, colors=vcols,
             normals=volume.vertex_normals(verts) if len(verts) else None,
         )
+        if self.config.mesh_preview_views > 0:
+            self._render_mesh_previews(volume, recons)
         print(
             f"Fused {len(files)} chunks into a {volume.shape} TSDF "
             f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
             f"{len(faces)} faces in {time.time() - t0:.1f}s -> {path}"
         )
         return path
+
+    def _render_mesh_previews(self, volume, recons) -> None:
+        """Raycast depth/normal previews of the fused volume from evenly
+        spaced final camera poses (mapping/raycast.py) — a quick visual
+        check of the reconstruction without opening the mesh."""
+        from PIL import Image
+
+        from ..mapping.raycast import raycast_depth
+
+        rot = np.concatenate([np.asarray(r.rotations) for r in recons])
+        cen = np.concatenate([np.asarray(r.centers) for r in recons])
+        n = min(self.config.mesh_preview_views, len(cen))
+        pick = np.linspace(0, len(cen) - 1, n).astype(int)
+        h, w = 240, 320
+        intr = np.array([0.8 * w, 0.8 * w, w / 2, h / 2])
+        pdir = os.path.join(self.output_dir, "mesh_previews")
+        os.makedirs(pdir, exist_ok=True)
+        for j, i in enumerate(pick):
+            out = raycast_depth(volume, intr, rot[i], cen[i], h, w)
+            d = out["depth"]
+            hi = np.percentile(d[out["mask"]], 98) if out["mask"].any() else 1.0
+            depth_img = np.where(
+                out["mask"], np.clip(d / max(hi, 1e-9), 0, 1) * 255, 0
+            ).astype(np.uint8)
+            normal_img = ((out["normals"] * 0.5 + 0.5) * 255).astype(np.uint8)
+            normal_img[~out["mask"]] = 0
+            Image.fromarray(depth_img).save(
+                os.path.join(pdir, f"depth_{j:03d}.png")
+            )
+            Image.fromarray(normal_img).save(
+                os.path.join(pdir, f"normal_{j:03d}.png")
+            )
+        print(f"Rendered {n} depth/normal preview pairs -> {pdir}")
 
     def _close_loops(self, recons) -> Dict:
         """Drift correction via loop closure (sfm/loops.py) — a capability

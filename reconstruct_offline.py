@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--mesh-conf-threshold", type=float, default=0.25,
                         help="Minimum sigmoid confidence for a depth sample "
                              "to be integrated")
+    parser.add_argument("--render-previews", type=int, default=0,
+                        help="With --export-mesh: raycast this many depth/"
+                             "normal preview PNG pairs of the fused volume "
+                             "from evenly spaced camera poses")
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.utils.precision import select_platform
@@ -77,6 +81,7 @@ def main(argv=None):
         export_mesh=args.export_mesh,
         mesh_voxel_size=args.mesh_voxel_size,
         mesh_conf_threshold=args.mesh_conf_threshold,
+        mesh_preview_views=args.render_previews,
     )
     OfflineReconstructor(config).run()
     return 0

@@ -276,3 +276,45 @@ def test_tsdf_sharded_matches_single_device():
     ref = fuse_tsdf(depths[:3], intrs[:3], rots[:3], cens[:3], colors=colors[:3],
                     config=cfg, volume=one)
     np.testing.assert_allclose(more.tsdf, ref.tsdf, atol=1e-5)
+
+
+def test_raycast_depth_matches_analytic_sphere():
+    """Fuse the sphere, then raycast a NOVEL view: rendered z-depth must
+    match the exact ray-sphere depth within ~1.5 voxels on hit pixels, the
+    hit mask must match the analytic silhouette, and normals point outward."""
+    from pi3_slam_tpu.mapping import raycast_depth
+
+    depths, intrs, rots, cens = _sphere_views(n_views=12)
+    cfg = TSDFConfig(voxel_size=0.04)
+    vol = fuse_tsdf(depths, intrs, rots, cens, config=cfg,
+                    bounds=(np.array([-1.5] * 3), np.array([1.5] * 3)))
+
+    # novel camera not in the fused set
+    h, w = 50, 70
+    intr = np.array([80.0, 80.0, w / 2, h / 2])
+    c = 3.0 * np.array([np.cos(0.37), np.sin(0.37), 0.21])
+    R = _look_at_origin(c)
+    out = raycast_depth(vol, intr, R, c, h, w)
+
+    gt = _render_sphere_depth(c, R, intr, h, w)
+    gt_hit = gt > 0
+    # silhouette: allow a 1-pixel band of disagreement at the limb
+    interior = np.zeros_like(gt_hit)
+    interior[1:-1, 1:-1] = (
+        gt_hit[1:-1, 1:-1] & gt_hit[:-2, 1:-1] & gt_hit[2:, 1:-1]
+        & gt_hit[1:-1, :-2] & gt_hit[1:-1, 2:]
+    )
+    assert (out["mask"][interior]).mean() > 0.98
+    err = np.abs(out["depth"] - gt)[interior & out["mask"]]
+    assert np.median(err) < 1.5 * cfg.voxel_size, float(np.median(err))
+    assert np.percentile(err, 90) < 3 * cfg.voxel_size
+
+    # normals on hits: outward radial
+    hit = interior & out["mask"]
+    pts = out["points"][hit]
+    radial = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cosang = (out["normals"][hit] * radial).sum(axis=1)
+    assert (cosang > 0.8).mean() > 0.95
+
+    # rays that never touch the surface miss cleanly
+    assert not out["mask"][0, 0] and out["depth"][0, 0] == 0.0

@@ -150,10 +150,20 @@ def test_export_mesh_end_to_end(tmp_path, rng):
             align_refine_iterations=10,
             export_mesh=True,
             mesh_voxel_size=0.06 * g_s,
+            mesh_preview_views=2,
         )
     ).run()
 
     assert "mesh" in out["artifacts"], "mesh artifact missing"
+    # raycast previews rendered from final poses (depth + normal pairs)
+    pdir = tmp_path / "recon" / "mesh_previews"
+    previews = sorted(os.listdir(pdir))
+    assert previews == ["depth_000.png", "depth_001.png",
+                        "normal_000.png", "normal_001.png"]
+    from PIL import Image
+
+    d0 = np.asarray(Image.open(pdir / "depth_000.png"))
+    assert d0.shape == (240, 320) and d0.max() > 0  # sphere visible
     mesh = read_mesh_ply(out["artifacts"]["mesh"])
     verts, faces = mesh["vertices"], mesh["faces"]
     assert len(verts) > 200 and len(faces) > 200
