@@ -203,3 +203,45 @@ def fuse_chunks(
     if volume is None:
         raise ValueError("no frames to fuse")
     return volume
+
+
+def export_fused_mesh(
+    chunks: Sequence[ChunkSource],
+    recons: Sequence,
+    out_path: str,
+    config: TSDFConfig = TSDFConfig(),
+    overlap: int = 0,
+    min_weight: float = 1.0,
+) -> Optional[dict]:
+    """Fuse + mesh + write: the shared tail of both modes' --export-mesh.
+
+    Returns {'path', 'volume', 'vertices', 'faces', 'colors'} on success,
+    None when fusion is degenerate (no confident depth / no bounds) —
+    the skip reason is printed, never raised.
+    """
+    import time as _time
+
+    from ..io.mesh import write_mesh_ply
+
+    t0 = _time.time()
+    try:
+        volume = fuse_chunks(chunks, recons, config=config, overlap=overlap)
+    except ValueError as e:
+        # degenerate geometry (e.g. no confident depth) must not kill the
+        # run — the point-cloud/trajectory exports already succeeded
+        print(f"mesh export skipped: {e}")
+        return None
+    verts, faces, vcols = volume.extract_mesh(min_weight=min_weight)
+    write_mesh_ply(
+        verts, faces, out_path, colors=vcols,
+        normals=volume.vertex_normals(verts) if len(verts) else None,
+    )
+    print(
+        f"Fused {len(chunks)} chunks into a {volume.shape} TSDF "
+        f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
+        f"{len(faces)} faces in {_time.time() - t0:.1f}s -> {out_path}"
+    )
+    return {
+        "path": out_path, "volume": volume,
+        "vertices": verts, "faces": faces, "colors": vcols,
+    }

@@ -66,7 +66,10 @@ def _raycast(
     v = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0).reshape(-1)
     # world-space unit ray directions; rays leave the camera center
     d_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], axis=1)
-    d_world = d_cam @ rot  # R^T rows applied to each d_cam (R is world->cam)
+    # R^T rows applied to each d_cam (R is world->cam); HIGHEST precision —
+    # the TPU bf16 matmul default would perturb ray directions by ~0.2%
+    # (~voxel-size lateral error at room scale; CLAUDE.md geometry rule)
+    d_world = jnp.matmul(d_cam, rot, precision=jax.lax.Precision.HIGHEST)
     inv_norm = 1.0 / jnp.linalg.norm(d_world, axis=1, keepdims=True)
     d_world = d_world * inv_norm
     # z-depth per unit ray distance (depth = t * dz_cam)
@@ -130,9 +133,8 @@ def raycast_depth(
     bool, points (H, W, 3) world hit points, and normals (H, W, 3)
     (SDF-gradient, zero where missed).
     """
-    tsdf = np.asarray(volume.tsdf, np.float32)
     depth, mask, points = _raycast(
-        jnp.asarray(tsdf.reshape(-1)),
+        volume.device_tsdf_flat(),  # uploaded once, cached across views
         jnp.asarray(np.asarray(volume.origin, np.float32)),
         jnp.float32(volume.voxel_size),
         jnp.float32(volume.trunc_dist),
@@ -150,7 +152,8 @@ def raycast_depth(
     from .surface_nets import sdf_vertex_normals
 
     normals = sdf_vertex_normals(
-        tsdf, pts.reshape(-1, 3), origin=volume.origin, voxel_size=volume.voxel_size
+        volume.tsdf, pts.reshape(-1, 3), origin=volume.origin,
+        voxel_size=volume.voxel_size, grad=volume.sdf_gradient(),
     ).reshape(height, width, 3)
     normals = np.where(mask[..., None], normals, 0.0)
     return {"depth": depth, "mask": mask, "points": pts, "normals": normals}

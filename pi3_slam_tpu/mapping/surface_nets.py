@@ -41,20 +41,23 @@ def sdf_vertex_normals(
     vertices_world: np.ndarray,
     origin: np.ndarray | None = None,
     voxel_size: float = 1.0,
+    grad: np.ndarray | None = None,
 ) -> np.ndarray:
     """Unit vertex normals from the SDF gradient (outward: SDF increases
     toward free space), trilinearly sampled at the vertex positions.
 
     Smoother than face-normal averaging because the TSDF itself averages
     many observations. Degenerate gradients (flat/unobserved regions)
-    fall back to +z.
+    fall back to +z. grad: optional precomputed (X, Y, Z, 3) SDF gradient
+    (TSDFVolume.sdf_gradient caches it across calls).
     """
     d = np.asarray(sdf, np.float32)
     org = np.zeros(3) if origin is None else np.asarray(origin, np.float64)
     g = np.asarray(vertices_world, np.float64).reshape(-1, 3)
     g = (g - org) / float(voxel_size)  # grid coords
 
-    grad = np.stack(np.gradient(d), axis=-1)  # (X, Y, Z, 3), d/dgrid
+    if grad is None:
+        grad = np.stack(np.gradient(d), axis=-1)  # (X, Y, Z, 3), d/dgrid
 
     dims = np.array(d.shape)
     base = np.clip(np.floor(g).astype(int), 0, dims - 2)

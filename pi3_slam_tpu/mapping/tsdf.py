@@ -55,6 +55,33 @@ class TSDFVolume:
     origin: np.ndarray  # (3,) world coords of voxel (0, 0, 0) center
     voxel_size: float
     trunc_dist: float
+    # per-instance caches (device copy of the flat tsdf for raycasting,
+    # host SDF gradient for normals) — filled lazily, never compared
+    _cache: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self._cache is None:
+            object.__setattr__(self, "_cache", {})
+
+    def device_tsdf_flat(self):
+        """Flat (V,) device copy of the tsdf grid, uploaded once — per-view
+        raycasts over the same volume must not re-ship ~27 MB each call
+        (the remote-tunnel rule in the project memory)."""
+        if "tsdf_dev" not in self._cache:
+            import jax.numpy as jnp
+
+            self._cache["tsdf_dev"] = jnp.asarray(
+                np.asarray(self.tsdf, np.float32).reshape(-1)
+            )
+        return self._cache["tsdf_dev"]
+
+    def sdf_gradient(self) -> np.ndarray:
+        """(X, Y, Z, 3) host SDF gradient, computed once per volume."""
+        if "grad" not in self._cache:
+            self._cache["grad"] = np.stack(
+                np.gradient(np.asarray(self.tsdf, np.float32)), axis=-1
+            )
+        return self._cache["grad"]
 
     @property
     def shape(self):
@@ -78,7 +105,8 @@ class TSDFVolume:
         from .surface_nets import sdf_vertex_normals
 
         return sdf_vertex_normals(
-            self.tsdf, vertices, origin=self.origin, voxel_size=self.voxel_size
+            self.tsdf, vertices, origin=self.origin,
+            voxel_size=self.voxel_size, grad=self.sdf_gradient(),
         )
 
 

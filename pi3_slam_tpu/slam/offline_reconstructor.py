@@ -155,55 +155,38 @@ class OfflineReconstructor:
     def _export_mesh(self, recons, files) -> str | None:
         """TSDF-fuse the chunks' dense maps under the final aligned poses and
         write a surface-nets mesh (mapping/; beyond the reference)."""
-        from ..io.mesh import write_mesh_ply
-        from ..mapping.fuse import fuse_chunks
+        from ..mapping.fuse import export_fused_mesh
         from ..mapping.tsdf import TSDFConfig
 
-        # npz headers only — don't decompress every chunk's dense maps here
-        if any(
-            "local_points_dense" not in np.load(p).files for p in files
-        ):
+        def _has_dense(p):
+            with np.load(p) as z:  # header check only, close the handle
+                return "local_points_dense" in z.files
+
+        if not all(_has_dense(p) for p in files):
             print(
                 "mesh export skipped: chunks carry no dense maps — recreate "
                 "them with create_offline_chunks --save-dense"
             )
             return None
-        cfg = TSDFConfig(
-            voxel_size=self.config.mesh_voxel_size,
-            max_voxels=self.config.mesh_max_voxels,
-            conf_threshold=self.config.mesh_conf_threshold,
+        # lazy loaders: fuse_chunks materializes one chunk's dense maps
+        # at a time (a long run's dense frames would not fit in RAM)
+        result = export_fused_mesh(
+            [lambda p=p: load_chunk_npz(p) for p in files],
+            recons,
+            os.path.join(self.output_dir, "fused_mesh.ply"),
+            config=TSDFConfig(
+                voxel_size=self.config.mesh_voxel_size,
+                max_voxels=self.config.mesh_max_voxels,
+                conf_threshold=self.config.mesh_conf_threshold,
+            ),
+            overlap=self.config.overlap or 0,
+            min_weight=self.config.mesh_min_weight,
         )
-        t0 = time.time()
-        try:
-            # lazy loaders: fuse_chunks materializes one chunk's dense maps
-            # at a time (a long run's dense frames would not fit in RAM)
-            volume = fuse_chunks(
-                [lambda p=p: load_chunk_npz(p) for p in files],
-                recons,
-                config=cfg,
-                overlap=self.config.overlap or 0,
-            )
-        except ValueError as e:
-            # degenerate geometry (e.g. no confident depth) should not kill
-            # the run — the point-cloud/trajectory exports already succeeded
-            print(f"mesh export skipped: {e}")
+        if result is None:
             return None
-        verts, faces, vcols = volume.extract_mesh(
-            min_weight=self.config.mesh_min_weight
-        )
-        path = os.path.join(self.output_dir, "fused_mesh.ply")
-        write_mesh_ply(
-            verts, faces, path, colors=vcols,
-            normals=volume.vertex_normals(verts) if len(verts) else None,
-        )
         if self.config.mesh_preview_views > 0:
-            self._render_mesh_previews(volume, recons)
-        print(
-            f"Fused {len(files)} chunks into a {volume.shape} TSDF "
-            f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
-            f"{len(faces)} faces in {time.time() - t0:.1f}s -> {path}"
-        )
-        return path
+            self._render_mesh_previews(result["volume"], recons)
+        return result["path"]
 
     def _render_mesh_previews(self, volume, recons) -> None:
         """Raycast depth/normal previews of the fused volume from evenly

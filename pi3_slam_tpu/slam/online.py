@@ -495,8 +495,7 @@ class Pi3SLAMOnline:
         import glob as _glob
         import os as _os
 
-        from ..io.mesh import write_mesh_ply
-        from ..mapping.fuse import fuse_chunks
+        from ..mapping.fuse import export_fused_mesh
         from ..mapping.tsdf import TSDFConfig
 
         files = sorted(
@@ -515,38 +514,30 @@ class Pi3SLAMOnline:
                 "directory from a previous run?)"
             )
             return None
-        cfg = TSDFConfig(
-            voxel_size=self.config.mesh_voxel_size,
-            max_voxels=self.config.mesh_max_voxels,
-            conf_threshold=self.config.mesh_conf_threshold,
+
+        def _load(p):
+            with np.load(p) as z:
+                return dict(z)
+
+        result = export_fused_mesh(
+            [lambda p=p: _load(p) for p in files],
+            self.reconstructions,
+            path or _os.path.join(self.config.output_dir, "fused_mesh.ply"),
+            config=TSDFConfig(
+                voxel_size=self.config.mesh_voxel_size,
+                max_voxels=self.config.mesh_max_voxels,
+                conf_threshold=self.config.mesh_conf_threshold,
+            ),
+            overlap=self.config.overlap,
+            min_weight=self.config.mesh_min_weight,
         )
-        t0 = time.time()
-        try:
-            volume = fuse_chunks(
-                [lambda p=p: dict(np.load(p)) for p in files],
-                self.reconstructions,
-                config=cfg,
-                overlap=self.config.overlap,
-            )
-        except ValueError as e:
-            print(f"mesh export skipped: {e}")
+        if result is None:
             return None
-        verts, faces, vcols = volume.extract_mesh(
-            min_weight=self.config.mesh_min_weight
-        )
-        path = path or _os.path.join(self.config.output_dir, "fused_mesh.ply")
-        write_mesh_ply(
-            verts, faces, path, colors=vcols,
-            normals=volume.vertex_normals(verts) if len(verts) else None,
-        )
-        if self.visualizer is not None:
-            self.visualizer.show_mesh(verts, faces, vcols)
-        print(
-            f"Fused {len(files)} chunks into a {volume.shape} TSDF "
-            f"(voxel {volume.voxel_size:.4f}) and meshed {len(verts)} verts / "
-            f"{len(faces)} faces in {time.time() - t0:.1f}s -> {path}"
-        )
-        return path
+        if self.visualizer is not None and len(result["vertices"]):
+            self.visualizer.show_mesh(
+                result["vertices"], result["faces"], result["colors"]
+            )
+        return result["path"]
 
     def _recover_backend(self) -> None:
         try:
@@ -609,9 +600,11 @@ class Pi3SLAMOnline:
         """Pipelined streaming: device step k+1 in flight while host finishes
         chunk k (the reference's producer/consumer overlap, without IPC).
         pipelined=False processes strictly one chunk at a time."""
-        if self.config.save_dense or self.config.export_mesh:
-            # clear stale stashes: export_mesh pairs dense_*.npz with this
-            # run's reconstructions by index
+        if (self.config.save_dense or self.config.export_mesh) and self._consumed == 0:
+            # clear stashes left by a PREVIOUS run: export_mesh pairs
+            # dense_*.npz with reconstructions by index. Only before the
+            # first chunk — later segments on the same instance continue
+            # the recon chain and must keep their earlier stashes.
             import glob as _glob
             import os as _os
 

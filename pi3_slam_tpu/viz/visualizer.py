@@ -314,10 +314,17 @@ class OnlineVisualizer:
         colors: Optional[np.ndarray] = None,
     ) -> None:
         """Display a fused triangle mesh (mapping/ TSDF output) as its own
-        scene layer. Blocking put — the mesh is a one-shot final artifact
-        and must not be dropped like throttled chunk updates."""
+        scene layer. Bounded-blocking put — the mesh is a one-shot final
+        artifact and should not be dropped like throttled chunk updates,
+        but a dead/stopped consumer must not hang the SLAM process."""
         if self._queue is not None:
-            self._queue.put(("mesh", (vertices, faces, colors)))
+            import queue as _q
+
+            try:
+                self._queue.put(("mesh", (vertices, faces, colors)), timeout=5.0)
+            except _q.Full:
+                print("visualizer backed up; applying mesh inline")
+                self._apply_mesh(vertices, faces, colors)
             return
         self._apply_mesh(vertices, faces, colors)
 
@@ -340,10 +347,13 @@ class OnlineVisualizer:
                 kind, payload = self._queue.get(timeout=0.1)
             except _q.Empty:
                 continue
-            if kind == "mesh":
-                self._apply_mesh(*payload)
-            else:
-                self._apply_update(*payload)
+            try:
+                if kind == "mesh":
+                    self._apply_mesh(*payload)
+                else:
+                    self._apply_update(*payload)
+            except Exception as e:  # a render error must not kill the consumer
+                print(f"visualizer update failed: {e}")
             _t.sleep(0.1)  # ~10 Hz throttle like the reference consumer
 
     def _apply_update(self, pts, cols, centers, rotations, frame, keypoints) -> None:
@@ -387,7 +397,7 @@ class OnlineVisualizer:
             for name in ("/points/history", "/points/current"):
                 self._try_remove(name)
 
-        if s.mesh is not None and self._gval("show_mesh", True):
+        if s.mesh is not None and len(s.mesh["vertices"]) and self._gval("show_mesh", True):
             m = s.mesh
             try:
                 # vertex colors when the viser build supports them

@@ -360,6 +360,12 @@ def test_online_save_dense_stashes_chunks(tmp_path):
     files2 = sorted(glob.glob(str(tmp_path / "online" / "dense" / "dense_*.npz")))
     assert len(files2) == len(slam2.reconstructions) == 3  # < first run's 4
 
+    # multi-segment session on ONE instance: the second segment must KEEP
+    # the first segment's stashes (they pair with reconstructions by index)
+    slam2.process_image_paths(paths[6:])
+    files3 = sorted(glob.glob(str(tmp_path / "online" / "dense" / "dense_*.npz")))
+    assert len(files3) == len(slam2.reconstructions) > 3
+
 
 def test_online_export_mesh_geometry(tmp_path, rng):
     """export_mesh fuses the stashed dense maps under the reconstructions'
