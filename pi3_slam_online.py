@@ -117,6 +117,9 @@ def main(argv=None):
     g_out.add_argument("--dense-stride", type=int, default=2,
                        help="Spatial subsampling of the stashed dense maps "
                             "(applied on-device; stride^2 smaller stashes)")
+    g_out.add_argument("--save-volume", action="store_true",
+                       help="With --export-mesh: also persist the fused TSDF "
+                            "volume (fused_volume.npz)")
     g_out.add_argument("--mesh-voxel-size", type=float, default=0.0,
                        help="TSDF voxel size in scene units; 0 = auto "
                             "(~192 voxels across the scene)")
@@ -191,6 +194,7 @@ def main(argv=None):
         dense_stride=args.dense_stride,
         mesh_voxel_size=args.mesh_voxel_size,
         mesh_conf_threshold=args.mesh_conf_threshold,
+        save_volume=args.save_volume,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)

@@ -212,6 +212,7 @@ def export_fused_mesh(
     config: TSDFConfig = TSDFConfig(),
     overlap: int = 0,
     min_weight: float = 1.0,
+    volume_path: Optional[str] = None,
 ) -> Optional[dict]:
     """Fuse + mesh + write: the shared tail of both modes' --export-mesh.
 
@@ -231,6 +232,9 @@ def export_fused_mesh(
         # run — the point-cloud/trajectory exports already succeeded
         print(f"mesh export skipped: {e}")
         return None
+    if volume_path:
+        volume.save(volume_path)
+        print(f"Saved TSDF volume -> {volume_path}")
     verts, faces, vcols = volume.extract_mesh(min_weight=min_weight)
     write_mesh_ply(
         verts, faces, out_path, colors=vcols,

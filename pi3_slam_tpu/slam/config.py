@@ -137,6 +137,9 @@ class ReconstructorConfig:
     # raycast this many depth/normal preview PNG pairs of the fused volume
     # from evenly spaced final camera poses (mapping/raycast.py)
     mesh_preview_views: int = 0
+    # also persist the fused TSDF volume (fused_volume.npz) — re-mesh or
+    # raycast later without re-fusing (TSDFVolume.load)
+    save_volume: bool = False
 
 
 @dataclass
@@ -225,3 +228,4 @@ class OnlineConfig:
     mesh_max_voxels: int = 192**3
     mesh_conf_threshold: float = 0.25
     mesh_min_weight: float = 1.0
+    save_volume: bool = False  # persist fused_volume.npz alongside the mesh

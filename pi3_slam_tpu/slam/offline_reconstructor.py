@@ -181,6 +181,11 @@ class OfflineReconstructor:
             ),
             overlap=self.config.overlap or 0,
             min_weight=self.config.mesh_min_weight,
+            volume_path=(
+                os.path.join(self.output_dir, "fused_volume.npz")
+                if self.config.save_volume
+                else None
+            ),
         )
         if result is None:
             return None

@@ -530,6 +530,11 @@ class Pi3SLAMOnline:
             ),
             overlap=self.config.overlap,
             min_weight=self.config.mesh_min_weight,
+            volume_path=(
+                _os.path.join(self.config.output_dir, "fused_volume.npz")
+                if self.config.save_volume
+                else None
+            ),
         )
         if result is None:
             return None

@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--mesh-conf-threshold", type=float, default=0.25,
                         help="Minimum sigmoid confidence for a depth sample "
                              "to be integrated")
+    parser.add_argument("--save-volume", action="store_true",
+                        help="With --export-mesh: also persist the fused TSDF "
+                             "volume (fused_volume.npz) for later re-meshing "
+                             "or raycasting without re-fusing")
     parser.add_argument("--render-previews", type=int, default=0,
                         help="With --export-mesh: raycast this many depth/"
                              "normal preview PNG pairs of the fused volume "
@@ -82,6 +86,7 @@ def main(argv=None):
         mesh_voxel_size=args.mesh_voxel_size,
         mesh_conf_threshold=args.mesh_conf_threshold,
         mesh_preview_views=args.render_previews,
+        save_volume=args.save_volume,
     )
     OfflineReconstructor(config).run()
     return 0

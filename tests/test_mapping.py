@@ -318,3 +318,35 @@ def test_raycast_depth_matches_analytic_sphere():
 
     # rays that never touch the surface miss cleanly
     assert not out["mask"][0, 0] and out["depth"][0, 0] == 0.0
+
+
+def test_tsdf_volume_save_load_roundtrip(tmp_path):
+    """Volume npz roundtrip: the reloaded volume re-extracts an equivalent
+    mesh and raycasts identically (within the f16 storage quantization)."""
+    from pi3_slam_tpu.mapping import TSDFVolume, raycast_depth
+
+    depths, intrs, rots, cens = _sphere_views(n_views=8)
+    colors = np.ones(depths.shape + (3,)) * SPHERE_COLOR
+    vol = fuse_tsdf(depths, intrs, rots, cens, colors=colors,
+                    config=TSDFConfig(voxel_size=0.06))
+    p = str(tmp_path / "vol.npz")
+    vol.save(p)
+    back = TSDFVolume.load(p)
+
+    assert back.shape == vol.shape
+    assert back.voxel_size == vol.voxel_size
+    np.testing.assert_allclose(back.tsdf, vol.tsdf, atol=2e-3)  # f16 storage
+    v1, f1, c1 = vol.extract_mesh()
+    v2, f2, c2 = back.extract_mesh()
+    assert abs(len(v1) - len(v2)) < 0.02 * len(v1) + 5
+    np.testing.assert_allclose(np.median(c2, axis=0), SPHERE_COLOR, atol=0.05)
+
+    h, w = 30, 40
+    intr = np.array([40.0, 40.0, w / 2, h / 2])
+    c = 3.0 * np.array([1.0, 0.2, 0.1])
+    R = _look_at_origin(c)
+    d1 = raycast_depth(vol, intr, R, c, h, w)
+    d2 = raycast_depth(back, intr, R, c, h, w)
+    both = d1["mask"] & d2["mask"]
+    assert both.mean() > 0.1
+    assert np.abs(d1["depth"] - d2["depth"])[both].max() < 0.02

@@ -151,8 +151,14 @@ def test_export_mesh_end_to_end(tmp_path, rng):
             export_mesh=True,
             mesh_voxel_size=0.06 * g_s,
             mesh_preview_views=2,
+            save_volume=True,
         )
     ).run()
+
+    from pi3_slam_tpu.mapping import TSDFVolume
+
+    vol = TSDFVolume.load(str(tmp_path / "recon" / "fused_volume.npz"))
+    assert (vol.weight > 0).any()
 
     assert "mesh" in out["artifacts"], "mesh artifact missing"
     # raycast previews rendered from final poses (depth + normal pairs)
