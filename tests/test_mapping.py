@@ -350,3 +350,29 @@ def test_tsdf_volume_save_load_roundtrip(tmp_path):
     both = d1["mask"] & d2["mask"]
     assert both.mean() > 0.1
     assert np.abs(d1["depth"] - d2["depth"])[both].max() < 0.02
+
+
+def test_render_tsdf_cli(tmp_path):
+    """tools/render_tsdf.py renders orbit views of a saved volume."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import render_tsdf as cli
+
+    depths, intrs, rots, cens = _sphere_views(n_views=8)
+    vol = fuse_tsdf(depths, intrs, rots, cens, config=TSDFConfig(voxel_size=0.06))
+    p = str(tmp_path / "vol.npz")
+    vol.save(p)
+
+    out = str(tmp_path / "renders")
+    rc = cli.main(["--volume", p, "--views", "2", "--height", "40",
+                   "--width", "50", "--output", out])
+    assert rc == 0
+    import os
+
+    assert sorted(os.listdir(out)) == ["depth_000.png", "depth_001.png",
+                                       "normal_000.png", "normal_001.png"]
+    from PIL import Image
+
+    d = np.asarray(Image.open(os.path.join(out, "depth_000.png")))
+    assert d.max() > 0  # the sphere is visible from the orbit
