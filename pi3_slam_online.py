@@ -120,6 +120,11 @@ def main(argv=None):
     g_out.add_argument("--save-volume", action="store_true",
                        help="With --export-mesh: also persist the fused TSDF "
                             "volume (fused_volume.npz)")
+    g_out.add_argument("--live-mesh-every", type=int, default=0,
+                       help="With --visualize and --save-dense: refresh a live "
+                            "fused-surface layer in the viewer every K chunks "
+                            "(background CPU re-fuse under the current poses; "
+                            "0 = off)")
     g_out.add_argument("--mesh-voxel-size", type=float, default=0.0,
                        help="TSDF voxel size in scene units; 0 = auto "
                             "(~192 voxels across the scene)")
@@ -195,6 +200,7 @@ def main(argv=None):
         mesh_voxel_size=args.mesh_voxel_size,
         mesh_conf_threshold=args.mesh_conf_threshold,
         save_volume=args.save_volume,
+        live_mesh_every=args.live_mesh_every,
     )
     slam = Pi3SLAMOnline(config)
     slam.process_image_paths(paths)

@@ -229,3 +229,9 @@ class OnlineConfig:
     mesh_conf_threshold: float = 0.25
     mesh_min_weight: float = 1.0
     save_volume: bool = False  # persist fused_volume.npz alongside the mesh
+    # live mesh: every K consumed chunks, re-fuse the stashes under the
+    # CURRENT aligned poses on a background thread (CPU device — never
+    # contends with the TPU forward) and push the growing surface to the
+    # visualizer's mesh layer. 0 = off. Re-fusing from scratch keeps the
+    # surface consistent with alignment corrections as they happen.
+    live_mesh_every: int = 0

@@ -142,6 +142,7 @@ class Pi3SLAMOnline:
             from ..viz.visualizer import OnlineVisualizer
 
             self.visualizer = OnlineVisualizer(port=config.viz_port)
+        self._live_mesh_thread = None
 
     def _make_steps(self) -> None:
         refine = None
@@ -152,7 +153,11 @@ class Pi3SLAMOnline:
                 self.config.refine_search_radius,
                 self.config.refine_min_zncc,
             )
-        dense = self.config.save_dense or self.config.export_mesh
+        dense = (
+            self.config.save_dense
+            or self.config.export_mesh
+            or self.config.live_mesh_every > 0
+        )
         if self.mesh is not None:
             from .chunk_creator import make_sharded_chunk_step
 
@@ -414,6 +419,11 @@ class Pi3SLAMOnline:
             if frame.dtype != np.uint8:
                 frame = (frame * 255.0).clip(0, 255).astype(np.uint8)
             self.visualizer.update(recon, frame=frame, keypoints=pending["kps"][-1])
+        if (
+            self.config.live_mesh_every > 0
+            and self._consumed % self.config.live_mesh_every == 0
+        ):
+            self._live_mesh_tick()
         return recon
 
     def _dump_overlap_debug(self, prev, recon, res, host) -> None:
@@ -485,6 +495,64 @@ class Pi3SLAMOnline:
             np.savez_compressed(
                 _os.path.join(ddir, f"dense_{self._consumed:06d}.npz"), **dense
             )
+
+    def _live_mesh_tick(self) -> None:
+        """Kick a background live-mesh refresh (non-blocking; drops the tick
+        when the previous refresh is still running)."""
+        if self._live_mesh_thread is not None and self._live_mesh_thread.is_alive():
+            return
+        import glob as _glob
+        import os as _os
+        import threading
+
+        files = sorted(
+            _glob.glob(_os.path.join(self.config.output_dir, "dense", "dense_*.npz"))
+        )
+        n = min(len(files), len(self.reconstructions))
+        if n == 0:
+            return
+        recons = list(self.reconstructions[:n])
+        self._live_mesh_thread = threading.Thread(
+            target=self._live_mesh_fuse, args=(files[:n], recons), daemon=True
+        )
+        self._live_mesh_thread.start()
+
+    def _live_mesh_fuse(self, files, recons) -> None:
+        """Re-fuse the stashes under the CURRENT aligned poses on the CPU
+        device (never contends with the in-flight TPU forward) and push the
+        surface to the viewer's mesh layer. Re-fusing from scratch keeps the
+        preview consistent with alignment/drift corrections; a coarser voxel
+        cap keeps each refresh cheap. Pose mutations racing a refresh can
+        only skew the PREVIEW — the authoritative mesh comes from
+        export_mesh at finalization, which runs synchronously."""
+        import jax as _jax
+
+        from ..mapping.fuse import fuse_chunks
+        from ..mapping.tsdf import TSDFConfig
+
+        def _load(p):
+            with np.load(p) as z:
+                return dict(z)
+
+        cfg = TSDFConfig(
+            voxel_size=self.config.mesh_voxel_size,
+            max_voxels=min(self.config.mesh_max_voxels, 128**3),
+            conf_threshold=self.config.mesh_conf_threshold,
+        )
+        try:
+            with _jax.default_device(_jax.devices("cpu")[0]):
+                volume = fuse_chunks(
+                    [lambda p=p: _load(p) for p in files], recons,
+                    config=cfg, overlap=self.config.overlap,
+                )
+            verts, faces, vcols = volume.extract_mesh(
+                min_weight=self.config.mesh_min_weight
+            )
+            if self.visualizer is not None and len(verts):
+                self.visualizer.show_mesh(verts, faces, vcols)
+            print(f"live mesh: {len(verts)} verts from {len(files)} chunks")
+        except Exception as e:  # a preview failure must never kill the run
+            print(f"live mesh refresh failed: {e}")
 
     def export_mesh(self, path: Optional[str] = None) -> Optional[str]:
         """TSDF-fuse the stashed dense maps under the FINAL chunk poses and
@@ -605,7 +673,12 @@ class Pi3SLAMOnline:
         """Pipelined streaming: device step k+1 in flight while host finishes
         chunk k (the reference's producer/consumer overlap, without IPC).
         pipelined=False processes strictly one chunk at a time."""
-        if (self.config.save_dense or self.config.export_mesh) and self._consumed == 0:
+        dense_on = (
+            self.config.save_dense
+            or self.config.export_mesh
+            or self.config.live_mesh_every > 0
+        )
+        if dense_on and self._consumed == 0:
             # clear stashes left by a PREVIOUS run: export_mesh pairs
             # dense_*.npz with reconstructions by index. Only before the
             # first chunk — later segments on the same instance continue

@@ -418,3 +418,53 @@ def test_online_export_mesh_geometry(tmp_path, rng):
     mesh = read_mesh_ply(path)
     r = np.linalg.norm(mesh["vertices"], axis=1)
     assert abs(np.median(r) - RADIUS) < 0.12, f"median radius {np.median(r)}"
+
+
+def test_online_live_mesh_refresh(tmp_path, rng):
+    """_live_mesh_tick re-fuses the stashes under the CURRENT poses on a
+    background thread and pushes the surface to the viewer's mesh layer."""
+    import glob
+    import os
+    import shutil
+    from types import SimpleNamespace
+
+    slam = _online_slam(tmp_path, live_mesh_every=2, visualize=True,
+                        mesh_voxel_size=0.06)
+    try:
+        write_sphere_chunks(tmp_path / "sph", rng)
+        src = sorted(glob.glob(str(tmp_path / "sph" / "chunks" / "*.npz")))
+        ddir = tmp_path / "online" / "dense"
+        os.makedirs(ddir)
+        recons = []
+        for i, p in enumerate(src):
+            shutil.copy(p, ddir / f"dense_{i:06d}.npz")
+            z = np.load(p)
+            n = z["camera_poses"].shape[0]
+            rots, cens = [], []
+            for j in range(n):
+                f = i * 4 + j
+                ang = 2 * np.pi * f / 10
+                c = 3.0 * np.array([np.cos(ang), np.sin(ang), 0.3])
+                rots.append(_look_at_origin(c))
+                cens.append(c)
+            recons.append(SimpleNamespace(
+                rotations=np.stack(rots).astype(np.float32),
+                centers=np.stack(cens).astype(np.float32),
+                points=np.zeros((3, 3), np.float32),
+                track_valid=np.ones(3, np.float32),
+                num_tracks=3,
+            ))
+        slam.reconstructions = recons
+
+        slam._live_mesh_tick()
+        assert slam._live_mesh_thread is not None
+        slam._live_mesh_thread.join(timeout=60)
+        assert not slam._live_mesh_thread.is_alive()
+        slam.visualizer.flush()
+
+        mesh = slam.visualizer.state.mesh
+        assert mesh is not None and len(mesh["vertices"]) > 100
+        r = np.linalg.norm(mesh["vertices"], axis=1)
+        assert abs(np.median(r) - RADIUS) < 0.15
+    finally:
+        slam.visualizer.close()
