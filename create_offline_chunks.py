@@ -32,7 +32,7 @@ def collect_image_paths(images_arg: str, skip_start: int = 0, skip_end: int = 0)
     return paths
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--images", required=True,
                         help="Folder with images, a glob pattern, or a text file listing image paths")
@@ -108,7 +108,11 @@ def main(argv=None):
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of one steady-state chunk "
                              "into this directory (view with tensorboard/xprof)")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     paths = collect_image_paths(args.images, args.skip_start, args.skip_end)
     if not paths:

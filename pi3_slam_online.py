@@ -3,6 +3,11 @@
 
 Equivalent of the reference pi3_slam_online_modular.py: image folder or video
 input, pipelined chunk processing, PLY + TUM outputs, optional visualization.
+
+Drop-in compatible with the reference's underscore flag spellings
+(pi3_slam_online_modular.py:114-185): every reference option string is
+accepted as an alias of the dashed equivalent (e.g. --image_dir == --images,
+--max_num_keypoints == --max-kp, --output_path == --output).
 """
 
 import argparse
@@ -10,25 +15,35 @@ import os
 import sys
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     g_in = parser.add_argument_group("input")
-    g_in.add_argument("--images", default=None, help="Image folder / glob / list file")
-    g_in.add_argument("--video", default=None, help="Video file")
-    g_in.add_argument("--skip-start", type=int, default=0)
-    g_in.add_argument("--skip-end", type=int, default=0)
+    g_in.add_argument("--images", "--image_dir", default=None,
+                      help="Image folder / glob / list file")
+    g_in.add_argument("--video", "--video_path", default=None, help="Video file")
+    g_in.add_argument("--start-frame", "--start_frame", type=int, default=0,
+                      help="Starting frame for video (reference --start_frame)")
+    g_in.add_argument("--end-frame", "--end_frame", type=int, default=None,
+                      help="Ending frame for video (reference --end_frame)")
+    g_in.add_argument("--skip-start", "--skip_start", type=int, default=0)
+    g_in.add_argument("--skip-end", "--skip_end", type=int, default=0)
     g_in.add_argument("--stride", type=int, default=1, help="Video frame stride")
 
     g_model = parser.add_argument_group("model")
-    g_model.add_argument("--model-path", default=None, help="Converted Pi3 weights (.npz)")
+    g_model.add_argument("--model-path", "--model_path", default=None,
+                         help="Converted Pi3 weights (.npz)")
     g_model.add_argument("--moge-path", default=None)
     g_model.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     g_model.add_argument("--device", default="tpu",
                          help="'tpu' (default backend) or 'cpu' to force the CPU backend")
 
     g_proc = parser.add_argument_group("processing")
-    g_proc.add_argument("--chunk-length", type=int, default=30)
+    g_proc.add_argument("--chunk-length", "--chunk_length", type=int, default=30)
     g_proc.add_argument("--overlap", type=int, default=5)
+    g_proc.add_argument("--cam-scale", "--cam_scale", type=float, default=1.0,
+                        help="Accepted for reference CLI compatibility; the reference "
+                             "stores this but never applies it "
+                             "(slam/online_reconstructor.py:272)")
     g_proc.add_argument("--pixel-limit", type=int, default=255000 // 2)
     g_proc.add_argument("--num-workers", type=int, default=2)
     g_proc.add_argument("--data-parallel-chunks", type=int, default=1,
@@ -54,19 +69,23 @@ def main(argv=None):
                         help="EXPERIMENTAL: merge this many consecutive frames' k/v "
                              "tokens in global attention (FastVGGT-style); "
                              "approximate — validate accuracy on your data first")
-    g_proc.add_argument("--metric-depth", action="store_true", default=True)
+    g_proc.add_argument("--metric-depth", "--do_metric_depth", action="store_true",
+                        default=True)
     g_proc.add_argument("--no-metric-depth", dest="metric_depth", action="store_false")
 
     g_cam = parser.add_argument_group("camera")
-    g_cam.add_argument("--cam-dist-path", default=None)
-    g_cam.add_argument("--estimate-intrinsics", action="store_true", default=True)
+    g_cam.add_argument("--cam-dist-path", "--cam_dist_path", default=None)
+    g_cam.add_argument("--estimate-intrinsics", "--estimate_camera_params",
+                       action="store_true", default=True)
 
     g_kp = parser.add_argument_group("keypoints")
-    g_kp.add_argument("--keypoints", default="grid", choices=["grid", "aliked"])
+    g_kp.add_argument("--keypoints", "--keypoint_type", default="grid",
+                      choices=["grid", "aliked"])
     g_kp.add_argument("--aliked-path", default=None,
                       help="Converted ALIKED weights (.npz) for --keypoints aliked")
-    g_kp.add_argument("--max-kp", type=int, default=1000)
-    g_kp.add_argument("--kp-threshold", type=float, default=0.005,
+    g_kp.add_argument("--max-kp", "--max_num_keypoints", type=int, default=1000)
+    g_kp.add_argument("--kp-threshold", "--keypoint_detection_threshold",
+                      type=float, default=0.005,
                       help="ALIKED detection threshold (reference --kp-threshold)")
     parser.add_argument("--telemetry", default=None,
                         help="Telemetry with gravity/GPS streams (generic JSON or GoPro "
@@ -75,27 +94,42 @@ def main(argv=None):
     parser.add_argument("--gravity-sigma", type=float, default=0.05)
 
     g_rec = parser.add_argument_group("reconstruction")
-    g_rec.add_argument("--max-observations-per-track", type=int, default=10)
-    g_rec.add_argument("--conf-threshold", type=float, default=0.1,
+    g_rec.add_argument("--max-observations-per-track", "--max_observations_per_track",
+                       type=int, default=10)
+    g_rec.add_argument("--use-inverse-depth", "--use_inverse_depth",
+                       action="store_true",
+                       help="Inverse-depth track parametrization in the per-chunk BA "
+                            "(reference --use_inverse_depth)")
+    g_rec.add_argument("--conf-threshold", "--conf_threshold", type=float, default=0.1,
                        help="sigmoid(conf) cutoff for dense points in the chunk "
                             "step (reference --conf_threshold)")
 
     g_viz = parser.add_argument_group("visualization")
     g_viz.add_argument("--visualize", action="store_true")
-    g_viz.add_argument("--viz-port", type=int, default=8080)
-    g_viz.add_argument("--keep-viz-open", action="store_true",
+    g_viz.add_argument("--no-visualization", "--no_visualization", action="store_true",
+                       help="Disable visualization (reference spelling; visualization "
+                            "is already off unless --visualize is given, and this "
+                            "flag wins over --visualize)")
+    g_viz.add_argument("--viz-port", "--viz_port", type=int, default=8080)
+    g_viz.add_argument("--keep-viz-open", "--keep_viz_open", action="store_true",
                        help="Keep the visualization server alive after "
                             "processing (Ctrl-C to exit)")
 
     g_out = parser.add_argument_group("output")
-    g_out.add_argument("--output", default="online_output")
-    g_out.add_argument("--max-points", type=int, default=1000000,
+    g_out.add_argument("--output", "--output_path", default="online_output")
+    g_out.add_argument("--max-points", "--max_points", type=int, default=1000000,
                        help="Cap on points written to final_points.ply")
-    g_out.add_argument("--save-debug-recons", action="store_true",
+    g_out.add_argument("--save-tum", "--save_tum", action="store_true",
+                       help="Accepted for reference CLI compatibility; the TUM "
+                            "trajectory is always written")
+    g_out.add_argument("--save-debug-recons", "--save_chunk_reconstructions",
+                       "--save_transformed_reconstructions",
+                       "--save_debug_reconstructions", action="store_true",
                        help="Save each chunk's aligned reconstruction as "
-                            "debug_recons/recon_XXXXXX.npz (the reference's "
-                            "--save_chunk_reconstructions)")
-    g_out.add_argument("--save-debug-projections", action="store_true",
+                            "debug_recons/recon_XXXXXX.npz (covers the reference's "
+                            "--save_chunk/transformed/debug_reconstructions trio)")
+    g_out.add_argument("--save-debug-projections", "--save_debug_projections",
+                       action="store_true",
                        help="Write per-chunk reprojection-debug GIFs (observed vs "
                             "reprojected keypoints) under <output>/debug_projections")
     g_out.add_argument("--debug-overlap", action="store_true",
@@ -131,11 +165,18 @@ def main(argv=None):
     g_out.add_argument("--mesh-conf-threshold", type=float, default=0.25,
                        help="Minimum sigmoid confidence for a depth sample to "
                             "be integrated")
-    g_out.add_argument("--tum-integer-timestamps", action="store_true",
+    g_out.add_argument("--tum-integer-timestamps", "--tum_integer_timestamp",
+                       action="store_true",
                        help="Write integer frame-index timestamps in the TUM export "
                             "(the reference's --tum_integer_timestamp; matches the "
                             "offline export and the 7-Scenes eval protocol)")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.no_visualization:
+        args.visualize = False
 
     if (args.images is None) == (args.video is None):
         print("error: give exactly one of --images / --video", file=sys.stderr)
@@ -144,7 +185,14 @@ def main(argv=None):
     if args.video:
         from pi3_slam_tpu.data.image_io import list_video_frames
 
-        paths = list_video_frames(args.video, args.skip_start, args.skip_end, args.stride)
+        # Reference frame-window semantics (pi3_slam_online_modular.py:42-47):
+        # effective_start = start_frame + skip_start, effective_end = end_frame - skip_end
+        paths = list_video_frames(
+            args.video, args.start_frame + args.skip_start, args.skip_end, args.stride
+        )
+        if args.end_frame is not None:
+            stop = args.end_frame - args.skip_end
+            paths = [p for p in paths if p[1] < stop]
     else:
         from create_offline_chunks import collect_image_paths
 
@@ -178,6 +226,7 @@ def main(argv=None):
         estimate_camera_params=args.estimate_intrinsics,
         cam_dist_path=args.cam_dist_path,
         max_observations_per_track=args.max_observations_per_track,
+        use_inverse_depth=args.use_inverse_depth,
         conf_threshold=args.conf_threshold,
         save_debug_recons=args.save_debug_recons,
         num_loader_workers=args.num_workers,
@@ -215,17 +264,22 @@ def main(argv=None):
     )
     from pi3_slam_tpu.utils.timestamps import extract_timestamps_from_paths
 
+    tum_path = os.path.join(args.output, "trajectory_tum.txt")
     if args.tum_integer_timestamps:
-        slam.save_trajectory_tum(os.path.join(args.output, "trajectory_tum.txt"))
+        slam.save_trajectory_tum(tum_path)
     else:
         ts_ns = extract_timestamps_from_paths(paths)
         name_to_ts = {}
         for pth, t in zip(paths, ts_ns):
             nm = f"{pth[0]}#{pth[1]}" if isinstance(pth, tuple) else str(pth)
             name_to_ts[nm.split("/")[-1]] = t / 1e9
-        slam.save_trajectory_tum(
-            os.path.join(args.output, "trajectory_tum.txt"), name_to_timestamp=name_to_ts
-        )
+        slam.save_trajectory_tum(tum_path, name_to_timestamp=name_to_ts)
+    if args.save_tum:
+        # the reference names the online trajectory <output>/trajectory.tum
+        # (pi3_slam_online_modular.py:332) and its eval scripts read that name
+        import shutil
+
+        shutil.copyfile(tum_path, os.path.join(args.output, "trajectory.tum"))
     if args.keep_viz_open and slam.visualizer is not None:
         import time
 

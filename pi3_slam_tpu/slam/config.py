@@ -158,6 +158,9 @@ class OnlineConfig:
     estimate_camera_params: bool = True
     cam_dist_path: Optional[str] = None
     max_observations_per_track: int = 10
+    # inverse-depth track parametrization in the per-chunk BA (reference
+    # --use_inverse_depth, pi3_slam_online_modular.py:166)
+    use_inverse_depth: bool = False
     # point filtering in the jitted chunk step (reference --conf_threshold;
     # ours applies to sigmoid(conf), slam/chunk_creator.py)
     conf_threshold: float = 0.1

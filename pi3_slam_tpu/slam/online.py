@@ -376,7 +376,9 @@ class Pi3SLAMOnline:
 
         with self.timing.track("reconstruction"):
             recon = build_chunk_reconstruction(
-                chunk, max_observations_per_track=self.config.max_observations_per_track
+                chunk,
+                max_observations_per_track=self.config.max_observations_per_track,
+                use_inverse_depth=self.config.use_inverse_depth,
             )
         with self.timing.track("alignment"):
             res = None

@@ -55,7 +55,14 @@ def select_platform(device: str | None) -> None:
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (fresh full-model compiles
     take minutes through this environment's remote-compile tunnel; cached
-    reloads take seconds)."""
+    reloads take seconds).
+
+    Set env ``PI3_SLAM_JAX_CACHE`` to ``off``/``none``/``0``/empty to disable
+    the persistent cache entirely. The test suite does this (tests/conftest.py):
+    two JAX processes sharing one cache dir race and die with SIGABRT/SIGSEGV
+    inside the cache read/write, and a pytest run must never share a
+    grow-forever on-disk cache with bench/driver runs.
+    """
     import os
 
     import jax
@@ -63,7 +70,20 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = path or os.environ.get(
         "PI3_SLAM_JAX_CACHE", os.path.expanduser("~/.cache/pi3_slam_tpu_jax")
     )
-    os.makedirs(cache_dir, exist_ok=True)
+    if not cache_dir or cache_dir.lower() in ("off", "none", "0", "disabled"):
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        # Validate the dir is actually writable before handing it to JAX; a
+        # read-only or broken mount would otherwise crash deep inside the
+        # cache write (jax/_src/compilation_cache.py put_executable_and_time).
+        probe = os.path.join(cache_dir, ".write_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+    except OSError as e:
+        print(f"[precision] compilation cache disabled ({cache_dir}: {e})")
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -8,7 +8,7 @@ import argparse
 import sys
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--chunks", required=True, help="Directory containing chunk_*.npz files")
     parser.add_argument("--output", default=None, help="Directory to write reconstruction outputs")
@@ -59,7 +59,11 @@ def main(argv=None):
                         help="With --export-mesh: raycast this many depth/"
                              "normal preview PNG pairs of the fused volume "
                              "from evenly spaced camera poses")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     from pi3_slam_tpu.utils.precision import select_platform
 

@@ -15,6 +15,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Never let tests touch the persistent JAX compilation cache: the shared
+# ~/.cache/pi3_slam_tpu_jax dir is a known-fragile surface (SIGSEGV inside
+# jax's put_executable_and_time reproduced in round 3, and concurrent readers
+# SIGABRT). CPU-backend test compiles are cheap; correctness > warm cache.
+os.environ.setdefault("PI3_SLAM_JAX_CACHE", "off")
+
 import jax
 
 if not os.environ.get("PI3_TPU_TESTS"):
