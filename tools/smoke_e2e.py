@@ -66,10 +66,16 @@ def save_random_weights(work: str, keypoints: str) -> tuple:
     return pi3_path, aliked_path
 
 
-def run_stage(name: str, cmd: list) -> float:
+def run_stage(name: str, cmd: list, timeout: float | None = None) -> float:
     t0 = time.time()
     print(f"[smoke] {name}: {' '.join(cmd)}", flush=True)
-    r = subprocess.run(cmd, cwd=ROOT)
+    try:
+        r = subprocess.run(cmd, cwd=ROOT, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        # the axon TPU tunnel sporadically crawls or hangs; a stuck device
+        # call must fail the smoke run, not block it forever
+        print(f"[smoke] FAIL {name} (timeout after {timeout:.0f}s)", flush=True)
+        sys.exit(1)
     dt = time.time() - t0
     if r.returncode != 0:
         print(f"[smoke] FAIL {name} (rc={r.returncode}, {dt:.1f}s)", flush=True)
@@ -98,6 +104,14 @@ def main():
                     help="skip --refine-observations (halves creator compile time)")
     ap.add_argument("--device", default="tpu",
                     help="'tpu' (default backend) or 'cpu', passed to both CLIs")
+    ap.add_argument("--stage-timeout", type=float, default=2400.0,
+                    help="per-stage wall-clock limit in seconds (fresh TPU "
+                         "compiles through the remote tunnel take minutes; "
+                         "a hung tunnel call fails the stage instead of "
+                         "blocking forever)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the auto-created workdir on success (an "
+                         "explicit --workdir is always kept)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +123,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     print(f"[smoke] CLI device: {args.device} (parent pinned to cpu)")
 
+    auto_workdir = args.workdir is None
     work = args.workdir or tempfile.mkdtemp(prefix="pi3_smoke_")
     os.makedirs(work, exist_ok=True)
     frames_dir = os.path.join(work, "frames")
@@ -136,11 +151,17 @@ def main():
         create_cmd += ["--refine-observations", "--refine-max-observations", "4"]
     if aliked_path:
         create_cmd += ["--aliked-path", aliked_path, "--kp-threshold", "-1.0"]
-    run_stage("create_offline_chunks", create_cmd)
+    run_stage("create_offline_chunks", create_cmd, timeout=args.stage_timeout)
 
-    check(os.path.join(chunks_dir, "chunks_manifest.json"), "chunk manifest")
-    manifest = json.load(open(os.path.join(chunks_dir, "chunks_manifest.json")))
-    n_chunks = len(manifest["chunks"]) if isinstance(manifest, dict) else len(manifest)
+    manifest_path = os.path.join(chunks_dir, "chunks_manifest.json")
+    check(manifest_path, "chunk manifest")
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        n_chunks = len(manifest["chunks"]) if isinstance(manifest, dict) else len(manifest)
+    except (json.JSONDecodeError, KeyError, TypeError) as e:
+        print(f"[smoke] FAIL bad manifest ({manifest_path}: {e})")
+        sys.exit(1)
     print(f"[smoke] {n_chunks} chunks created")
 
     recon_cmd = [
@@ -156,7 +177,7 @@ def main():
         "--mesh-conf-threshold", "0.0",
         "--save-volume", "--render-previews", "2",
     ]
-    run_stage("reconstruct_offline", recon_cmd)
+    run_stage("reconstruct_offline", recon_cmd, timeout=args.stage_timeout)
 
     check(os.path.join(recon_dir, "trajectory_tum.txt"), "TUM trajectory")
     check(os.path.join(recon_dir, "final_points.ply"), "point cloud PLY")
@@ -175,6 +196,14 @@ def main():
         print("[smoke] FAIL no raycast preview images found")
         sys.exit(1)
     print(f"[smoke] OK {len(previews)} raycast previews")
+    if auto_workdir and not args.keep:
+        # frames + chunks + dense maps + TSDF volume add up; don't let
+        # repeated smoke runs accumulate temp dirs (kept on failure above,
+        # since every FAIL path exits before reaching this)
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        work += " (removed; rerun with --keep to retain)"
     print(f"[smoke] ALL STAGES PASSED (workdir {work})")
 
 
