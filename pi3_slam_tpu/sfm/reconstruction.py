@@ -100,14 +100,24 @@ def _default_intrinsics(n: int, width: int, height: int) -> np.ndarray:
     return np.tile(np.array([f, f, width / 2.0, height / 2.0]), (n, 1))
 
 
-def _candidate_frames(f: int, n: int, max_obs: int) -> np.ndarray:
-    """Earlier frames (evenly subsampled to the budget) + next max_obs//2."""
+def _candidate_frames(f: int, n: int, max_obs: int, unbounded: bool = False) -> np.ndarray:
+    """Earlier frames + next max_obs//2.
+
+    unbounded=False (default): earlier frames evenly subsampled to the
+    max_obs budget — fixed observation width M for the batched solver.
+    unbounded=True: ALL earlier frames, the reference's literal fan
+    (utils/chunk_reconstruction.py:163-185 projects each track into every
+    prior frame regardless of max_observations_per_track); M then grows to
+    n-1 + max_obs//2 + 1. See tools/ablate_observation_fan.py for the
+    measured APE/runtime comparison of the two.
+    """
     after = list(range(f + 1, min(n, f + 1 + max_obs // 2)))
-    budget = max(0, max_obs - 1 - len(after))
     before = list(range(f))
-    if len(before) > budget:
-        idx = np.linspace(0, len(before) - 1, budget).round().astype(int)
-        before = [before[i] for i in np.unique(idx)] if budget else []
+    if not unbounded:
+        budget = max(0, max_obs - 1 - len(after))
+        if len(before) > budget:
+            idx = np.linspace(0, len(before) - 1, budget).round().astype(int)
+            before = [before[i] for i in np.unique(idx)] if budget else []
     return np.array(before + after, dtype=np.int64)
 
 
@@ -121,8 +131,13 @@ def build_chunk_reconstruction(
     prune_min_tri_angle_deg: float = 0.25,
     use_inverse_depth: bool = False,
     optimize_focal: bool = False,
+    observation_fan: str = "subsampled",
 ) -> ChunkReconstruction:
     """Build (and optionally bundle-adjust) a reconstruction from chunk data.
+
+    observation_fan: 'subsampled' (default; earlier frames evenly subsampled
+    to max_observations_per_track) or 'unbounded' (the reference's literal
+    all-earlier-frames fan — see _candidate_frames).
 
     chunk keys (numpy arrays): 'keypoints' (N,K,2), 'points' (N,K,3) world
     keypoint points, 'colors' (N,K,3), 'camera_poses' (N,4,4) cam-to-world,
@@ -169,7 +184,11 @@ def build_chunk_reconstruction(
     else:
         intr = _default_intrinsics(N, width, height)
 
+    unbounded = observation_fan == "unbounded"
     M = max_observations_per_track
+    if unbounded:
+        # widest fan: the last frame sees all N-1 earlier frames (+ itself)
+        M = max(M, N - 1 + max_observations_per_track // 2 + 1)
     T = N * K
     obs_frame = np.zeros((T, M), np.int32)
     obs_uv = np.zeros((T, M, 2), np.float64)
@@ -228,7 +247,7 @@ def build_chunk_reconstruction(
 
     cand_table = np.full((N, M - 1), -1, np.int32)
     for f in range(N):
-        cand = _candidate_frames(f, N, M)
+        cand = _candidate_frames(f, N, max_observations_per_track, unbounded)
         cand_table[f, : cand.size] = cand
 
     from .native import build_observations as native_build_observations

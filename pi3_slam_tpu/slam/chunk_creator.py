@@ -46,6 +46,63 @@ def _fan_table(n_real: int, n_padded: int, max_obs: int) -> np.ndarray:
     return t
 
 
+class OverlapUploadCache:
+    """Device-side reuse of chunk-overlap frames.
+
+    Consecutive chunks share their first ``overlap`` frames with the previous
+    chunk's tail (the reference's window stride is chunk_length - overlap,
+    datasets/image_datasets.py:41-47); re-uploading them is pure waste — at
+    the 7-Scenes eval config (overlap 20 / chunk 100) it is 20% of every
+    host->device image transfer, which through this machine's remote-TPU
+    tunnel (~30 MB/s) costs ~0.25 s per chunk. The cache keeps the previous
+    chunk's uploaded device array and frame identities, and assembles the next
+    chunk's device batch as cached-tail ++ upload-of-new-frames. Reuse is
+    gated on exact frame-identity match (longest previous-suffix ==
+    new-prefix), so resume gaps, ragged tails, shape changes, and recovery
+    all fall back to a plain full upload.
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self._keys: List | None = None
+        self._dev = None
+
+    @staticmethod
+    def _key(p):
+        if isinstance(p, np.ndarray):
+            p = p.tolist()
+        if isinstance(p, (list, tuple)):
+            return tuple(str(x) for x in p)
+        return str(p)
+
+    def upload(self, images: np.ndarray, paths) -> jax.Array:
+        """(N, 3, H, W) host frames -> device array, reusing cached overlap."""
+        keys = [self._key(p) for p in paths]
+        dev = None
+        prev_keys, prev_dev = self._keys, self._dev
+        if (
+            prev_dev is not None
+            and prev_keys
+            and prev_dev.shape[1:] == images.shape[1:]
+            and prev_dev.dtype == images.dtype
+        ):
+            ov = 0
+            for k in range(min(len(prev_keys), len(keys)), 0, -1):
+                if prev_keys[-k:] == keys[:k]:
+                    ov = k
+                    break
+            if ov == len(keys):
+                dev = prev_dev[-ov:]
+            elif ov:
+                dev = jnp.concatenate([prev_dev[-ov:], jnp.asarray(images[ov:])], axis=0)
+        if dev is None:
+            dev = jnp.asarray(images)
+        self._keys, self._dev = keys, dev
+        return dev
+
+
 def _project_and_refine_observations(images, keypoints, pts_kp, poses, cam, refine_obs,
                                      cand):
     """Observation fan + ZNCC refinement inside the device step.
@@ -372,6 +429,7 @@ class OfflineChunkCreator:
                 self.config.keypoint_type = "grid"
 
         self._step_cache: Dict[tuple, callable] = {}
+        self._upload_cache = OverlapUploadCache()
         self.mesh = None
         if (
             config.data_parallel_chunks > 1
@@ -637,18 +695,26 @@ class OfflineChunkCreator:
 
         step = self._get_step()
         t0 = time.time()
-        imgs_dev, kps_dev = self._pad_tail(images, kps)
+        imgs_host, kps_dev = self._pad_tail(images, kps)
+        if imgs_host is images:
+            # overlap frames already sit on the device from the previous
+            # chunk's upload: send only the new frames (OverlapUploadCache)
+            imgs_arr = self._upload_cache.upload(images, paths)
+        else:  # padded tail chunk: host-assembled, plain upload
+            self._upload_cache.reset()
+            imgs_arr = jnp.asarray(imgs_host)
         cand = None
         if self.config.refine_observations:
             cand = jnp.asarray(
-                _fan_table(N, imgs_dev.shape[0], self.config.refine_max_observations)
+                _fan_table(N, imgs_arr.shape[0], self.config.refine_max_observations)
             )
-        dev = step(self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev), cand)
+        dev = step(self.params, imgs_arr[None], jnp.asarray(kps_dev), cand)
         # queue MoGe right behind the Pi3 step BEFORE materializing: the
         # device runs both back-to-back while the host works (the reference
         # hides this forward in its worker process,
-        # online_reconstructor.py:72-227)
-        moge_dev = self.moge.infer_depth_async(images[0]) if self.moge is not None else None
+        # online_reconstructor.py:72-227). The first frame is sliced from the
+        # already-uploaded device batch — no second host transfer.
+        moge_dev = self.moge.infer_depth_async(imgs_arr[0]) if self.moge is not None else None
         return {
             "dev": dev, "moge_dev": moge_dev, "kps": kps, "det": det, "t0": t0,
             "images": images, "paths": paths,
@@ -755,6 +821,7 @@ class OfflineChunkCreator:
             return run()
 
     def _recover_backend(self) -> None:
+        self._upload_cache.reset()  # cached device frames died with the backend
         try:
             jax.clear_caches()
         except Exception:
@@ -802,6 +869,7 @@ class OfflineChunkCreator:
 
         saved, manifest = [], []
         infer_times, infer_frames, per_chunk_fps = [], [], []
+        emit_times: List[float] = []
         print(f"Processing {len(dataset)} chunks...")
 
         def emit(chunk_idx, batch, result):
@@ -810,7 +878,17 @@ class OfflineChunkCreator:
             m = result.pop("_metrics")
             infer_times.append(m["infer_s"])
             infer_frames.append(m["num_frames"])
-            per_chunk_fps.append(m["fps"])
+            # pipeline rate = frames / inter-completion period (correct under
+            # any dispatch depth; dispatch->finish latency spans the whole
+            # in-flight window and would under-report a deep pipeline). The
+            # first chunk has no predecessor: use its dispatch latency.
+            now = time.time()
+            per_chunk_fps.append(
+                m["num_frames"] / max(now - emit_times[-1], 1e-9)
+                if emit_times
+                else m["fps"]
+            )
+            emit_times.append(now)
             result["chunk_index"] = chunk_idx
             result["start_idx"] = batch["start"]
             result["end_idx"] = batch["end"]
@@ -828,6 +906,7 @@ class OfflineChunkCreator:
             )
             print(f"   saved {out_path}")
 
+        run_t0 = time.time()
         dp = max(1, self.config.data_parallel_chunks) if self.mesh is not None else 1
         if dp > 1 and self.config.keypoint_type == "none":
             print(
@@ -901,10 +980,12 @@ class OfflineChunkCreator:
             pending_group.append((list(group), padded, disp))
             group.clear()
 
-        # 1-deep dispatch pipeline for the single-chunk path: chunk k+1's
-        # forward (and its host->device upload) runs on the TPU while the host
-        # compresses and writes chunk k's npz
-        pending: List = []  # [(batch, dispatched)] length <= 1
+        # dispatch pipeline for the single-chunk path (depth = config
+        # dispatch_depth, default 2): up to that many chunks' forwards (and
+        # their host->device uploads) stay in flight while the host
+        # compresses and writes finished npz files — the device stream never
+        # drains across host gaps
+        pending: List = []  # [(batch, dispatched)] length <= dispatch_depth
 
         def finish_pending():
             if not pending:
@@ -921,6 +1002,10 @@ class OfflineChunkCreator:
                 result = self._process_chunk_with_recovery(b)
             emit(b["chunk_idx"], b, result)
 
+        def drain_pending():
+            while pending:
+                finish_pending()
+
         for batch in loader:
             chunk_idx = batch["chunk_idx"]
             out_name = f"chunk_{chunk_idx:06d}.npz"
@@ -928,7 +1013,7 @@ class OfflineChunkCreator:
             if self.config.resume and os.path.exists(out_path):
                 flush_group()
                 finish_group_pending()
-                finish_pending()
+                drain_pending()
                 print(f"   resume: {out_path} exists, skipping")
                 saved.append(out_path)
                 manifest.append(
@@ -946,7 +1031,7 @@ class OfflineChunkCreator:
                 # group chunks for the sharded step; with tail padding any
                 # same-resolution chunk is group-compatible (a short tail
                 # rides the last group), otherwise only identical shapes
-                finish_pending()
+                drain_pending()
                 compatible = not group or (
                     group[0]["images"].shape == batch["images"].shape
                     or (
@@ -965,7 +1050,7 @@ class OfflineChunkCreator:
                 # dense chunks carry full-resolution maps; keep them strictly
                 # serial (two in-flight dense outputs pressure HBM)
                 finish_group_pending()
-                finish_pending()
+                drain_pending()
                 try:
                     result = self._process_chunk_with_recovery(batch)
                 except Exception as e:  # degrade like the reference: report + skip
@@ -981,7 +1066,7 @@ class OfflineChunkCreator:
             if profiling:
                 from ..utils.profiling import trace as profiler_trace
 
-                finish_pending()  # isolate the traced chunk
+                drain_pending()  # isolate the traced chunk
                 with profiler_trace(self.config.profile_dir):
                     result = self._process_chunk_with_recovery(batch)
                 emit(chunk_idx, batch, result)
@@ -990,31 +1075,38 @@ class OfflineChunkCreator:
                 disp = self._dispatch_chunk(batch["images"], batch["paths"])
             except Exception as e:
                 if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
-                    finish_pending()
+                    drain_pending()
                     print(f"   chunk {chunk_idx} FAILED: {e}; skipping")
                     continue
-                # the in-flight chunk died with the backend: redo it
+                # the in-flight chunks died with the backend: redo them
                 # synchronously after recovery, then re-dispatch this one
                 print(f"   device failure at dispatch ({str(e)[:80]}); resetting backend")
-                redo = pending.pop(0) if pending else None
+                redos = [b for b, _ in pending]
+                pending.clear()
                 self._recover_backend()
-                if redo is not None:
-                    b_prev = redo[0]
+                for b_prev in redos:
                     result = self._process_chunk_with_recovery(b_prev)
                     emit(b_prev["chunk_idx"], b_prev, result)
                 disp = self._dispatch_chunk(batch["images"], batch["paths"])
-            finish_pending()
             pending.append((batch, disp))
-        finish_pending()
+            while len(pending) > max(1, self.config.dispatch_depth):
+                finish_pending()
+        drain_pending()
         flush_group()
         finish_group_pending()
 
-        total_t = sum(infer_times)
+        # wall-clock overall (dispatch latencies overlap under a deep
+        # pipeline; summing them would double-count device time)
+        total_t = (emit_times[-1] - run_t0) if emit_times else sum(infer_times)
         total_f = sum(infer_frames)
         if total_t > 0:
             print(f"Overall inference: {total_f} frames in {total_t:.2f}s -> {total_f/total_t:.2f} FPS")
+        # the final drain finishes the last dispatch_depth-1 in-flight chunks
+        # back-to-back: their inter-completion periods are bursts, not rates
+        n_drain = max(0, self.config.dispatch_depth - 1)
+        rates = per_chunk_fps[: len(per_chunk_fps) - n_drain] if n_drain else per_chunk_fps
         steady = sorted(
-            f for f, n in zip(per_chunk_fps, infer_frames) if n == self.config.chunk_length
+            f for f, n in zip(rates, infer_frames) if n == self.config.chunk_length
         )
         if steady:
             print(f"Steady-state FPS (median over full chunks): {steady[len(steady)//2]:.2f}")

@@ -37,6 +37,12 @@ class OfflineCreatorConfig:
     num_loader_workers: int = 2
     conf_threshold: float = 0.1
     depth_edge_rtol: float = 0.03
+    # single-chunk dispatch pipeline depth: how many chunks may be in flight
+    # on the device before the host blocks on the oldest. 2 keeps the device
+    # stream fed across host gaps (npz writes, loader stalls, MoGe ratio) on
+    # the remote-TPU tunnel whose transfers serialize with compute; 1 = the
+    # round-3 behavior.
+    dispatch_depth: int = 2
     # pad short tail chunks to chunk_length on the device (repeat the last
     # frame, slice outputs back): every chunk then runs the ONE compiled
     # program instead of compiling a second XLA program per odd tail shape
@@ -91,6 +97,12 @@ class ReconstructorConfig:
     chunk_length: Optional[int] = None  # auto from chunk_metadata.json
     overlap: Optional[int] = None
     max_observations_per_track: int = 10
+    # 'subsampled' (default): earlier frames evenly subsampled so the padded
+    # observation width M equals max_observations_per_track. 'unbounded': the
+    # reference's literal fan — every track projects into ALL earlier frames
+    # (utils/chunk_reconstruction.py:163-185). Measured A/B (APE + runtime)
+    # in PARITY.md / tools/ablate_observation_fan.py.
+    observation_fan: str = "subsampled"
     use_inverse_depth: bool = False
     optimize_focal: bool = False
     ba_iterations: int = 10

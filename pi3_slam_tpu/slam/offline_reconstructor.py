@@ -105,6 +105,7 @@ class OfflineReconstructor:
                 max_observations_per_track=self.config.max_observations_per_track,
                 ba_iterations=self.config.ba_iterations,
                 use_inverse_depth=self.config.use_inverse_depth,
+                observation_fan=self.config.observation_fan,
             )
             dt = time.time() - t0
             n = recon.num_frames

@@ -143,6 +143,9 @@ class Pi3SLAMOnline:
 
             self.visualizer = OnlineVisualizer(port=config.viz_port)
         self._live_mesh_thread = None
+        from .chunk_creator import OverlapUploadCache
+
+        self._upload_cache = OverlapUploadCache()
 
     def _make_steps(self) -> None:
         refine = None
@@ -237,15 +240,23 @@ class Pi3SLAMOnline:
             kp = grid_keypoints(H, W, self.config.max_keypoints)
             kps = np.broadcast_to(kp[None], (N, kp.shape[0], 2)).astype(np.float32)
         with self.timing.track("dispatch"):
-            imgs_dev, kps_dev = self._pad_tail(images, kps)
-            cand = self._fan_arg([N], imgs_dev.shape[0])
+            imgs_host, kps_dev = self._pad_tail(images, kps)
+            if imgs_host is images:
+                # overlap frames are already device-resident from the previous
+                # chunk's upload (chunk_creator.OverlapUploadCache)
+                imgs_arr = self._upload_cache.upload(images, batch["paths"])
+            else:  # padded tail chunk: host-assembled, plain upload
+                self._upload_cache.reset()
+                imgs_arr = jnp.asarray(imgs_host)
+            cand = self._fan_arg([N], imgs_arr.shape[0])
             dev = self.step(
-                self.params, jnp.asarray(imgs_dev[None]), jnp.asarray(kps_dev),
+                self.params, imgs_arr[None], jnp.asarray(kps_dev),
                 None if cand is None else cand[0],
             )
             moge_depth = None
             if self.moge is not None:
-                moge_depth = self.moge.infer_depth_async(images[0])
+                # first frame sliced from the uploaded batch: no 2nd transfer
+                moge_depth = self.moge.infer_depth_async(imgs_arr[0])
             if not self.config.overlap_device_host:
                 dev = {k: np.asarray(v) for k, v in dev.items()}
                 if moge_depth is not None:
@@ -615,6 +626,7 @@ class Pi3SLAMOnline:
         return result["path"]
 
     def _recover_backend(self) -> None:
+        self._upload_cache.reset()  # cached device frames died with the backend
         try:
             jax.clear_caches()
         except Exception:

@@ -15,6 +15,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--chunk-length", type=int, default=None)
     parser.add_argument("--overlap", type=int, default=None)
     parser.add_argument("--max-observations-per-track", type=int, default=5)
+    parser.add_argument("--observation-fan", default="subsampled",
+                        choices=["subsampled", "unbounded"],
+                        help="'subsampled': earlier frames evenly subsampled to "
+                             "the max-observations budget (fixed solver shapes). "
+                             "'unbounded': the reference's literal fan — every "
+                             "track observed in ALL earlier frames (bigger BA "
+                             "problem; see PARITY.md for the measured A/B)")
     parser.add_argument("--use-inverse-depth", action="store_true")
     parser.add_argument("--ba-iterations", type=int, default=10)
     parser.add_argument("--save-per-chunk", action="store_true",
@@ -77,6 +84,7 @@ def main(argv=None):
         chunk_length=args.chunk_length,
         overlap=args.overlap,
         max_observations_per_track=args.max_observations_per_track,
+        observation_fan=args.observation_fan,
         use_inverse_depth=args.use_inverse_depth,
         ba_iterations=args.ba_iterations,
         save_debug=args.save_per_chunk,

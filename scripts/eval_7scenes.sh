@@ -19,6 +19,8 @@ OVERLAP=${OVERLAP:-20}
 MAX_KP=${MAX_KP:-400}
 MAX_OBS=${MAX_OBS:-10}
 MODE=${MODE:-offline}
+# DEVICE=cpu forces the CPU backend (synthetic smoke runs; tools/smoke_eval_scripts.py)
+DEVICE=${DEVICE:-tpu}
 # optional accuracy features (off = reference-equivalent protocol):
 # KEYPOINTS=aliked ALIKED_NPZ=... enables learned keypoints; LOOP=1 enables
 # loop closure (needs aliked); REFINE=1 enables ZNCC observation refinement
@@ -53,6 +55,7 @@ for scene in $SCENES; do
       --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
       $KP_ARGS --max-kp "$MAX_KP" $CREATE_EXTRA $RECON_EXTRA \
       --max-observations-per-track "$MAX_OBS" \
+      --device "$DEVICE" \
       --tum-integer-timestamps
   else
     "$SCRIPT_DIR/run_with_retries.sh" 5 python "$REPO_ROOT/create_offline_chunks.py" \
@@ -60,9 +63,11 @@ for scene in $SCENES; do
       --model-path "$PI3_NPZ" $MOGE_ARGS \
       --output "$out_dir" --resume \
       --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
+      --device "$DEVICE" \
       $KP_ARGS --max-kp "$MAX_KP" $CREATE_EXTRA
     python "$REPO_ROOT/reconstruct_offline.py" \
       --chunks "$out_dir" $RECON_EXTRA \
+      --device "$DEVICE" \
       --max-observations-per-track "$MAX_OBS"
   fi
   gt="$SCRIPT_DIR/groundtruths/7scenes/$scene.txt"

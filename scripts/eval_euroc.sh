@@ -15,6 +15,8 @@ OUT=${5:-eval_euroc_out}
 CHUNK_LENGTH=${CHUNK_LENGTH:-100}
 OVERLAP=${OVERLAP:-20}
 SEQS=${SEQS:-"MH_01 MH_02 MH_03 V1_01 V1_02 V2_01"}
+# DEVICE=cpu forces the CPU backend (synthetic smoke runs; tools/smoke_eval_scripts.py)
+DEVICE=${DEVICE:-tpu}
 SCRIPT_DIR=$(cd "$(dirname "$0")" && pwd)
 REPO_ROOT=$(dirname "$SCRIPT_DIR")
 GT_DIR=${GT_DIR:-$SCRIPT_DIR/groundtruths/euroc}
@@ -46,9 +48,11 @@ for seq in $SEQS; do
     --skip-start "$skip" \
     --output "$out_dir" \
     --chunk-length "$CHUNK_LENGTH" --overlap "$OVERLAP" \
-    --keypoints grid --max-kp 400
+    --device "$DEVICE" \
+    --keypoints grid --max-kp "${MAX_KP:-400}"
   python "$REPO_ROOT/reconstruct_offline.py" \
-    --chunks "$out_dir" --max-observations-per-track 10 --use-inverse-depth
+    --chunks "$out_dir" --max-observations-per-track 10 --use-inverse-depth \
+    --device "$DEVICE"
   gt="$GT_DIR/$seq.txt"
   if [[ ! -f "$gt" ]]; then
     # generate index-aligned GT from the dataset itself (accounts for the

@@ -182,6 +182,32 @@ def test_offline_chain_ape_gate(tmp_path, rng):
     assert ape.rmse < 0.05, f"system APE RMSE {ape.rmse:.4f} m"
 
 
+def test_offline_chain_ape_gate_unbounded_fan(tmp_path, rng):
+    """The reference-style unbounded earlier-frame fan
+    (utils/chunk_reconstruction.py:163-185) converges through the same chain;
+    eval-scale APE/runtime A/B lives in tools/ablate_observation_fan.py."""
+    gt_centers = write_synthetic_chunks(tmp_path, rng)
+    rec = OfflineReconstructor(
+        ReconstructorConfig(
+            chunk_dir=str(tmp_path),
+            output_dir=str(tmp_path / "recon"),
+            max_observations_per_track=8,
+            observation_fan="unbounded",
+            ba_iterations=10,
+        )
+    )
+    result = rec.run()
+    assert all(a.success for a in result["alignment"])
+    # fan width: chunk_length 6 -> M = 5 earlier + 8//2 after + self = 10
+    assert result["reconstructions"][0].obs_frame.shape[1] == 10
+
+    from pi3_slam_tpu.io import read_tum_trajectory
+
+    traj = read_tum_trajectory(result["artifacts"]["trajectory"])
+    ape = ape_translation(gt_centers, traj["positions"], align_sim3=True)
+    assert ape.rmse < 0.05, f"unbounded-fan APE RMSE {ape.rmse:.4f} m"
+
+
 def test_offline_chain_ape_gate_eval_scale(tmp_path, rng):
     """Eval-shaped system gate: 5 chunks x 100 frames x 400 keypoints,
     overlap 20 — the 100-frame Schur conditioning, 400-kp track fans, and

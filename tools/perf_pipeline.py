@@ -147,18 +147,28 @@ def main():
         num_loader_workers=2,
     )
     creator = OfflineChunkCreator(cfg)
-    per_chunk = []
+    stamps = []  # (wall time, frames) at each chunk-finish completion
     emit_orig = creator._finish_chunk
 
     def finish_and_record(pending):
+        import time
+
         r = emit_orig(pending)
-        per_chunk.append(round(r["_metrics"]["fps"], 2))
+        stamps.append((time.time(), r["_metrics"]["num_frames"]))
         return r
 
     creator._finish_chunk = finish_and_record
     creator.process_and_save(paths)
 
-    full = [f for f in per_chunk[1:]]  # drop the compile/first-dispatch chunk
+    # pipeline rate = frames / inter-finish period (correct under any
+    # dispatch depth); first chunk dropped (compile + cache deserialize),
+    # last dispatch_depth-1 dropped (drain burst, not a steady period)
+    per_chunk = [
+        round(stamps[i][1] / max(stamps[i][0] - stamps[i - 1][0], 1e-9), 2)
+        for i in range(1, len(stamps))
+    ]
+    n_drain = max(0, cfg.dispatch_depth - 1)
+    full = per_chunk[: len(per_chunk) - n_drain] if n_drain else list(per_chunk)
     steady = sorted(full)[len(full) // 2] if full else 0.0
     print(
         json.dumps(
