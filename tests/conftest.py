@@ -33,3 +33,36 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# --- memory-map guard -------------------------------------------------------
+# Root cause of the round-3 "suite segfault at ~82%": every compiled XLA
+# executable mmaps code buffers and the full suite accumulates ~65k maps,
+# crossing the kernel's vm.max_map_count (65530) mid-compile — LLVM then
+# segfaults inside backend_compile_and_load (measured: 64,806 maps at the
+# crash; jax.clear_caches() releases ~98% of compile-created maps). Clearing
+# the executable caches whenever the count nears the limit keeps one pytest
+# invocation green at the cost of a few recompiles.
+_MAPS_SOFT_LIMIT = 40_000
+
+
+def _process_map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: limit does not apply
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_process_memory_maps():
+    yield
+    if _process_map_count() > _MAPS_SOFT_LIMIT:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+        print(
+            f"\n[conftest] memory maps exceeded {_MAPS_SOFT_LIMIT}: cleared JAX "
+            f"executable caches (now {_process_map_count()})"
+        )
