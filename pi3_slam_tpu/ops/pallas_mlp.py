@@ -140,7 +140,7 @@ def _block_mlp_kernel3(
 ):
     _block_mlp_body(
         x_ref[0], g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
-        lambda v: o_ref.__setitem__(0, v), o_ref.dtype, nj, eps,
+        lambda v: o_ref.__setitem__(0, v), o_ref.dtype, nj, eps, None,
     )
 
 
@@ -150,19 +150,63 @@ def _block_mlp_kernel(
 ):
     _block_mlp_body(
         x_ref[...], g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
-        lambda v: o_ref.__setitem__(..., v), o_ref.dtype, nj, eps,
+        lambda v: o_ref.__setitem__(..., v), o_ref.dtype, nj, eps, None,
+    )
+
+
+def _block_mlp_kernel3_mxu(
+    m_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, o_ref,
+    *, nj: int, eps: float
+):
+    _block_mlp_body(
+        x_ref[0], g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+        lambda v: o_ref.__setitem__(0, v), o_ref.dtype, nj, eps, m_ref,
+    )
+
+
+def _block_mlp_kernel_mxu(
+    m_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, o_ref,
+    *, nj: int, eps: float
+):
+    _block_mlp_body(
+        x_ref[...], g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+        lambda v: o_ref.__setitem__(..., v), o_ref.dtype, nj, eps, m_ref,
     )
 
 
 def _block_mlp_body(
     x, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, store, odt,
-    nj: int, eps: float
+    nj: int, eps: float, m_ref
 ):
-    """o = x + ls * mlp(LN(x)); LN in fp32 like models/layers.layer_norm."""
+    """o = x + ls * mlp(LN(x)); LN in fp32 like models/layers.layer_norm.
+
+    ``m_ref``: optional (C, 128) averaging matrix (every entry 1/C). When
+    given, the LN row statistics are computed on the MXU (x @ M broadcasts
+    the full-row mean into every lane) instead of cross-lane VPU reductions
+    — the same trick ops/pallas_producer.py uses for its per-head LN, where
+    the strided lane reduction was the measured bottleneck.
+    """
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=1, keepdims=True)
-    var = jnp.mean((x32 - mean) * (x32 - mean), axis=1, keepdims=True)
-    xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if m_ref is not None:
+        # (C, 128) averaging matrix: every output lane holds the full-row
+        # mean; lane 0 is sliced and lane-broadcast back to C columns.
+        mavg = m_ref[...]
+        mean = jax.lax.dot_general(
+            x32, mavg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0:1]
+        xc = x32 - mean
+        var = jax.lax.dot_general(
+            xc * xc, mavg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0:1]
+        xn32 = xc * jax.lax.rsqrt(var + eps)
+    else:
+        mean = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.mean((x32 - mean) * (x32 - mean), axis=1, keepdims=True)
+        xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
     xn32 = xn32 * g_ref[0:1, :].astype(jnp.float32) + b_ref[0:1, :].astype(
         jnp.float32
     )
@@ -293,7 +337,8 @@ def mlp_fused_tpu(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "blk_rows", "n_hidden_blocks", "interpret")
+    jax.jit,
+    static_argnames=("eps", "blk_rows", "n_hidden_blocks", "ln_stats", "interpret"),
 )
 def block_mlp_fused_tpu(
     x: jnp.ndarray,
@@ -307,6 +352,7 @@ def block_mlp_fused_tpu(
     eps: float = 1e-6,
     blk_rows: int = 256,
     n_hidden_blocks: int | None = None,
+    ln_stats: str = "vpu",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + ls * mlp(layer_norm(x)) in one pass over x (..., C).
@@ -314,14 +360,26 @@ def block_mlp_fused_tpu(
     The pre-norm block's full MLP half (reference Block.forward residual 2,
     pi3/models/layers/block.py:303-335). ``ls`` is the LayerScale gamma or
     None (multiplies by ones — one VPU pass, cheaper than a second kernel
-    variant).
+    variant). ``ln_stats``: 'vpu' computes the LN row statistics with lane
+    reductions, 'mxu' with averaging matmuls (see _block_mlp_body).
+
+    Measured dead end (round 4, device-loop protocol on the v5e): 'mxu'
+    runs 14.2 ms vs 'vpu' 10.6 ms at the 65k x 1024 x 4096 block shape —
+    unlike the producer's per-64-lane-half LN (ops/pallas_producer.py),
+    the full-row C=1024 lane reduction is NOT the gate here, and the
+    HIGHEST-precision stats matmuls cost more than they save. Kept as an
+    option so the result is reproducible and not re-attempted. The same
+    sweep pinned blk_rows=256/nj=4 (the defaults) as optimal: 10.61 ms =
+    103.6 TF/s vs the 116.3 TF/s pure fc1+fc2 matmul chain and the
+    ~117 TF/s practical chip peak — the residual is the LN/residual
+    elementwise HBM traffic, not schedulable work.
     """
     c, hidden = w1.shape
     nj = _n_hidden_blocks(hidden, n_hidden_blocks)
     wd = x.dtype
     if ls is None:
         ls = jnp.ones((c,), jnp.float32)
-    args = (
+    post = (
         norm_scale.reshape(1, c),
         norm_bias.reshape(1, c),
         w1.astype(wd),
@@ -330,7 +388,15 @@ def block_mlp_fused_tpu(
         b2.reshape(1, c),
         ls.reshape(1, c),
     )
-    pshapes = [(1, c), (1, c), (c, hidden), (1, hidden), (hidden, c), (1, c), (1, c)]
+    post_shapes = [(1, c), (1, c), (c, hidden), (1, hidden), (hidden, c), (1, c), (1, c)]
+    if ln_stats == "mxu":
+        pre = (jnp.full((c, 128), 1.0 / c, jnp.float32),)
+        pre_shapes = [(c, 128)]
+        k3, k2 = _block_mlp_kernel3_mxu, _block_mlp_kernel_mxu
+    else:
+        assert ln_stats == "vpu", ln_stats
+        pre, pre_shapes = (), []
+        k3, k2 = _block_mlp_kernel3, _block_mlp_kernel
     t_tok = x.shape[-2] if x.ndim >= 2 else None
     blk_t = _token_block(t_tok, blk_rows) if x.ndim >= 3 else None
     if blk_t is not None:
@@ -338,10 +404,11 @@ def block_mlp_fused_tpu(
         xb = x.reshape(-1, t_tok, c)
         bsz = xb.shape[0]
         out = pl.pallas_call(
-            functools.partial(_block_mlp_kernel3, nj=nj, eps=eps),
+            functools.partial(k3, nj=nj, eps=eps),
             grid=(bsz, t_tok // blk_t),
-            in_specs=[pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0))]
-            + [pl.BlockSpec(s, lambda b, i: (0, 0)) for s in pshapes],
+            in_specs=[pl.BlockSpec(s, lambda b, i: (0, 0)) for s in pre_shapes]
+            + [pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0))]
+            + [pl.BlockSpec(s, lambda b, i: (0, 0)) for s in post_shapes],
             out_specs=pl.BlockSpec((1, blk_t, c), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((bsz, t_tok, c), x.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -349,14 +416,15 @@ def block_mlp_fused_tpu(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(xb, *args)
+        )(*pre, xb, *post)
         return out.reshape(x.shape)
     x2, t, tp = _row_grid(x, blk_rows)
     out = pl.pallas_call(
-        functools.partial(_block_mlp_kernel, nj=nj, eps=eps),
+        functools.partial(k2, nj=nj, eps=eps),
         grid=(tp // blk_rows,),
-        in_specs=[pl.BlockSpec((blk_rows, c), lambda i: (i, 0))]
-        + [pl.BlockSpec(s, lambda i: (0, 0)) for s in pshapes],
+        in_specs=[pl.BlockSpec(s, lambda i: (0, 0)) for s in pre_shapes]
+        + [pl.BlockSpec((blk_rows, c), lambda i: (i, 0))]
+        + [pl.BlockSpec(s, lambda i: (0, 0)) for s in post_shapes],
         out_specs=pl.BlockSpec((blk_rows, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((tp, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -364,5 +432,5 @@ def block_mlp_fused_tpu(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, *args)
+    )(*pre, x2, *post)
     return out[:t].reshape(x.shape)

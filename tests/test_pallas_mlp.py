@@ -41,7 +41,8 @@ def test_mlp_fused_interpret_parity(rng, t, c, hidden, blk):
 
 
 @pytest.mark.parametrize("with_ls", [True, False])
-def test_block_mlp_fused_interpret_parity(rng, with_ls):
+@pytest.mark.parametrize("ln_stats", ["vpu", "mxu"])
+def test_block_mlp_fused_interpret_parity(rng, with_ls, ln_stats):
     c, hidden, t = 256, 1024, 317  # odd T exercises the row padding
     p = _params(rng, c, hidden)
     scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(c,)).astype(np.float32))
@@ -54,7 +55,8 @@ def test_block_mlp_fused_interpret_parity(rng, with_ls):
     x = jnp.asarray(rng.normal(size=(3, t, c)).astype(np.float32))
     out = block_mlp_fused_tpu(
         x, scale, bias, p["fc1_kernel"], p["fc1_bias"], p["fc2_kernel"],
-        p["fc2_bias"], ls=ls, eps=1e-6, blk_rows=128, interpret=True,
+        p["fc2_bias"], ls=ls, eps=1e-6, blk_rows=128, ln_stats=ln_stats,
+        interpret=True,
     )
     h = mlp(layer_norm(x, scale, bias, 1e-6), p)
     if ls is not None:

@@ -328,16 +328,29 @@ def bench_mlp(sweep: bool = False):
             f"pallas mlp blk_rows={blk_rows} nj={nj}",
             bench(f, x, label=f"pallas mlp {blk_rows}/{nj}"),
         )
-    for blk_rows in (512, 1024, 2048) if sweep else (1024,):
+    blk_combos = (
+        [
+            (256, None, "vpu"), (256, None, "mxu"),
+            (512, None, "vpu"), (512, None, "mxu"),
+            (512, 8, "mxu"),
+            (1024, None, "vpu"), (1024, None, "mxu"),
+            (1024, 8, "vpu"), (1024, 8, "mxu"),
+            (2048, 8, "mxu"),
+        ]
+        if sweep
+        else [(256, None, "vpu"), (256, None, "mxu"), (1024, 8, "mxu")]
+    )
+    for blk_rows, nj, lns in blk_combos:
         f = jax.jit(
-            lambda a, br=blk_rows: block_mlp_fused_tpu(
+            lambda a, br=blk_rows, n=nj, s=lns: block_mlp_fused_tpu(
                 a, scale, bias, p["fc1_kernel"], p["fc1_bias"],
                 p["fc2_kernel"], p["fc2_bias"], ls=ls, blk_rows=br,
+                n_hidden_blocks=n, ln_stats=s,
             )
         )
         rep(
-            f"pallas ln+mlp+ls+res blk_rows={blk_rows}",
-            bench(f, x, label=f"pallas block-mlp {blk_rows}"),
+            f"pallas ln+mlp+ls+res blk_rows={blk_rows} nj={nj} ln={lns}",
+            bench(f, x, label=f"pallas block-mlp {blk_rows}/{nj}/{lns}"),
         )
 
 
