@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Compile a separate XLA program for the short tail chunk "
                              "instead of padding it to --chunk-length (exact tail "
                              "numerics at the cost of a second multi-minute compile)")
+    parser.add_argument("--chunk-compression", choices=("default", "fast", "none"),
+                        default="default",
+                        help="npz deflate level for chunk files: 'default' zlib-6 "
+                             "(smallest), 'fast' zlib-1 (~3x faster host-side "
+                             "compression between device dispatches), 'none' STORED "
+                             "(the reference's torch.save chunks are uncompressed "
+                             "too); np.load reads all three identically")
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of one steady-state chunk "
                              "into this directory (view with tensorboard/xprof)")
@@ -146,6 +153,7 @@ def main(argv=None):
         save_dense=args.save_dense,
         dense_stride=args.dense_stride or (2 if args.save_dense else 1),
         pad_tail_chunks=args.pad_tail_chunks,
+        chunk_compression=args.chunk_compression,
         global_kv_merge=args.global_kv_merge,
         refine_observations=args.refine_observations,
         refine_max_observations=args.refine_max_observations,

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     g_proc.add_argument("--no-pad-tail", dest="pad_tail_chunks", action="store_false",
                         help="Compile a separate XLA program for the short tail chunk "
                              "instead of padding it to --chunk-length")
+    g_proc.add_argument("--chunk-compression", choices=("default", "fast", "none"),
+                        default="default",
+                        help="npz deflate level for dense stashes: 'default' zlib-6, "
+                             "'fast' zlib-1, 'none' STORED")
     g_proc.add_argument("--refine-observations", action="store_true",
                         help="Correlation-based observation refinement inside the "
                              "device step (ZNCC patch matching; see "
@@ -235,6 +239,7 @@ def main(argv=None):
         sequence_parallel=args.sequence_parallel,
         overlap_device_host=args.overlap_device_host,
         pad_tail_chunks=args.pad_tail_chunks,
+        chunk_compression=args.chunk_compression,
         global_kv_merge=args.global_kv_merge,
         visualize=args.visualize,
         viz_port=args.viz_port,

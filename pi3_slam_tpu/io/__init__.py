@@ -3,6 +3,7 @@
 from .ply import write_ply, read_ply
 from .tum import write_tum_trajectory, read_tum_trajectory
 from .colmap import write_colmap_text
+from .npz import save_npz
 
 __all__ = [
     "write_ply",
@@ -10,4 +11,5 @@ __all__ = [
     "write_tum_trajectory",
     "read_tum_trajectory",
     "write_colmap_text",
+    "save_npz",
 ]

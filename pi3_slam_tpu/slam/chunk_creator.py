@@ -892,7 +892,9 @@ class OfflineChunkCreator:
             result["chunk_index"] = chunk_idx
             result["start_idx"] = batch["start"]
             result["end_idx"] = batch["end"]
-            np.savez_compressed(out_path, **result)
+            from ..io.npz import save_npz
+
+            save_npz(out_path, self.config.chunk_compression, **result)
             saved.append(out_path)
             manifest.append(
                 {

@@ -49,6 +49,11 @@ class OfflineCreatorConfig:
     # (SURVEY §7 hard part (c): no recompiles across chunk lengths). The
     # wasted tail compute (<= one chunk) is far below one compile.
     pad_tail_chunks: bool = True
+    # npz deflate level for chunk/dense files: 'default' (zlib 6, smallest),
+    # 'fast' (zlib 1, ~3x faster host-side deflate between dispatches),
+    # 'none' (STORED — the reference's torch.save chunks are uncompressed
+    # too). Readers are unchanged (np.load handles all three).
+    chunk_compression: str = "default"
     # EXPERIMENTAL: merge this many consecutive frames' key/value tokens in
     # the decoder's global attention (Pi3Config.global_kv_merge) — cuts
     # global-attention FLOPs by the factor; approximate, validate accuracy
@@ -239,6 +244,8 @@ class OnlineConfig:
     save_dense: bool = False
     export_mesh: bool = False
     dense_stride: int = 2
+    # npz deflate level for dense stashes (see OfflineCreatorConfig)
+    chunk_compression: str = "default"
     mesh_voxel_size: float = 0.0  # <= 0: auto (~192 voxels across the scene)
     mesh_max_voxels: int = 192**3
     mesh_conf_threshold: float = 0.25

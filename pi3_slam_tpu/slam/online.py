@@ -505,8 +505,12 @@ class Pi3SLAMOnline:
             )
             ddir = _os.path.join(self.config.output_dir, "dense")
             _os.makedirs(ddir, exist_ok=True)
-            np.savez_compressed(
-                _os.path.join(ddir, f"dense_{self._consumed:06d}.npz"), **dense
+            from ..io.npz import save_npz
+
+            save_npz(
+                _os.path.join(ddir, f"dense_{self._consumed:06d}.npz"),
+                self.config.chunk_compression,
+                **dense,
             )
 
     def _live_mesh_tick(self) -> None:
