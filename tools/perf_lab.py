@@ -49,6 +49,131 @@ def report(label, dt, B, T, H, D):
     print(f"{label:55s} {dt * 1e3:9.2f} ms   {tf:7.1f} TFLOP/s")
 
 
+def bench_device_loop(step, x, label, flops, loop=6):
+    """Dispatch-free per-op timing: run ``step`` ``loop`` times inside ONE
+    jitted lax.fori_loop and divide. The axon tunnel adds ~3 ms of overhead
+    to every host-side dispatch (round-4 finding, PARITY.md floor section),
+    which inflates host-loop timings of 1-200 ms ops by 2-300%; the device
+    loop removes it. ``step`` must be shape-preserving (feed the output back
+    as the next input)."""
+    import jax
+
+    @jax.jit
+    def run(x0):
+        return jax.lax.fori_loop(0, loop, lambda i, a: step(a), x0)
+
+    out = run(x)
+    drain(out)
+    t0 = time.perf_counter()
+    out = run(x)
+    drain(out)
+    dt = (time.perf_counter() - t0) / loop
+    print(f"{label:56s} {dt * 1e3:8.2f} ms {flops / dt / 1e12:7.1f} TFLOP/s")
+    return dt
+
+
+def bench_sol():
+    """Speed-of-light audit: reproduce the round-4 floor-proof probes
+    (PARITY.md 'Single-chip exact-path floor'). Expected on the v5e:
+    square-8192^3 ~118 TF/s (practical chip peak), dots-only attention
+    ~93.8 TF/s (the D=64/out-65 shape ceiling), real flash kernel ~92.4
+    (98.3% of it), fused block-MLP ~103.6 TF/s."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pi3_slam_tpu.ops.pallas_attention import flash_attention_packed_tpu
+    from pi3_slam_tpu.ops.pallas_mlp import block_mlp_fused_tpu
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(
+        rng.standard_normal(s).astype(np.float32) * 0.05
+    ).astype(jnp.bfloat16)
+
+    S = 8192
+    a, w = mk(S, S), mk(S, S)
+    mm = lambda x: jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.bfloat16
+    )
+    bench_device_loop(mm, a, f"square {S}^3 bf16 matmul (practical peak)", 2 * S**3)
+
+    B, H, T, D = 1, 16, 65536, 64
+    blk_q = blk_k = 2048
+    qkv = mk(B, T, 3 * H * D)
+    aflops = 4 * B * H * T * T * D
+
+    # dots-only twin of _flash_packed_kernel: softmax -> cast, same shapes
+    def dots_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, nk):
+        ik = pl.program_id(2)
+
+        @pl.when(ik == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        kb, vb = k_ref[0], v_ref[0]
+        ones = jnp.ones((vb.shape[0], 1), vb.dtype)
+        for s in range(2):
+            lg = jax.lax.dot_general(
+                q_ref[0][:, s * 64 : (s + 1) * 64],
+                kb[:, s * 64 : (s + 1) * 64],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = lg.astype(vb.dtype)
+            vv = jnp.concatenate([vb[:, s * 64 : (s + 1) * 64], ones], axis=1)
+            acc_ref[:, s * 65 : (s + 1) * 65] += jax.lax.dot_general(
+                p, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        @pl.when(ik == nk - 1)
+        def _():
+            o_ref[0] = jnp.concatenate(
+                [acc_ref[:, :64], acc_ref[:, 65:129]], axis=1
+            ).astype(o_ref.dtype)
+
+    def dots_only(x):
+        grid = (B * H // 2, T // blk_q, T // blk_k)
+        oq, ok, ov = 0, H // 2, H
+        return pl.pallas_call(
+            functools.partial(dots_kernel, nk=T // blk_k),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, blk_q, 128), lambda g, iq, ik: (g // (H // 2), iq, oq + g % (H // 2))),
+                pl.BlockSpec((1, blk_k, 128), lambda g, iq, ik: (g // (H // 2), ik, ok + g % (H // 2))),
+                pl.BlockSpec((1, blk_k, 128), lambda g, iq, ik: (g // (H // 2), ik, ov + g % (H // 2))),
+            ],
+            out_specs=pl.BlockSpec((1, blk_q, 128), lambda g, iq, ik: (g // (H // 2), iq, g % (H // 2))),
+            out_shape=jax.ShapeDtypeStruct((B, T, H * D), x.dtype),
+            scratch_shapes=[pltpu.VMEM((blk_q, 2 * (D + 1)), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(x, x, x)
+
+    bench_device_loop(
+        lambda x: jnp.concatenate([dots_only(x)] * 3, axis=-1),
+        qkv, "dots-only packed attention (matmul ceiling)", aflops,
+    )
+    bench_device_loop(
+        lambda x: jnp.concatenate([flash_attention_packed_tpu(x, H)] * 3, axis=-1),
+        qkv, "real packed flash kernel (bound softmax)", aflops,
+    )
+
+    T2, C, HID = 65536, 1024, 4096
+    x = mk(1, T2, C)
+    w1, w2 = mk(C, HID), mk(HID, C)
+    b1 = jnp.zeros((HID,), jnp.float32)
+    b2 = jnp.zeros((C,), jnp.float32)
+    scale = jnp.ones((C,), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+    bench_device_loop(
+        lambda a: block_mlp_fused_tpu(a, scale, bias, w1, b1, w2, b2),
+        x, "fused block-MLP (production 256/nj4)", 4 * T2 * C * HID,
+    )
+
+
 def make_qkv(B, T, H, D, dtype=jnp.bfloat16, seed=0):
     rng = np.random.default_rng(seed)
     mk = lambda: jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.1).astype(dtype)
@@ -511,6 +636,8 @@ if __name__ == "__main__":
         bench_mlp()
     if which == "mlp-sweep":
         bench_mlp(sweep=True)
+    if which == "sol":
+        bench_sol()
     if which in ("forward", "all"):
         bench_forward()
     if which == "refine":
