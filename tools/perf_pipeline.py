@@ -118,6 +118,12 @@ def main():
     ap.add_argument("--pixel-limit", type=int, default=127500)
     ap.add_argument("--device", default="tpu",
                     help="'tpu' (default backend) or 'cpu' (smoke tests)")
+    ap.add_argument("--chunk-compression", default="default",
+                    choices=("default", "fast", "none"),
+                    help="npz codec for chunk files (offline creator only)")
+    ap.add_argument("--keypoints", default="grid", choices=("grid", "none"),
+                    help="'none' measures dense mode (full-map chunk files, "
+                         "where the npz codec dominates the host budget)")
     args = ap.parse_args()
 
     from pi3_slam_tpu.utils.precision import select_platform
@@ -143,8 +149,10 @@ def main():
         use_metric_depth=args.moge_checkpoint is not None,
         moge_checkpoint_path=args.moge_checkpoint,
         max_keypoints=400,
+        keypoint_type=args.keypoints,
         compute_dtype="bfloat16",
         num_loader_workers=2,
+        chunk_compression=args.chunk_compression,
     )
     creator = OfflineChunkCreator(cfg)
     stamps = []  # (wall time, frames) at each chunk-finish completion
@@ -175,6 +183,7 @@ def main():
             {
                 "metric": "steady_state_chunk_creation_fps",
                 "value": steady,
+                "chunk_compression": args.chunk_compression,
                 "per_chunk_fps": per_chunk,
                 "forward_only_fps": args.forward_fps,
                 "pipeline_vs_forward": round(steady / args.forward_fps, 3)
