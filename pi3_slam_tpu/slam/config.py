@@ -228,6 +228,14 @@ class OnlineConfig:
     # the TPU-native analog of the reference's spawned-worker overlap
     # (slam/online_reconstructor.py:761-954).
     overlap_device_host: bool = True
+    # run the host SfM chain (materialize + metric scale + reconstruction/BA
+    # + Sim3 alignment) on a consumer thread so it overlaps the NEXT chunk's
+    # forward: the drive loop only extracts keypoints and dispatches device
+    # steps; a single in-order queue feeds the consumer (strict alignment
+    # order by construction). Steady-state chunk period drops from
+    # (forward + pull + SfM) to max(forward + pull, SfM). Requires
+    # overlap_device_host; pipelined=False disables it.
+    async_sfm: bool = True
     sfm_backend: str = "auto"  # 'auto' | 'cpu' | 'default'
     # chunk-level data parallelism over a device mesh (1 = single chip)
     data_parallel_chunks: int = 1

@@ -11,6 +11,10 @@ pickled queues (:761-954). The TPU-native equivalent needs no IPC:
     (sfm/device.py), so reconstruction k overlaps forward k+1 without putting
     a second big program on the TPU (which crashes this environment's worker
     under HBM pressure);
+  * the whole host SfM chain runs on ONE consumer thread fed by an in-order
+    bounded queue (config.async_sfm): the drive thread only extracts
+    keypoints, uploads, and dispatches, so the steady-state chunk period is
+    max(forward + pull, SfM) instead of their sum;
   * MoGe metric depth is dispatched right behind the Pi3 step — the device
     runs them back-to-back while the host works.
 
@@ -730,31 +734,134 @@ class Pi3SLAMOnline:
                 if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                     raise
                 print(f"device runtime failure ({str(e)[:80]}); resetting backend, retrying chunk")
+                _quiesce_async()  # consumer may hold buffers on the dead backend
                 self._recover_backend()
                 return self._dispatch_device(batch)
+
+        def recover_and_redo(item, exc):
+            """A backend crash invalidates in-flight device buffers; reset and
+            re-run this chunk's forward synchronously (non-crash errors are
+            re-raised). Always called with the device quiescent — either from
+            the drive thread's own consume, or after the consumer thread has
+            been joined — so recovery never races a concurrent dispatch."""
+            nonlocal frames_done
+            if "UNAVAILABLE" not in str(exc) and "crashed" not in str(exc):
+                raise exc
+            print(f"device failure at consume ({str(exc)[:80]}); resetting, re-running chunk")
+            self._recover_backend()
+            self._produced -= 1  # re-dispatch below re-counts it
+            if self.mesh is not None:
+                redo = self._finish_group(
+                    self._dispatch_group(
+                        [item["batch"]], self.config.data_parallel_chunks
+                    )
+                )[0]
+            else:
+                redo = dispatch_with_recovery(item["batch"])
+            self._consume(redo)
+            frames_done += item["batch"]["images"].shape[0]
 
         def consume_with_recovery(item):
             nonlocal frames_done
             try:
                 self._consume(item)
             except Exception as e:
-                # a backend crash invalidates in-flight device buffers; reset
-                # and re-run this chunk's forward synchronously
-                if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
-                    raise
-                print(f"device failure at consume ({str(e)[:80]}); resetting, re-running chunk")
-                self._recover_backend()
-                self._produced -= 1  # re-dispatch below re-counts it
-                if self.mesh is not None:
-                    redo = self._finish_group(
-                        self._dispatch_group(
-                            [item["batch"]], self.config.data_parallel_chunks
-                        )
-                    )[0]
-                else:
-                    redo = dispatch_with_recovery(item["batch"])
-                self._consume(redo)
+                recover_and_redo(item, e)
+                return
             frames_done += item["batch"]["images"].shape[0]
+
+        # ----- async SfM consumer (config.async_sfm) -----
+        # The host SfM chain (materialize + recon/BA + alignment) of chunk k
+        # runs on ONE consumer thread while the drive thread uploads and
+        # dispatches chunk k+1 — BA is pinned to the CPU backend
+        # (sfm/device.py) so the two genuinely overlap. A single in-order
+        # bounded queue preserves alignment order and bounds device-resident
+        # chunks. On any consumer error the thread parks and the drive thread
+        # recovers serially (the device is quiescent at that point).
+        use_async = (
+            pipelined and self.config.overlap_device_host and self.config.async_sfm
+        )
+        consumer = None
+        cq = None
+        cstate = {"exc": None, "item": None}
+        _DONE = object()
+
+        def _consumer_loop():
+            nonlocal frames_done
+            while True:
+                it = cq.get()
+                if it is _DONE:
+                    return
+                try:
+                    self._consume(it)
+                    frames_done += it["batch"]["images"].shape[0]
+                except BaseException as e:  # drive thread recovers/re-raises
+                    cstate["exc"] = e
+                    cstate["item"] = it
+                    return
+
+        def _start_consumer():
+            nonlocal consumer, cq
+            import queue as _q
+            import threading as _t
+
+            cq = _q.Queue(maxsize=2)
+            consumer = _t.Thread(
+                target=_consumer_loop, name="sfm-consumer", daemon=True
+            )
+            consumer.start()
+
+        def _service_consumer():
+            """Handle a parked consumer: redo the failed chunk inline (or
+            re-raise), drain the queued tail inline, restart the thread."""
+            if cstate["exc"] is None:
+                return
+            consumer.join()
+            exc, it = cstate["exc"], cstate["item"]
+            cstate["exc"] = None
+            cstate["item"] = None
+            import queue as _q
+
+            tail = []
+            while True:
+                try:
+                    r = cq.get_nowait()
+                except _q.Empty:
+                    break
+                if r is not _DONE:
+                    tail.append(r)
+            recover_and_redo(it, exc)  # raises unless a backend crash
+            for r in tail:
+                consume_with_recovery(r)
+            _start_consumer()
+
+        def _enqueue(item):
+            import queue as _q
+
+            while True:
+                _service_consumer()
+                try:
+                    cq.put(item, timeout=0.5)
+                    return
+                except _q.Full:
+                    continue
+
+        def _drain_consumer():
+            while True:
+                _enqueue(_DONE)
+                consumer.join()
+                if cstate["exc"] is None:
+                    return
+                _service_consumer()  # redo+drain+restart, then re-send _DONE
+
+        def _quiesce_async():
+            """Drain the consumer (redoing any crashed chunk inline) and
+            restart it fresh+idle, so the caller's recovery code owns the
+            device and the recon chain exclusively. No-op in sync mode."""
+            if not use_async or consumer is None:
+                return
+            _drain_consumer()
+            _start_consumer()
 
         dp = self.config.data_parallel_chunks if self.mesh is not None else 1
         if dp > 1:
@@ -771,6 +878,9 @@ class Pi3SLAMOnline:
             group_depth = 1 if (pipelined and self.config.overlap_device_host) else 0
             group: List[Dict] = []
             pending_group: List[Dict] = []  # dispatched, unconsumed
+            if use_async:
+                _start_consumer()
+            emit = _enqueue if use_async else consume_with_recovery
 
             def finish_group_pending(depth=0):
                 while len(pending_group) > depth:
@@ -781,13 +891,14 @@ class Pi3SLAMOnline:
                         if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                             raise
                         print(f"device failure at group finish ({str(e)[:80]}); resetting, redoing group")
+                        _quiesce_async()
                         self._recover_backend()
                         self._produced -= pg["n_real"]  # re-dispatch re-counts
                         items = self._finish_group(
                             self._dispatch_group(pg["group"], dp)
                         )
                     for item in items:
-                        consume_with_recovery(item)
+                        emit(item)
 
             def flush_group():
                 if not group:
@@ -798,6 +909,7 @@ class Pi3SLAMOnline:
                     if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                         raise
                     print(f"device failure at group dispatch ({str(e)[:80]}); resetting backend")
+                    _quiesce_async()
                     redo = pending_group.pop(0) if pending_group else None
                     self._recover_backend()
                     if redo is not None:
@@ -827,6 +939,13 @@ class Pi3SLAMOnline:
                     flush_group()
             flush_group()
             finish_group_pending()
+            if use_async:
+                _drain_consumer()
+        elif use_async:
+            _start_consumer()
+            for batch in loader:
+                _enqueue(dispatch_with_recovery(batch))
+            _drain_consumer()
         else:
             depth = 1 if pipelined else 0
             for batch in loader:

@@ -454,6 +454,80 @@ def test_profile_dir_captures_trace(image_dir, tmp_path):
         assert any(f.is_file() for f in dp_files)
 
 
+def test_online_async_sfm_consumer_thread(image_dir, tmp_path):
+    """With async_sfm (default) the SfM chain runs on the 'sfm-consumer'
+    thread while the drive thread dispatches; results match the synchronous
+    path exactly (online.py _consumer_loop)."""
+    import glob
+    import threading
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))[:6]
+    runs = {}
+    for async_sfm in (True, False):
+        cfg = OnlineConfig(
+            chunk_length=3, overlap=1, pixel_limit=4000, use_metric_depth=False,
+            max_keypoints=20, compute_dtype="float32", async_sfm=async_sfm,
+            output_dir=str(tmp_path / f"as{async_sfm}"),
+        )
+        slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+        slam.params = make_tiny_params()
+        real_consume = slam._consume
+        threads = []
+
+        def spy(item, _rc=real_consume, _th=threads):
+            _th.append(threading.current_thread().name)
+            return _rc(item)
+
+        slam._consume = spy
+        r = slam.process_image_paths(paths)
+        runs[async_sfm] = (r, slam._merged_trajectory()[0], threads)
+    assert all(t == "sfm-consumer" for t in runs[True][2])
+    assert all(t != "sfm-consumer" for t in runs[False][2])
+    assert runs[True][0]["num_chunks"] == runs[False][0]["num_chunks"]
+    np.testing.assert_allclose(runs[True][1], runs[False][1], atol=1e-5)
+
+
+def test_online_async_consume_crash_recovery(image_dir, tmp_path):
+    """A backend crash inside the consumer thread parks it; the drive thread
+    redoes the chunk's forward serially and the run completes with the chunk
+    chain intact and in order (online.py recover_and_redo)."""
+    import glob
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=20, compute_dtype="float32",
+        output_dir=str(tmp_path / "async_crash"),
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+    real_consume = slam._consume
+    calls = {"n": 0}
+
+    def flaky(item):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second chunk dies inside the consumer thread
+            raise RuntimeError("TPU worker crashed: UNAVAILABLE")
+        return real_consume(item)
+
+    slam._consume = flaky
+    recovered = {"n": 0}
+
+    def recover():
+        recovered["n"] += 1
+        slam._upload_cache.reset()
+        slam.params = make_tiny_params()
+        slam._make_steps()
+
+    slam._recover_backend = recover
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    result = slam.process_image_paths(paths)
+    assert recovered["n"] == 1
+    assert calls["n"] == 5  # 4 chunks + 1 redo
+    assert result["num_chunks"] == 4
+    assert result["num_frames"] == 14
+    assert slam._merged_trajectory()[0].shape == (8, 3)
+
+
 def test_online_debug_overlap_dump(image_dir, tmp_path):
     """--debug-overlap appends one JSON line per alignment with overlap frame
     ids and common-track stats (reference _debug_print_overlap_indices)."""
