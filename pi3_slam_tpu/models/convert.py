@@ -170,6 +170,27 @@ def convert_pi3_state_dict(
     }
 
 
+def load_pi3_checkpoint(path: str):
+    """Load a Pi3 .npz checkpoint -> (params, Pi3Config | None).
+
+    Pops the optional '_pi3_config_json' self-description leaf (written by
+    convert_pi3_state_dict / save_pi3_checkpoint) so the param tree handed to
+    pi3_forward carries only weights."""
+    from .pi3 import Pi3Config
+
+    params = load_params_npz(path)
+    cfg_json = params.pop("_pi3_config_json", None)
+    cfg = Pi3Config.from_json(str(cfg_json)) if cfg_json is not None else None
+    return params, cfg
+
+
+def save_pi3_checkpoint(path: str, params: Dict[str, Any], config) -> None:
+    """Save Pi3 params with the config embedded (see load_pi3_checkpoint)."""
+    flat = dict(params)
+    flat["_pi3_config_json"] = np.asarray(config.to_json())
+    save_params_npz(path, flat)
+
+
 def _conv(w: np.ndarray) -> np.ndarray:
     """torch conv weight (out, in, kh, kw) -> HWIO (kh, kw, in, out)."""
     return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))

@@ -62,6 +62,24 @@ class Pi3Config:
     # the frame count divides evenly and no tensor-parallel mesh is active.
     global_kv_merge: int = 1
 
+    def to_json(self) -> str:
+        """Serialize (incl. the nested encoder config) for embedding in
+        checkpoints as the '_pi3_config_json' leaf — mirrors MoGe's
+        '_config_json' self-description so non-default model sizes load
+        through the CLIs without a side-channel config."""
+        import dataclasses as _dc
+        import json as _json
+
+        return _json.dumps(_dc.asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "Pi3Config":
+        import json as _json
+
+        d = _json.loads(s)
+        enc = d.pop("encoder")
+        return Pi3Config(encoder=DinoV2Config(**enc), **d)
+
 
 def _head_decoder_forward(
     p: Dict[str, Any],

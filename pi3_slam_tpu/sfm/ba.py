@@ -427,10 +427,19 @@ def bundle_adjust(
     optimize_focal: bool = False,
     use_inverse_depth: bool = False,
     tracks_per_frame: int | None = None,
+    ftol: float = 0.0,
 ) -> BAProblem:
     """Run LM-damped Gauss-Newton BA; returns the problem with updated
     rotations/centers/points (and intrinsics when optimize_focal). Jit-friendly
-    (fixed iteration count; step acceptance via jnp.where)."""
+    (bounded iteration count; step acceptance via jnp.where).
+
+    ``iterations`` is a MAXIMUM when ftol > 0: the solve terminates early once
+    an accepted step's relative cost decrease falls below ftol, or the LM
+    damping saturates after a rejected step — Ceres' function_tolerance /
+    trust-region semantics, which is what the reference's "10 iterations" /
+    "50 iterations" actually configure as max_num_iterations
+    (utils/chunk_reconstruction.py:192-209, reconstruction_alignment.py:137-159).
+    ftol=0 reproduces the fixed-length solve (a lax.scan)."""
     N = problem.rotations.shape[0]
     fixc = (
         jnp.zeros((N,), jnp.float32) if fixed_cameras is None else jnp.asarray(fixed_cameras, jnp.float32)
@@ -438,8 +447,7 @@ def bundle_adjust(
     if use_inverse_depth:
         problem = snap_points_to_anchor_rays(problem)
 
-    def body(carry, _):
-        prob, lam, cost = carry
+    def step(prob, lam, cost):
         new_rot, new_cen, new_pts, new_intr = _gn_step(
             prob, huber_delta, lam, fixc,
             optimize_focal=optimize_focal, inverse_depth=use_inverse_depth,
@@ -453,14 +461,37 @@ def bundle_adjust(
         prob = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), cand, prob
         )
+        new_lam = jnp.where(
+            accept, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 10.0, 1e4)
+        )
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        converged = jnp.where(accept, rel < ftol, lam >= 1e4)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 10.0, 1e4))
-        return (prob, lam, cost), cost
+        return prob, new_lam, cost, converged
 
     init_cost = _cost(problem, huber_delta)
-    (out, _, _), _ = jax.lax.scan(
-        body, (problem, jnp.asarray(init_lambda), init_cost), None, length=iterations
-    )
+    init = (problem, jnp.asarray(init_lambda), init_cost)
+
+    if ftol > 0.0:
+        def cond(carry):
+            _, _, _, i, done = carry
+            return (i < iterations) & ~done
+
+        def wbody(carry):
+            prob, lam, cost, i, _ = carry
+            prob, lam, cost, converged = step(prob, lam, cost)
+            return (prob, lam, cost, i + 1, converged)
+
+        out, _, _, _, _ = jax.lax.while_loop(
+            cond, wbody, (*init, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        )
+        return out
+
+    def body(carry, _):
+        prob, lam, cost, _ = step(*carry)
+        return (prob, lam, cost), cost
+
+    (out, _, _), _ = jax.lax.scan(body, init, None, length=iterations)
     return out
 
 

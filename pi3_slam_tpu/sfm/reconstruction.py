@@ -344,9 +344,18 @@ def _jit_bundle_adjust(
     optimize_focal: bool = False,
     use_inverse_depth: bool = False,
     tracks_per_frame: int | None = None,
+    ftol: float = 1e-6,
 ) -> BAProblem:
-    """Dispatch to a cached jitted BA for the solver configuration."""
-    key = (iterations, float(huber_delta), optimize_focal, use_inverse_depth, tracks_per_frame)
+    """Dispatch to a cached jitted BA for the solver configuration.
+
+    ftol defaults to Ceres' function_tolerance (1e-6): ``iterations`` acts as
+    max_num_iterations, matching the reference solver options
+    (utils/chunk_reconstruction.py:192-209, reconstruction_alignment.py:137-159)
+    — converged solves return early instead of burning the full budget."""
+    key = (
+        iterations, float(huber_delta), optimize_focal, use_inverse_depth,
+        tracks_per_frame, float(ftol),
+    )
     if key not in _BA_CACHE:
         _BA_CACHE[key] = jax.jit(
             lambda p: bundle_adjust(
@@ -356,6 +365,7 @@ def _jit_bundle_adjust(
                 optimize_focal=optimize_focal,
                 use_inverse_depth=use_inverse_depth,
                 tracks_per_frame=tracks_per_frame,
+                ftol=ftol,
             )
         )
     from .device import sfm_compute

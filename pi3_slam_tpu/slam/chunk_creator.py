@@ -26,7 +26,6 @@ from ..geometry.focal import estimate_camera_parameters
 from ..geometry.maps import depth_edge
 from ..geometry.transforms import se3_inverse
 from ..models import Pi3Config, pi3_forward, init_pi3_params
-from ..models.convert import load_params_npz
 from ..ops.interpolate import grid_sample_frames
 from ..utils.keypoints import grid_keypoints
 from .config import OfflineCreatorConfig
@@ -369,7 +368,15 @@ class OfflineChunkCreator:
         from ..utils.precision import enable_compilation_cache
 
         enable_compilation_cache()
-        self.pi3_config = pi3_config or Pi3Config()
+        ckpt_cfg = None
+        if config.checkpoint_path:
+            from ..models.convert import load_pi3_checkpoint
+
+            print(f"Loading Pi3 weights: {config.checkpoint_path}")
+            self.params, ckpt_cfg = load_pi3_checkpoint(config.checkpoint_path)
+        # explicit pi3_config wins; else the checkpoint's embedded
+        # self-description (convert.load_pi3_checkpoint); else full-size default
+        self.pi3_config = pi3_config or ckpt_cfg or Pi3Config()
         if getattr(config, "global_kv_merge", 1) > 1:
             import dataclasses
 
@@ -383,10 +390,7 @@ class OfflineChunkCreator:
         dtype_map = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
         self.compute_dtype = dtype_map[config.compute_dtype]
 
-        if config.checkpoint_path:
-            print(f"Loading Pi3 weights: {config.checkpoint_path}")
-            self.params = load_params_npz(config.checkpoint_path)
-        else:
+        if not config.checkpoint_path:
             print("No checkpoint given - random Pi3 weights (geometry will be noise)")
             self.params = init_pi3_params(0, self.pi3_config)
         if self.compute_dtype == jnp.bfloat16:

@@ -38,7 +38,6 @@ from ..data.undistortion import create_undistorter
 from ..io.ply import write_ply
 from ..io.tum import write_tum_trajectory
 from ..models import Pi3Config, init_pi3_params
-from ..models.convert import load_params_npz
 from ..sfm.alignment import align_chunks
 from ..sfm.reconstruction import ChunkReconstruction, build_chunk_reconstruction
 from ..utils.keypoints import grid_keypoints
@@ -53,7 +52,14 @@ class Pi3SLAMOnline:
         from ..utils.precision import enable_compilation_cache
 
         enable_compilation_cache()
-        self.pi3_config = pi3_config or Pi3Config()
+        ckpt_cfg = None
+        if config.checkpoint_path:
+            from ..models.convert import load_pi3_checkpoint
+
+            self.params, ckpt_cfg = load_pi3_checkpoint(config.checkpoint_path)
+        # explicit pi3_config wins; else the checkpoint's embedded
+        # self-description; else the full-size default
+        self.pi3_config = pi3_config or ckpt_cfg or Pi3Config()
         if getattr(config, "global_kv_merge", 1) > 1:
             import dataclasses
 
@@ -63,9 +69,7 @@ class Pi3SLAMOnline:
         dtype_map = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
         self.compute_dtype = dtype_map[config.compute_dtype]
 
-        if config.checkpoint_path:
-            self.params = load_params_npz(config.checkpoint_path)
-        else:
+        if not config.checkpoint_path:
             print("No checkpoint given - random Pi3 weights (geometry will be noise)")
             self.params = init_pi3_params(0, self.pi3_config)
         if self.compute_dtype == jnp.bfloat16:

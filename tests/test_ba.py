@@ -80,6 +80,30 @@ def test_ba_recovers_from_perturbation(rng):
     assert after < 0.1, f"BA did not converge: median reproj {after}px (was {before}px)"
 
 
+def test_ba_ftol_early_stop_matches_full_budget(rng):
+    """ftol>0 makes `iterations` a MAX (Ceres function_tolerance semantics,
+    ba.py bundle_adjust): a converged early-stopped solve reaches the same
+    solution quality as the fixed-length scan, and stopping is observable —
+    a tiny budget with ftol set equals the same budget without it."""
+    s = make_scene(rng)
+    pert = dict(s)
+    pert["centers"] = s["centers"] + rng.normal(size=s["centers"].shape) * 0.05
+    pert["points"] = s["points"] + rng.normal(size=s["points"].shape) * 0.05
+    prob = make_problem(**pert)
+
+    full = bundle_adjust(prob, iterations=50, huber_delta=2.0)
+    early = bundle_adjust(prob, iterations=50, huber_delta=2.0, ftol=1e-6)
+    for a, b in ((full.centers, early.centers), (full.points, early.points)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    err = np.asarray(reprojection_errors(early))
+    assert np.median(err[np.isfinite(err)]) < 0.1
+
+    # identical trajectories while under budget: while_loop path == scan path
+    a = bundle_adjust(prob, iterations=3, huber_delta=2.0)
+    b = bundle_adjust(prob, iterations=3, huber_delta=2.0, ftol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.centers), np.asarray(b.centers), atol=1e-6)
+
+
 def test_ba_with_fixed_cameras(rng):
     s = make_scene(rng)
     pert = dict(s)

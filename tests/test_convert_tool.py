@@ -7,6 +7,34 @@ import numpy as np
 import pytest
 
 
+def test_pi3_checkpoint_self_description(tmp_path):
+    """save_pi3_checkpoint embeds the Pi3Config; load_pi3_checkpoint returns
+    it, and the CLIs size the model from the checkpoint alone (no side-channel
+    config) — so non-default model sizes run through the stock entry points."""
+    from test_pi3_model import TINY, make_tiny_params
+
+    from pi3_slam_tpu.models import Pi3Config
+    from pi3_slam_tpu.models.convert import load_pi3_checkpoint, save_pi3_checkpoint
+
+    assert Pi3Config.from_json(TINY.to_json()) == TINY  # round-trip
+
+    path = str(tmp_path / "pi3_tiny.npz")
+    save_pi3_checkpoint(path, make_tiny_params(), TINY)
+    params, cfg = load_pi3_checkpoint(path)
+    assert cfg == TINY
+    assert "_pi3_config_json" not in params  # weights-only tree for jit
+
+    from pi3_slam_tpu.slam import Pi3SLAMOnline, OnlineConfig
+
+    slam = Pi3SLAMOnline(
+        OnlineConfig(
+            checkpoint_path=path, use_metric_depth=False,
+            compute_dtype="float32", output_dir=str(tmp_path / "o"),
+        )
+    )
+    assert slam.pi3_config == TINY
+
+
 def test_convert_tool_moge_local_file(tmp_path, reference_moge_checkpoint):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
     import convert_checkpoint

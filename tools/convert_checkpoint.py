@@ -87,7 +87,15 @@ def main(argv=None):
         else:
             params = convert_moge_state_dict(sd, model_config)
 
-    save_params_npz(args.output, params)
+    if args.model == "pi3":
+        # embed the model config so the CLIs can size the model from the
+        # checkpoint alone (models/convert.load_pi3_checkpoint)
+        from pi3_slam_tpu.models import Pi3Config
+        from pi3_slam_tpu.models.convert import save_pi3_checkpoint
+
+        save_pi3_checkpoint(args.output, params, Pi3Config())
+    else:
+        save_params_npz(args.output, params)
     n = sum(
         int(np.asarray(a).size)
         for a in _iter_arrays(params)

@@ -167,10 +167,19 @@ def main():
 
     print("[smoke] random Pi3 weights...", flush=True)
     from pi3_slam_tpu.models import Pi3Config, init_pi3_params
-    from pi3_slam_tpu.models.convert import save_params_npz
+    from pi3_slam_tpu.models.convert import save_pi3_checkpoint
+    from pi3_slam_tpu.models.dinov2 import DinoV2Config
 
+    # small self-described checkpoint (the CLIs size the model from the
+    # embedded config — load_pi3_checkpoint): the gate is script PLUMBING,
+    # and the full-size model takes ~35 min/scene on this host's CPU
+    small = Pi3Config(
+        encoder=DinoV2Config(embed_dim=128, depth=4, num_heads=4),
+        dec_embed_dim=128, dec_num_heads=4, dec_depth=4,
+        head_dim=128, head_num_heads=4, head_depth=2, camera_dim=64,
+    )
     pi3_path = os.path.join(work, "pi3_random.npz")
-    save_params_npz(pi3_path, init_pi3_params(0, Pi3Config()))
+    save_pi3_checkpoint(pi3_path, init_pi3_params(0, small), small)
 
     tiny_env = {
         "DEVICE": "cpu",
