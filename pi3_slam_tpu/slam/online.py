@@ -343,6 +343,15 @@ class Pi3SLAMOnline:
 
     def _consume(self, pending: Dict) -> ChunkReconstruction:
         """Host stage: materialize device results, metric scale, recon, align."""
+        return self._consume_finish(self._consume_build(pending))
+
+    def _consume_build(self, pending: Dict, idx: int | None = None) -> Dict:
+        """Consume stage 1: pull device results, metric scale, dense stash,
+        build+BA the chunk reconstruction. Independent of every other chunk
+        (build_chunk_reconstruction needs no alignment state), so the async
+        consumer runs build(k+1) concurrently with finish(k). ``idx`` is the
+        absolute chunk index for the dense stash; None = the consumed count
+        (correct when build and finish run strictly alternated)."""
         batch = pending["batch"]
         with self.timing.track("materialize"):
             host = {k: np.asarray(v) for k, v in pending["dev"].items()}
@@ -391,7 +400,10 @@ class Pi3SLAMOnline:
             chunk["descriptors"] = np.asarray(det["descriptors"], np.float32)
 
         if "local_points_dense" in host:
-            self._stash_dense(host, poses, chunk, scale_factor, n_frames)
+            self._stash_dense(
+                host, poses, chunk, scale_factor, n_frames,
+                self._consumed if idx is None else idx,
+            )
 
         with self.timing.track("reconstruction"):
             recon = build_chunk_reconstruction(
@@ -399,6 +411,15 @@ class Pi3SLAMOnline:
                 max_observations_per_track=self.config.max_observations_per_track,
                 use_inverse_depth=self.config.use_inverse_depth,
             )
+        return {"recon": recon, "pending": pending, "host": host}
+
+    def _consume_finish(self, ctx: Dict) -> ChunkReconstruction:
+        """Consume stage 2 (strictly in order): Sim3-align against the
+        previous chunk, append to the chain, debug artifacts, viewer update."""
+        recon = ctx["recon"]
+        pending = ctx["pending"]
+        host = ctx["host"]
+        batch = pending["batch"]
         with self.timing.track("alignment"):
             res = None
             if self.reconstructions:
@@ -489,7 +510,7 @@ class Pi3SLAMOnline:
 
     # ----- dense mapping (mapping/; beyond the reference) -----
 
-    def _stash_dense(self, host, poses, chunk, scale_factor, n_frames) -> None:
+    def _stash_dense(self, host, poses, chunk, scale_factor, n_frames, idx) -> None:
         """Write this chunk's strided dense maps to <output>/dense/ at
         consume time (disk keeps RAM bounded at one chunk; the npz layout
         matches the offline --save-dense chunks so mapping/fuse.py consumes
@@ -516,7 +537,7 @@ class Pi3SLAMOnline:
             from ..io.npz import save_npz
 
             save_npz(
-                _os.path.join(ddir, f"dense_{self._consumed:06d}.npz"),
+                _os.path.join(ddir, f"dense_{idx:06d}.npz"),
                 self.config.chunk_compression,
                 **dense,
             )
@@ -775,34 +796,60 @@ class Pi3SLAMOnline:
             frames_done += item["batch"]["images"].shape[0]
 
         # ----- async SfM consumer (config.async_sfm) -----
-        # The host SfM chain (materialize + recon/BA + alignment) of chunk k
-        # runs on ONE consumer thread while the drive thread uploads and
-        # dispatches chunk k+1 — BA is pinned to the CPU backend
-        # (sfm/device.py) so the two genuinely overlap. A single in-order
-        # bounded queue preserves alignment order and bounds device-resident
-        # chunks. On any consumer error the thread parks and the drive thread
-        # recovers serially (the device is quiescent at that point).
+        # The host SfM chain of chunk k runs off the drive thread while it
+        # uploads and dispatches chunk k+1 — BA is pinned to the CPU backend
+        # (sfm/device.py) so the two genuinely overlap. The chain itself is a
+        # two-stage in-order pipeline: build (materialize + metric scale +
+        # recon/BA — independent per chunk) runs one chunk ahead on a
+        # single-worker executor while finish (Sim3 alignment + chain append
+        # + viz — strictly sequential) runs on the consumer thread, so the
+        # steady-state period is max(forward+pull, build, finish) instead of
+        # their sum. A single bounded queue preserves order and bounds
+        # device-resident chunks. On any consumer error the thread parks with
+        # every unprocessed item, and the drive thread recovers serially (the
+        # device is quiescent at that point).
         use_async = (
             pipelined and self.config.overlap_device_host and self.config.async_sfm
         )
         consumer = None
         cq = None
-        cstate = {"exc": None, "item": None}
+        cstate = {"exc": None, "items": []}
         _DONE = object()
 
         def _consumer_loop():
             nonlocal frames_done
-            while True:
-                it = cq.get()
-                if it is _DONE:
-                    return
-                try:
-                    self._consume(it)
-                    frames_done += it["batch"]["images"].shape[0]
-                except BaseException as e:  # drive thread recovers/re-raises
-                    cstate["exc"] = e
-                    cstate["item"] = it
-                    return
+            import concurrent.futures as _f
+
+            ex = _f.ThreadPoolExecutor(1, thread_name_prefix="sfm-build")
+            prev_item = prev_fut = None
+            next_idx = self._consumed
+            try:
+                while True:
+                    it = cq.get()
+                    nxt_fut = None
+                    if it is not _DONE:
+                        nxt_fut = ex.submit(self._consume_build, it, next_idx)
+                        next_idx += 1
+                    if prev_fut is not None:
+                        try:
+                            self._consume_finish(prev_fut.result())
+                            frames_done += prev_item["batch"]["images"].shape[0]
+                        except BaseException as e:  # drive thread recovers
+                            rest = []
+                            if nxt_fut is not None:
+                                try:  # settle the lookahead build first
+                                    nxt_fut.result()
+                                except BaseException:
+                                    pass
+                                rest.append(it)
+                            cstate["items"] = [prev_item] + rest
+                            cstate["exc"] = e
+                            return
+                    if it is _DONE:
+                        return
+                    prev_item, prev_fut = it, nxt_fut
+            finally:
+                ex.shutdown(wait=False)
 
         def _start_consumer():
             nonlocal consumer, cq
@@ -817,16 +864,17 @@ class Pi3SLAMOnline:
 
         def _service_consumer():
             """Handle a parked consumer: redo the failed chunk inline (or
-            re-raise), drain the queued tail inline, restart the thread."""
+            re-raise), consume the unprocessed + queued tail inline in order,
+            restart the thread."""
             if cstate["exc"] is None:
                 return
             consumer.join()
-            exc, it = cstate["exc"], cstate["item"]
+            exc = cstate["exc"]
+            failed, *tail = cstate["items"]
             cstate["exc"] = None
-            cstate["item"] = None
+            cstate["items"] = []
             import queue as _q
 
-            tail = []
             while True:
                 try:
                     r = cq.get_nowait()
@@ -834,7 +882,7 @@ class Pi3SLAMOnline:
                     break
                 if r is not _DONE:
                     tail.append(r)
-            recover_and_redo(it, exc)  # raises unless a backend crash
+            recover_and_redo(failed, exc)  # raises unless a backend crash
             for r in tail:
                 consume_with_recovery(r)
             _start_consumer()

@@ -455,9 +455,10 @@ def test_profile_dir_captures_trace(image_dir, tmp_path):
 
 
 def test_online_async_sfm_consumer_thread(image_dir, tmp_path):
-    """With async_sfm (default) the SfM chain runs on the 'sfm-consumer'
-    thread while the drive thread dispatches; results match the synchronous
-    path exactly (online.py _consumer_loop)."""
+    """With async_sfm (default) the SfM chain runs off the drive thread as a
+    two-stage pipeline — build (materialize+recon) on the 'sfm-build'
+    executor, finish (align+append) on the 'sfm-consumer' thread — and the
+    results match the synchronous path exactly (online.py _consumer_loop)."""
     import glob
     import threading
 
@@ -471,18 +472,24 @@ def test_online_async_sfm_consumer_thread(image_dir, tmp_path):
         )
         slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
         slam.params = make_tiny_params()
-        real_consume = slam._consume
-        threads = []
+        build_orig, finish_orig = slam._consume_build, slam._consume_finish
+        build_threads, finish_threads = [], []
 
-        def spy(item, _rc=real_consume, _th=threads):
-            _th.append(threading.current_thread().name)
-            return _rc(item)
+        def build_spy(item, idx=None, _o=build_orig, _t=build_threads):
+            _t.append(threading.current_thread().name)
+            return _o(item, idx)
 
-        slam._consume = spy
+        def finish_spy(ctx, _o=finish_orig, _t=finish_threads):
+            _t.append(threading.current_thread().name)
+            return _o(ctx)
+
+        slam._consume_build = build_spy
+        slam._consume_finish = finish_spy
         r = slam.process_image_paths(paths)
-        runs[async_sfm] = (r, slam._merged_trajectory()[0], threads)
-    assert all(t == "sfm-consumer" for t in runs[True][2])
-    assert all(t != "sfm-consumer" for t in runs[False][2])
+        runs[async_sfm] = (r, slam._merged_trajectory()[0], build_threads, finish_threads)
+    assert all(t.startswith("sfm-build") for t in runs[True][2])
+    assert all(t == "sfm-consumer" for t in runs[True][3])
+    assert all(t == "MainThread" for t in runs[False][2] + runs[False][3])
     assert runs[True][0]["num_chunks"] == runs[False][0]["num_chunks"]
     np.testing.assert_allclose(runs[True][1], runs[False][1], atol=1e-5)
 
@@ -500,16 +507,18 @@ def test_online_async_consume_crash_recovery(image_dir, tmp_path):
     )
     slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
     slam.params = make_tiny_params()
-    real_consume = slam._consume
+    real_finish = slam._consume_finish
     calls = {"n": 0}
 
-    def flaky(item):
+    def flaky(ctx):
         calls["n"] += 1
-        if calls["n"] == 2:  # second chunk dies inside the consumer thread
+        if calls["n"] == 2:  # second chunk dies at the finish stage, while
+            # the third chunk's build may already be in flight (park path
+            # hands BOTH back to the drive thread)
             raise RuntimeError("TPU worker crashed: UNAVAILABLE")
-        return real_consume(item)
+        return real_finish(ctx)
 
-    slam._consume = flaky
+    slam._consume_finish = flaky
     recovered = {"n": 0}
 
     def recover():

@@ -71,13 +71,14 @@ def run_online(args, work: str, paths: list) -> None:
     )
     slam = Pi3SLAMOnline(cfg)
     stamps = []  # (wall time, frames) at each chunk-consume completion
-    consume_orig = slam._consume
+    finish_orig = slam._consume_finish  # last stage in both drive modes
 
-    def consume_and_stamp(item):
-        consume_orig(item)
-        stamps.append((time.time(), item["batch"]["images"].shape[0]))
+    def finish_and_stamp(ctx):
+        r = finish_orig(ctx)
+        stamps.append((time.time(), ctx["pending"]["batch"]["images"].shape[0]))
+        return r
 
-    slam._consume = consume_and_stamp
+    slam._consume_finish = finish_and_stamp
     res = slam.process_image_paths(paths)
 
     # steady state: frames / inter-completion interval, first chunk dropped
