@@ -234,10 +234,25 @@ def align_chunks(
             dst = dst[keep]
             src = src[keep]
 
+        # pad the correspondence count up to a shape bucket (zero-weight
+        # rows are exact no-ops: umeyama normalizes weights) — the common
+        # track count varies every chunk pair, and an exact-shape call
+        # would recompile the IRLS solve per chunk (~1.4 s each, measured;
+        # it dominated the online alignment stage)
+        n_pts = src.shape[0]
+        bucket = max(256, 1 << (n_pts - 1).bit_length())
+        pad = bucket - n_pts
+        w = np.ones(bucket, np.float32)
+        if pad:
+            src = np.concatenate([src, np.zeros((pad, 3))])
+            dst = np.concatenate([dst, np.zeros((pad, 3))])
+            w[n_pts:] = 0.0
+
         with sfm_compute():
             s = robust_umeyama(
                 jnp.asarray(src, jnp.float32),
                 jnp.asarray(dst, jnp.float32),
+                weights=jnp.asarray(w),
                 huber_delta=huber_delta_sim3,
                 iterations=sim3_iterations,
             )
@@ -278,7 +293,7 @@ def align_chunks(
     return AlignmentResult(
         sim3=s,
         num_common_tracks=int(n_common),
-        num_used_tracks=int(src.shape[0]) if method == "tracks" else 0,
+        num_used_tracks=int(n_pts) if method == "tracks" else 0,
         success=True,
         method=method,
     )

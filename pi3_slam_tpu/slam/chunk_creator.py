@@ -207,27 +207,55 @@ def _store_refined_observations(result: Dict, host: Dict, n_real: int) -> None:
     result["obs_refined"] = np.asarray(host["obs_refined"])[:n_real]
 
 
-_DENSE_KEYS = (
-    "points_dense", "local_points_dense", "conf_dense", "masks_dense", "rgb_dense"
-)
+_DENSE_KEYS = ("local_points_dense", "conf_dense", "masks_dense")
+
+
+def _host_rgb_dense(images: np.ndarray, n_real: int, stride: int) -> np.ndarray:
+    """Strided uint8 rgb map recomputed host-side from the input frames.
+
+    The device step used to return it, but it is (up to a f32/255 round
+    trip) the strided input the host already holds — pulling ~N*H*W*3/s^2
+    bytes back over PCIe/the tunnel was pure waste. uint8 inputs come back
+    bit-exact (better than the old device round trip, whose /255*255
+    truncation could sit one code value low)."""
+    imgs = images[:n_real].transpose(0, 2, 3, 1)[:, ::stride, ::stride]
+    if imgs.dtype == np.uint8:
+        return np.ascontiguousarray(imgs)
+    return (np.asarray(imgs) * 255.0).clip(0, 255).astype(np.uint8)
 
 
 def _store_dense_maps(
-    result: Dict, host: Dict, scale_factor, n_real: int, stride: int
+    result: Dict, host: Dict, scale_factor, n_real: int, stride: int,
+    images: np.ndarray | None = None,
 ) -> None:
     """Copy dense per-pixel maps into the chunk dict ([:n_real] drops padded
-    tail frames; metric scale applies to the two point maps)."""
+    tail frames; metric scale applies to the local point map). rgb comes
+    from ``images`` (the original frames) — see _host_rgb_dense; world
+    points are not stored at all (recompute via dense_world_points)."""
     stored = False
     for key in _DENSE_KEYS:
         if key not in host:
             continue
         arr = host[key][:n_real]
-        if scale_factor is not None and key in ("points_dense", "local_points_dense"):
+        if scale_factor is not None and key == "local_points_dense":
             arr = (arr.astype(np.float32) * scale_factor).astype(np.float16)
         result[key] = arr
         stored = True
     if stored:
+        if images is not None:
+            result["rgb_dense"] = _host_rgb_dense(images, n_real, stride)
         result["dense_stride"] = np.int16(stride)
+
+
+def dense_world_points(local: np.ndarray, poses: np.ndarray) -> np.ndarray:
+    """World-frame dense points from a chunk's local map + cam->world poses
+    (N, H, W, 3) x (N, 4, 4) -> (N, H, W, 3). The device step no longer
+    returns the world map (it is this one einsum away from what it does
+    return, and it used to double the dense pull bytes)."""
+    local = np.asarray(local, np.float32)
+    R = np.asarray(poses, np.float32)[:, :3, :3]
+    t = np.asarray(poses, np.float32)[:, :3, 3]
+    return np.einsum("nij,nhwj->nhwi", R, local) + t[:, None, None, :]
 
 
 def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_rtol: float,
@@ -302,15 +330,15 @@ def make_chunk_step(cfg: Pi3Config, compute_dtype, conf_threshold: float, edge_r
         if return_dense:
             # strided on-device: cuts the device->host pull (and the npz)
             # by stride^2 — dense consumers (TSDF fusion, mapping/tsdf.py)
-            # do not need full resolution
+            # do not need full resolution. Only what the host CANNOT
+            # reconstruct for free crosses the link: world points are
+            # pose @ local (dense_world_points) and the rgb map is the
+            # strided input frame the host already holds (_host_rgb_dense),
+            # so neither is returned — that halves the dense pull bytes.
             s = dense_stride
-            result["points_dense"] = world[:, ::s, ::s].astype(jnp.float16)
             result["local_points_dense"] = local[:, ::s, ::s].astype(jnp.float16)
             result["conf_dense"] = conf[:, ::s, ::s].astype(jnp.float16)
             result["masks_dense"] = masks[:, ::s, ::s]
-            result["rgb_dense"] = (
-                images.transpose(0, 2, 3, 1)[:, ::s, ::s] * 255.0
-            ).clip(0, 255).astype(jnp.uint8)
         return result
 
     def step(params, images, keypoints, cand=None):
@@ -513,9 +541,8 @@ class OfflineChunkCreator:
     # frame count when a tail chunk was padded to chunk_length
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
-        "camera_poses", "points_dense", "local_points_dense", "conf_dense",
-        "masks_dense", "rgb_dense", "obs_frame", "obs_uv", "obs_valid",
-        "obs_refined", "intrinsics",
+        "camera_poses", "local_points_dense", "conf_dense", "masks_dense",
+        "obs_frame", "obs_uv", "obs_valid", "obs_refined", "intrinsics",
     )
 
     def _pad_tail(self, images: np.ndarray, kps: np.ndarray):
@@ -675,6 +702,7 @@ class OfflineChunkCreator:
                 scale_factor,
                 N,
                 self.config.dense_stride,
+                images=batch["images"],
             )
             results.append(result)
         return results
@@ -789,7 +817,9 @@ class OfflineChunkCreator:
             result["descriptors"] = np.asarray(det["descriptors"], np.float16)
         if "obs_frame" in host:
             _store_refined_observations(result, host, N)
-        _store_dense_maps(result, host, scale_factor, N, self.config.dense_stride)
+        _store_dense_maps(
+            result, host, scale_factor, N, self.config.dense_stride, images=images
+        )
         return result
 
     def _process_single_chunk(self, images: np.ndarray, paths: List[str]) -> Dict:

@@ -208,8 +208,7 @@ class Pi3SLAMOnline:
     _PER_FRAME_KEYS = (
         "points_kp", "local_points_kp", "conf_kp", "masks_kp", "colors_kp",
         "camera_poses", "obs_frame", "obs_uv", "obs_valid", "obs_refined",
-        "points_dense", "local_points_dense", "conf_dense", "masks_dense",
-        "rgb_dense", "intrinsics",
+        "local_points_dense", "conf_dense", "masks_dense", "intrinsics",
     )
 
     def _pad_tail(self, images: np.ndarray, kps: np.ndarray, axis: int = 0):
@@ -403,6 +402,7 @@ class Pi3SLAMOnline:
             self._stash_dense(
                 host, poses, chunk, scale_factor, n_frames,
                 self._consumed if idx is None else idx,
+                images=batch["images"],
             )
 
         with self.timing.track("reconstruction"):
@@ -510,7 +510,9 @@ class Pi3SLAMOnline:
 
     # ----- dense mapping (mapping/; beyond the reference) -----
 
-    def _stash_dense(self, host, poses, chunk, scale_factor, n_frames, idx) -> None:
+    def _stash_dense(
+        self, host, poses, chunk, scale_factor, n_frames, idx, images=None
+    ) -> None:
         """Write this chunk's strided dense maps to <output>/dense/ at
         consume time (disk keeps RAM bounded at one chunk; the npz layout
         matches the offline --save-dense chunks so mapping/fuse.py consumes
@@ -530,7 +532,8 @@ class Pi3SLAMOnline:
             if "intrinsics" in chunk:
                 dense["intrinsics"] = chunk["intrinsics"].astype(np.float32)
             _store_dense_maps(
-                dense, host, scale_factor, n_frames, self.config.dense_stride
+                dense, host, scale_factor, n_frames, self.config.dense_stride,
+                images=images,
             )
             ddir = _os.path.join(self.config.output_dir, "dense")
             _os.makedirs(ddir, exist_ok=True)

@@ -202,11 +202,15 @@ def test_export_mesh_requires_dense(tmp_path, rng, capsys):
 
 
 def test_chunk_step_returns_strided_dense(rng):
-    """Device step with return_dense + stride: strided dense maps + rgb
-    alongside the sparse keypoint outputs."""
+    """Device step with return_dense + stride: strided dense maps alongside
+    the sparse keypoint outputs. Only the local map crosses the link — rgb
+    and world points are host-recomputable (_host_rgb_dense /
+    dense_world_points) and are no longer device outputs."""
     import jax.numpy as jnp
 
-    from pi3_slam_tpu.slam.chunk_creator import make_chunk_step
+    from pi3_slam_tpu.slam.chunk_creator import (
+        _host_rgb_dense, dense_world_points, make_chunk_step,
+    )
     from test_pi3_model import TINY, make_tiny_params
 
     params = make_tiny_params()
@@ -222,20 +226,43 @@ def test_chunk_step_returns_strided_dense(rng):
     out = step(params, imgs, kps)
     assert out["points_kp"].shape == (n, 5, 3)
     hs, ws = (h + 1) // 2, (w + 1) // 2
-    assert out["points_dense"].shape == (n, hs, ws, 3)
+    assert "points_dense" not in out and "rgb_dense" not in out
     assert out["local_points_dense"].shape == (n, hs, ws, 3)
     assert out["conf_dense"].shape == (n, hs, ws, 1)
     assert out["masks_dense"].shape == (n, hs, ws)
-    assert out["rgb_dense"].shape == (n, hs, ws, 3)
-    assert out["rgb_dense"].dtype == jnp.uint8
     # strided maps subsample the full-res ones exactly
     full = make_chunk_step(
         TINY, jnp.float32, conf_threshold=0.1, edge_rtol=0.03,
         estimate_intrinsics=False, return_dense=True, dense_stride=1,
     )(params, imgs, kps)
     np.testing.assert_allclose(
-        np.asarray(out["points_dense"]),
-        np.asarray(full["points_dense"])[:, ::2, ::2],
+        np.asarray(out["local_points_dense"]),
+        np.asarray(full["local_points_dense"])[:, ::2, ::2],
+    )
+    # host rgb = strided input frames (uint8 inputs: bit-exact)
+    rgb = _host_rgb_dense(np.asarray(imgs[0]), n, 2)
+    assert rgb.shape == (n, hs, ws, 3) and rgb.dtype == np.uint8
+    np.testing.assert_array_equal(
+        rgb,
+        (np.asarray(imgs[0]).transpose(0, 2, 3, 1)[:, ::2, ::2] * 255.0)
+        .clip(0, 255).astype(np.uint8),
+    )
+    # world = pose @ local (explicit per-pixel transform as the oracle)
+    local = rng.standard_normal((2, 3, 4, 3)).astype(np.float32)
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1]], np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    poses[1, :3, :3] = R
+    poses[:, :3, 3] = [[1, 2, 3], [-1, 0, 5]]
+    world = dense_world_points(local, poses)
+    expect = np.einsum("nij,nhwj->nhwi", poses[:, :3, :3], local) + poses[
+        :, None, None, :3, 3
+    ]
+    np.testing.assert_allclose(world, expect, rtol=1e-6)
+    np.testing.assert_allclose(
+        world[1, 0, 0], R @ local[1, 0, 0] + poses[1, :3, 3], rtol=1e-6
     )
 
 

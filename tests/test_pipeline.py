@@ -153,9 +153,14 @@ def test_dense_chunks_keypoints_none(image_dir, tmp_path):
     saved = creator.process_and_save(paths)
     z = np.load(saved[0])
     assert bool(z["dense"])
-    assert "points_dense" in z.files and z["points_dense"].dtype == np.float16
-    assert z["points_dense"].shape[0] == 4  # N frames, dense H x W x 3
-    assert z["points_dense"].ndim == 4
+    assert "local_points_dense" in z.files
+    assert z["local_points_dense"].dtype == np.float16
+    assert z["local_points_dense"].shape[0] == 4  # N frames, dense H x W x 3
+    assert z["local_points_dense"].ndim == 4
+    # rgb is recomputed host-side from the inputs (never pulled from device);
+    # the world map is not stored at all (dense_world_points recomputes it)
+    assert z["rgb_dense"].dtype == np.uint8
+    assert "points_dense" not in z.files
     assert "keypoints" not in z.files
 
 
