@@ -184,6 +184,63 @@ def load_pi3_checkpoint(path: str):
     return params, cfg
 
 
+def check_pi3_config(params: Dict[str, Any], config) -> None:
+    """Validate every shape-derivable Pi3Config field against a converted
+    param tree; raise ValueError naming the first mismatch.
+
+    Guards the checkpoint self-description (save_pi3_checkpoint embeds the
+    config as '_pi3_config_json'): converting a non-default Pi3 variant with
+    a default config would otherwise produce a checkpoint whose embedded
+    config lies about its weights, and the CLIs that trust it would crash
+    deep inside pi3_forward. Head *counts* are not derivable from weight
+    shapes and are not checked.
+    """
+    enc = params["encoder"]
+    even = params["decoder"]["even_blocks"]
+    odd = params["decoder"]["odd_blocks"]
+    pd = params["point_decoder"]
+    derived = {
+        "encoder.patch_size": int(
+            round((enc["patch_embed_kernel"].shape[0] // 3) ** 0.5)
+        ),
+        "encoder.embed_dim": int(enc["patch_embed_kernel"].shape[1]),
+        "encoder.depth": int(enc["blocks"]["qkv_kernel"].shape[0]),
+        "encoder.mlp_ratio": int(
+            enc["blocks"]["fc1_kernel"].shape[-1] // enc["blocks"]["fc1_kernel"].shape[-2]
+        ),
+        "encoder.num_register_tokens": int(enc["register_tokens"].shape[0]),
+        "dec_embed_dim": int(even["qkv_kernel"].shape[1]),
+        "dec_depth": int(even["qkv_kernel"].shape[0] + odd["qkv_kernel"].shape[0]),
+        "mlp_ratio": int(even["fc1_kernel"].shape[-1] // even["fc1_kernel"].shape[-2]),
+        "num_register_tokens": int(params["decoder"]["register_token"].shape[0]),
+        "head_dim": int(pd["project_kernel"].shape[-1]),
+        "head_depth": int(pd["blocks"]["qkv_kernel"].shape[0]),
+        "camera_dim": int(params["camera_head"]["res_conv0"]["fc1_kernel"].shape[0]),
+    }
+    expected = {
+        "encoder.patch_size": config.encoder.patch_size,
+        "encoder.embed_dim": config.encoder.embed_dim,
+        "encoder.depth": config.encoder.depth,
+        "encoder.mlp_ratio": config.encoder.mlp_ratio,
+        "encoder.num_register_tokens": config.encoder.num_register_tokens,
+        "dec_embed_dim": config.dec_embed_dim,
+        "dec_depth": config.dec_depth,
+        "mlp_ratio": config.mlp_ratio,
+        "num_register_tokens": config.num_register_tokens,
+        "head_dim": config.head_dim,
+        "head_depth": config.head_depth,
+        "camera_dim": config.camera_dim,
+    }
+    for field, want in expected.items():
+        got = derived[field]
+        if got != want:
+            raise ValueError(
+                f"Pi3 checkpoint/config mismatch: weights imply {field}={got} "
+                f"but the config says {want}. Pass the variant's config "
+                f"(Pi3Config json) instead of the default."
+            )
+
+
 def save_pi3_checkpoint(path: str, params: Dict[str, Any], config) -> None:
     """Save Pi3 params with the config embedded (see load_pi3_checkpoint)."""
     flat = dict(params)

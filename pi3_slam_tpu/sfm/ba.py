@@ -132,6 +132,7 @@ def _project(rot, center, intr, X):
 
 
 @jax.jit
+@f32_matmul
 def reprojection_errors(p: BAProblem) -> jnp.ndarray:
     """(T, M) pixel reprojection error norms (inf where invalid).
 
@@ -502,6 +503,7 @@ def bundle_adjust(
 
 
 @jax.jit
+@f32_matmul
 def prune_outlier_tracks(
     p: BAProblem, max_reproj_px: float = 2.0, min_tri_angle_deg: float = 0.25
 ) -> jnp.ndarray:

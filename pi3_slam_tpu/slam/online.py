@@ -354,6 +354,10 @@ class Pi3SLAMOnline:
         batch = pending["batch"]
         with self.timing.track("materialize"):
             host = {k: np.asarray(v) for k, v in pending["dev"].items()}
+        # free the device buffers now: every recovery path re-dispatches from
+        # pending["batch"], and the async pipeline otherwise keeps ~5 chunks
+        # of dead device output resident (dispatch + queue + build + finish)
+        pending["dev"] = None
         n_frames = batch["images"].shape[0]
         for k in self._PER_FRAME_KEYS:  # drop padded tail frames, if any
             if k in host and host[k].shape[0] > n_frames:
@@ -662,6 +666,10 @@ class Pi3SLAMOnline:
         return result["path"]
 
     def _recover_backend(self) -> None:
+        # epoch lets nested recovery paths detect "the backend was already
+        # reset further down this call chain" and skip a redundant multi-
+        # second reset (clear_caches + param re-upload + step rebuild)
+        self._backend_epoch = getattr(self, "_backend_epoch", 0) + 1
         self._upload_cache.reset()  # cached device frames died with the backend
         try:
             jax.clear_caches()
@@ -762,8 +770,12 @@ class Pi3SLAMOnline:
                 if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                     raise
                 print(f"device runtime failure ({str(e)[:80]}); resetting backend, retrying chunk")
+                epoch = getattr(self, "_backend_epoch", 0)
                 _quiesce_async()  # consumer may hold buffers on the dead backend
-                self._recover_backend()
+                if getattr(self, "_backend_epoch", 0) == epoch:
+                    # quiescing a parked consumer can itself have recovered
+                    # the backend (redo path); don't reset it twice
+                    self._recover_backend()
                 return self._dispatch_device(batch)
 
         def recover_and_redo(item, exc):
@@ -819,18 +831,28 @@ class Pi3SLAMOnline:
         cstate = {"exc": None, "items": []}
         _DONE = object()
 
-        def _consumer_loop():
+        def _consumer_loop(my_q):
+            # my_q is bound at thread start: a consumer only ever reads the
+            # queue it was born with, so a stale thread from a double-crash
+            # restart can never steal items (or the _DONE) from its successor
             nonlocal frames_done
             import concurrent.futures as _f
 
             ex = _f.ThreadPoolExecutor(1, thread_name_prefix="sfm-build")
             prev_item = prev_fut = None
-            next_idx = self._consumed
+            # absolute chunk index for the dense stash: read lazily at the
+            # first item, not at thread start — after a crash recovery the
+            # drive thread consumes the redo + tail chunks inline AFTER
+            # restarting this thread, and an eager snapshot would be stale.
+            # Race-free: nothing is enqueued until that inline work is done.
+            next_idx = None
             try:
                 while True:
-                    it = cq.get()
+                    it = my_q.get()
                     nxt_fut = None
                     if it is not _DONE:
+                        if next_idx is None:
+                            next_idx = self._consumed
                         nxt_fut = ex.submit(self._consume_build, it, next_idx)
                         next_idx += 1
                     if prev_fut is not None:
@@ -854,14 +876,17 @@ class Pi3SLAMOnline:
             finally:
                 ex.shutdown(wait=False)
 
+        cgen = {"n": 0}  # bumped per start; detects nested restarts
+
         def _start_consumer():
             nonlocal consumer, cq
             import queue as _q
             import threading as _t
 
             cq = _q.Queue(maxsize=2)
+            cgen["n"] += 1
             consumer = _t.Thread(
-                target=_consumer_loop, name="sfm-consumer", daemon=True
+                target=_consumer_loop, args=(cq,), name="sfm-consumer", daemon=True
             )
             consumer.start()
 
@@ -885,10 +910,15 @@ class Pi3SLAMOnline:
                     break
                 if r is not _DONE:
                     tail.append(r)
+            gen0 = cgen["n"]
             recover_and_redo(failed, exc)  # raises unless a backend crash
             for r in tail:
                 consume_with_recovery(r)
-            _start_consumer()
+            # the redo path can itself crash the backend, whose recovery
+            # (_quiesce_async inside dispatch_with_recovery) already restarted
+            # the consumer — starting a second one here would leak a thread
+            if cgen["n"] == gen0:
+                _start_consumer()
 
         def _enqueue(item):
             import queue as _q
@@ -918,6 +948,24 @@ class Pi3SLAMOnline:
             _drain_consumer()
             _start_consumer()
 
+        def _abort_consumer():
+            """Best-effort consumer stop when the drive loop exits abnormally
+            (non-backend exception): without it the daemon thread and its
+            build executor stay blocked on the queue for the process
+            lifetime — one leaked thread pair per failed call on a
+            long-lived host. Never raises; never blocks indefinitely (a
+            parked consumer exits its thread, breaking the loop)."""
+            import queue as _q
+
+            if consumer is None:
+                return
+            while consumer.is_alive():
+                try:
+                    cq.put(_DONE, timeout=0.5)
+                    return
+                except _q.Full:
+                    continue
+
         dp = self.config.data_parallel_chunks if self.mesh is not None else 1
         if dp > 1:
             # multi-chip: group dp same-shape chunks per sharded device step,
@@ -946,8 +994,10 @@ class Pi3SLAMOnline:
                         if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                             raise
                         print(f"device failure at group finish ({str(e)[:80]}); resetting, redoing group")
+                        epoch = getattr(self, "_backend_epoch", 0)
                         _quiesce_async()
-                        self._recover_backend()
+                        if getattr(self, "_backend_epoch", 0) == epoch:
+                            self._recover_backend()
                         self._produced -= pg["n_real"]  # re-dispatch re-counts
                         items = self._finish_group(
                             self._dispatch_group(pg["group"], dp)
@@ -964,9 +1014,11 @@ class Pi3SLAMOnline:
                     if "UNAVAILABLE" not in str(e) and "crashed" not in str(e):
                         raise
                     print(f"device failure at group dispatch ({str(e)[:80]}); resetting backend")
+                    epoch = getattr(self, "_backend_epoch", 0)
                     _quiesce_async()
                     redo = pending_group.pop(0) if pending_group else None
-                    self._recover_backend()
+                    if getattr(self, "_backend_epoch", 0) == epoch:
+                        self._recover_backend()
                     if redo is not None:
                         self._produced -= redo["n_real"]
                         for item in self._finish_group(
@@ -978,29 +1030,37 @@ class Pi3SLAMOnline:
                 group.clear()
                 finish_group_pending(depth=group_depth)
 
-            for batch in loader:
-                compatible = not group or (
-                    group[0]["images"].shape == batch["images"].shape
-                    or (
-                        self.config.pad_tail_chunks
-                        and group[0]["images"].shape[-2:]
-                        == batch["images"].shape[-2:]
+            try:
+                for batch in loader:
+                    compatible = not group or (
+                        group[0]["images"].shape == batch["images"].shape
+                        or (
+                            self.config.pad_tail_chunks
+                            and group[0]["images"].shape[-2:]
+                            == batch["images"].shape[-2:]
+                        )
                     )
-                )
-                if not compatible:
-                    flush_group()
-                group.append(batch)
-                if len(group) == dp:
-                    flush_group()
-            flush_group()
-            finish_group_pending()
-            if use_async:
-                _drain_consumer()
+                    if not compatible:
+                        flush_group()
+                    group.append(batch)
+                    if len(group) == dp:
+                        flush_group()
+                flush_group()
+                finish_group_pending()
+                if use_async:
+                    _drain_consumer()
+            except BaseException:
+                _abort_consumer()
+                raise
         elif use_async:
             _start_consumer()
-            for batch in loader:
-                _enqueue(dispatch_with_recovery(batch))
-            _drain_consumer()
+            try:
+                for batch in loader:
+                    _enqueue(dispatch_with_recovery(batch))
+                _drain_consumer()
+            except BaseException:
+                _abort_consumer()
+                raise
         else:
             depth = 1 if pipelined else 0
             for batch in loader:

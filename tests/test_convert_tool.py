@@ -35,6 +35,41 @@ def test_pi3_checkpoint_self_description(tmp_path):
     assert slam.pi3_config == TINY
 
 
+def test_check_pi3_config_catches_mismatch():
+    """check_pi3_config validates every shape-derivable field, so the convert
+    tool can never stamp a checkpoint with a config that lies about its
+    weights (the CLIs trust the embedded self-description)."""
+    import dataclasses
+
+    from test_pi3_model import TINY, make_tiny_params
+
+    from pi3_slam_tpu.models.convert import check_pi3_config
+
+    params = make_tiny_params()
+    check_pi3_config(params, TINY)  # matching config passes
+
+    from pi3_slam_tpu.models import Pi3Config
+
+    with pytest.raises(ValueError, match="embed_dim"):
+        check_pi3_config(params, Pi3Config())  # full-size default vs tiny tree
+    for field, wrong in [
+        ("dec_depth", TINY.dec_depth + 2),
+        ("head_dim", TINY.head_dim * 2),
+        ("camera_dim", TINY.camera_dim * 2),
+        ("num_register_tokens", TINY.num_register_tokens + 1),
+    ]:
+        bad = dataclasses.replace(TINY, **{field: wrong})
+        with pytest.raises(ValueError, match=field):
+            check_pi3_config(params, bad)
+    with pytest.raises(ValueError, match="encoder.depth"):
+        check_pi3_config(
+            params,
+            dataclasses.replace(
+                TINY, encoder=dataclasses.replace(TINY.encoder, depth=3)
+            ),
+        )
+
+
 def test_convert_tool_moge_local_file(tmp_path, reference_moge_checkpoint):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
     import convert_checkpoint

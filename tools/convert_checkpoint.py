@@ -91,9 +91,14 @@ def main(argv=None):
         # embed the model config so the CLIs can size the model from the
         # checkpoint alone (models/convert.load_pi3_checkpoint)
         from pi3_slam_tpu.models import Pi3Config
-        from pi3_slam_tpu.models.convert import save_pi3_checkpoint
+        from pi3_slam_tpu.models.convert import check_pi3_config, save_pi3_checkpoint
 
-        save_pi3_checkpoint(args.output, params, Pi3Config())
+        # the embedded config must describe THESE weights: a non-default Pi3
+        # variant silently stamped with the default config would crash the
+        # CLIs at load with no hint the self-description is wrong
+        config = Pi3Config()
+        check_pi3_config(params, config)
+        save_pi3_checkpoint(args.output, params, config)
     else:
         save_params_npz(args.output, params)
     n = sum(

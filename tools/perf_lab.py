@@ -545,19 +545,28 @@ def bench_kv_accuracy():
     camera-center RMSE (scene-normalized), and point RMSE."""
     import os
 
+    import dataclasses
+
     from pi3_slam_tpu.models import Pi3Config, pi3_forward, init_pi3_params
-    from pi3_slam_tpu.models.convert import load_params_npz
+    from pi3_slam_tpu.models.convert import load_pi3_checkpoint
     from pi3_slam_tpu.utils.precision import cast_tree_bf16_host
 
     wpath = os.environ.get("PI3_WEIGHTS")
-    params = load_params_npz(wpath) if wpath else init_pi3_params(0, Pi3Config())
+    if wpath:
+        # load_pi3_checkpoint (not load_params_npz): pops the embedded
+        # '_pi3_config_json' self-description leaf (a unicode array that
+        # device_put rejects) and returns the checkpoint's own config.
+        params, base_cfg = load_pi3_checkpoint(wpath)
+        base_cfg = base_cfg or Pi3Config()
+    else:
+        params, base_cfg = init_pi3_params(0, Pi3Config()), Pi3Config()
     params = jax.device_put(cast_tree_bf16_host(params))
     rng = np.random.default_rng(0)
     n = int(os.environ.get("PI3_KV_FRAMES", "20"))
     imgs = jnp.asarray(rng.uniform(size=(1, n, 3, 154, 210)).astype(np.float32))
     outs = {}
     for m in (1, int(os.environ.get("PI3_KV_MERGE", "2"))):
-        cfg = Pi3Config(global_kv_merge=m)
+        cfg = dataclasses.replace(base_cfg, global_kv_merge=m)
         f = jax.jit(lambda p, x, c=cfg: pi3_forward(p, x, c, compute_dtype=jnp.bfloat16))
         outs[m] = {k: np.asarray(v) for k, v in f(params, imgs).items()}
     a, b = outs[1], outs[list(outs)[-1]]
