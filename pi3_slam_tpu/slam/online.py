@@ -341,8 +341,16 @@ class Pi3SLAMOnline:
         ]
 
     def _consume(self, pending: Dict) -> ChunkReconstruction:
-        """Host stage: materialize device results, metric scale, recon, align."""
-        return self._consume_finish(self._consume_build(pending))
+        """Host stage: materialize device results, metric scale, recon, align.
+
+        A parked async consumer hands back items whose build stage already
+        ran (``_built``, attached in _consumer_loop's park path); reuse that
+        ctx instead of re-consuming the raw item — its device buffers were
+        freed by the build (``pending["dev"] = None``)."""
+        ctx = pending.pop("_built", None)
+        if ctx is None:
+            ctx = self._consume_build(pending)
+        return self._consume_finish(ctx)
 
     def _consume_build(self, pending: Dict, idx: int | None = None) -> Dict:
         """Consume stage 1: pull device results, metric scale, dense stash,
@@ -352,6 +360,20 @@ class Pi3SLAMOnline:
         absolute chunk index for the dense stash; None = the consumed count
         (correct when build and finish run strictly alternated)."""
         batch = pending["batch"]
+        if pending["dev"] is None:
+            # A previous build attempt on this item already freed its device
+            # buffers (the line below) and then died, or a parked lookahead
+            # build lost its ctx; re-run the forward from the source batch.
+            # Every caller that can reach this state guarantees the device is
+            # quiescent (drive-thread recovery after the consumer is joined).
+            self._produced -= 1  # the re-dispatch below re-counts it
+            if self.mesh is not None:
+                redo = self._finish_group(
+                    self._dispatch_group([batch], self.config.data_parallel_chunks)
+                )[0]
+            else:
+                redo = self._dispatch_device(batch)
+            pending.update(redo)
         with self.timing.track("materialize"):
             host = {k: np.asarray(v) for k, v in pending["dev"].items()}
         # free the device buffers now: every recovery path re-dispatches from
@@ -862,8 +884,14 @@ class Pi3SLAMOnline:
                         except BaseException as e:  # drive thread recovers
                             rest = []
                             if nxt_fut is not None:
-                                try:  # settle the lookahead build first
-                                    nxt_fut.result()
+                                try:
+                                    # settle the lookahead build and keep its
+                                    # ctx: the build freed the item's device
+                                    # buffers, so the raw item alone is no
+                                    # longer consumable (_consume reuses the
+                                    # ctx; a failed build falls back to the
+                                    # dev-None re-dispatch in _consume_build)
+                                    it["_built"] = nxt_fut.result()
                                 except BaseException:
                                     pass
                                 rest.append(it)
@@ -959,7 +987,12 @@ class Pi3SLAMOnline:
 
             if consumer is None:
                 return
-            while consumer.is_alive():
+            # bounded: a consumer wedged in a hung device pull (cq full,
+            # is_alive forever) must not block the original exception from
+            # propagating — give up after ~5 s and leak the daemon thread
+            for _ in range(10):
+                if not consumer.is_alive():
+                    return
                 try:
                     cq.put(_DONE, timeout=0.5)
                     return

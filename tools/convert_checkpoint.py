@@ -58,6 +58,12 @@ def main(argv=None):
                         help="ALIKED variant (aliked-t16/n16/n16rot/n32)")
     parser.add_argument("--input", required=True, help="Local checkpoint file or HF repo id")
     parser.add_argument("--output", required=True, help="Output .npz path")
+    parser.add_argument(
+        "--pi3-config", default=None, metavar="JSON_PATH",
+        help="Pi3Config JSON file describing a non-default Pi3 variant "
+        "(Pi3Config.to_json format); the embedded self-description is "
+        "validated against the converted weights either way",
+    )
     args = parser.parse_args(argv)
 
     from pi3_slam_tpu.models.convert import (
@@ -96,7 +102,11 @@ def main(argv=None):
         # the embedded config must describe THESE weights: a non-default Pi3
         # variant silently stamped with the default config would crash the
         # CLIs at load with no hint the self-description is wrong
-        config = Pi3Config()
+        if args.pi3_config is not None:
+            with open(args.pi3_config) as f:
+                config = Pi3Config.from_json(f.read())
+        else:
+            config = Pi3Config()
         check_pi3_config(params, config)
         save_pi3_checkpoint(args.output, params, config)
     else:
