@@ -151,9 +151,10 @@ class Pi3SLAMOnline:
 
             self.visualizer = OnlineVisualizer(port=config.viz_port)
         self._live_mesh_thread = None
-        from .chunk_creator import OverlapUploadCache
+        from .chunk_creator import GroupUploadCache, OverlapUploadCache
 
         self._upload_cache = OverlapUploadCache()
+        self._group_upload_cache = GroupUploadCache()
 
     def _make_steps(self) -> None:
         refine = None
@@ -304,11 +305,17 @@ class Pi3SLAMOnline:
             cand = self._fan_arg(
                 [b["images"].shape[0] for b in padded], images.shape[1]
             )
-            dev = self.step(self.params, jnp.asarray(images), jnp.asarray(kps_dev), cand)
+            # intra- and inter-group overlap frames uploaded once, stacked
+            # batch reassembled on device (chunk_creator.GroupUploadCache)
+            imgs_arr = self._group_upload_cache.upload(
+                images, [b["paths"] for b in padded]
+            )
+            dev = self.step(self.params, imgs_arr, jnp.asarray(kps_dev), cand)
             # one dp-sharded MoGe batch (every chunk's first frame on its own
-            # devices) queued behind the sharded step
+            # devices) queued behind the sharded step; first frames sliced
+            # from the uploaded stack — no second host->device transfer
             moge_dev = (
-                self.moge.infer_depth_batch_async(images[:, 0])
+                self.moge.infer_depth_batch_async(imgs_arr[:, 0])
                 if self.moge is not None
                 else None
             )
@@ -435,6 +442,7 @@ class Pi3SLAMOnline:
             recon = build_chunk_reconstruction(
                 chunk,
                 max_observations_per_track=self.config.max_observations_per_track,
+                ba_iterations=self.config.ba_iterations,
                 use_inverse_depth=self.config.use_inverse_depth,
             )
         return {"recon": recon, "pending": pending, "host": host}
@@ -449,7 +457,12 @@ class Pi3SLAMOnline:
         with self.timing.track("alignment"):
             res = None
             if self.reconstructions:
-                res = align_chunks(self.reconstructions[-1], recon)
+                res = align_chunks(
+                    self.reconstructions[-1],
+                    recon,
+                    refine=self.config.align_refine,
+                    refine_iterations=self.config.align_refine_iterations,
+                )
                 self.alignment_results.append(res)
         if self.config.debug_overlap and self.reconstructions:
             self._dump_overlap_debug(self.reconstructions[-1], recon, res, host)
@@ -693,6 +706,7 @@ class Pi3SLAMOnline:
         # second reset (clear_caches + param re-upload + step rebuild)
         self._backend_epoch = getattr(self, "_backend_epoch", 0) + 1
         self._upload_cache.reset()  # cached device frames died with the backend
+        self._group_upload_cache.reset()
         try:
             jax.clear_caches()
         except Exception:
@@ -875,7 +889,14 @@ class Pi3SLAMOnline:
                     if it is not _DONE:
                         if next_idx is None:
                             next_idx = self._consumed
-                        nxt_fut = ex.submit(self._consume_build, it, next_idx)
+                        try:
+                            nxt_fut = ex.submit(self._consume_build, it, next_idx)
+                        except RuntimeError:
+                            # interpreter shutdown: concurrent.futures' atexit
+                            # hook killed the executor while this (leaked,
+                            # _abort_consumer gave up) daemon thread was still
+                            # draining the queue — exit quietly
+                            return
                         next_idx += 1
                     if prev_fut is not None:
                         try:
