@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     g_rec.add_argument("--conf-threshold", "--conf_threshold", type=float, default=0.1,
                        help="sigmoid(conf) cutoff for dense points in the chunk "
                             "step (reference --conf_threshold)")
+    g_rec.add_argument("--ba-iterations", "--ba_iterations", type=int, default=10,
+                       help="Per-chunk BA Gauss-Newton iterations (same knob as "
+                            "reconstruct_offline.py --ba-iterations)")
+    g_rec.add_argument("--align-refine-iterations", "--align_refine_iterations",
+                       type=int, default=50,
+                       help="Prior-BA iterations of the Sim3 alignment refine")
 
     g_viz = parser.add_argument_group("visualization")
     g_viz.add_argument("--visualize", action="store_true")
@@ -232,6 +238,8 @@ def main(argv=None):
         max_observations_per_track=args.max_observations_per_track,
         use_inverse_depth=args.use_inverse_depth,
         conf_threshold=args.conf_threshold,
+        ba_iterations=args.ba_iterations,
+        align_refine_iterations=args.align_refine_iterations,
         save_debug_recons=args.save_debug_recons,
         num_loader_workers=args.num_workers,
         data_parallel_chunks=args.data_parallel_chunks,

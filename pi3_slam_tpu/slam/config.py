@@ -178,6 +178,13 @@ class OnlineConfig:
     # inverse-depth track parametrization in the per-chunk BA (reference
     # --use_inverse_depth, pi3_slam_online_modular.py:166)
     use_inverse_depth: bool = False
+    # per-chunk BA Gauss-Newton iterations (build stage) and Sim3-refine BA
+    # settings (finish stage) — the same knobs as ReconstructorConfig, so the
+    # streaming chain can be configured identically to the offline one
+    # (tests/test_system_ape.py gates their APE equality at eval scale)
+    ba_iterations: int = 10
+    align_refine: bool = True
+    align_refine_iterations: int = 50
     # point filtering in the jitted chunk step (reference --conf_threshold;
     # ours applies to sigmoid(conf), slam/chunk_creator.py)
     conf_threshold: float = 0.1

@@ -78,6 +78,8 @@ def write_synthetic_chunks(
     yaw_rate=0.02,
     conf_outliers=False,
     frame_name_fn=None,
+    width=640,
+    height=480,
 ):
     """conf_outliers: per-keypoint confidence in [0.2, 1]; pixel and 3D noise
     scale with (1.5 - conf), and low-confidence keypoints occasionally become
@@ -85,7 +87,7 @@ def write_synthetic_chunks(
     real Pi3 confidence maps."""
     K, centers, rots, landmarks = make_synthetic_sequence(
         rng, n_frames=n_frames, n_landmarks=n_landmarks, step=step,
-        yaw_rate=yaw_rate,
+        yaw_rate=yaw_rate, width=width, height=height,
     )
     n = len(centers)
     from pi3_slam_tpu.data.datasets import chunk_windows
@@ -110,7 +112,11 @@ def write_synthetic_chunks(
         poses = np.tile(np.eye(4), (nf, 1, 1))
         for j, fidx in enumerate(frames):
             uv, z = project(K, rots[fidx], centers[fidx], landmarks)
-            vis = (z > 0.5) & (uv[:, 0] > 5) & (uv[:, 0] < 635) & (uv[:, 1] > 5) & (uv[:, 1] < 475)
+            vis = (
+                (z > 0.5)
+                & (uv[:, 0] > 5) & (uv[:, 0] < width - 5)
+                & (uv[:, 1] > 5) & (uv[:, 1] < height - 5)
+            )
             # deterministic landmark subset per FRAME INDEX so shared frames in
             # different chunks get identical keypoints (grid-extractor property)
             sel_rng = np.random.default_rng(fidx)
@@ -150,13 +156,13 @@ def write_synthetic_chunks(
                 (frame_name_fn or (lambda i: f"frame_{i:04d}.png"))(i)
                 for i in frames
             ]),
-            original_width=640,
-            original_height=480,
+            original_width=width,
+            original_height=height,
             masks=np.ones((nf, n_kp), bool),
             conf=confs.astype(np.float16),
         )
     with open(tmp_path / "chunk_metadata.json", "w") as fjson:
-        json.dump({"chunk_length": chunk_length, "overlap": overlap, "target_size": [480, 640]}, fjson)
+        json.dump({"chunk_length": chunk_length, "overlap": overlap, "target_size": [height, width]}, fjson)
     return centers
 
 
@@ -208,6 +214,7 @@ def test_offline_chain_ape_gate_unbounded_fan(tmp_path, rng):
     assert ape.rmse < 0.05, f"unbounded-fan APE RMSE {ape.rmse:.4f} m"
 
 
+@pytest.mark.slow
 def test_offline_chain_ape_gate_eval_scale(tmp_path, rng):
     """Eval-shaped system gate: 5 chunks x 100 frames x 400 keypoints,
     overlap 20 — the 100-frame Schur conditioning, 400-kp track fans, and
@@ -253,3 +260,115 @@ def test_offline_chain_ape_gate_eval_scale(tmp_path, rng):
     # ~34 m trajectory; the 7-Scenes gate is mean APE <= 0.07 m on room-scale
     # scenes — hold the same absolute bar at 6x the trajectory span
     assert ape.rmse < 0.07, f"eval-scale system APE RMSE {ape.rmse:.4f} m"
+
+
+@pytest.mark.slow
+def test_online_matches_offline_ape_eval_scale(tmp_path, rng):
+    """The streaming pipeline (Pi3SLAMOnline: async two-stage consumer,
+    device/host overlap, in-order queue) produces the SAME trajectory as the
+    offline chain on the eval-scale scene — the gate that protects the online
+    path's correctness as its pipeline gets more aggressive (round-4 verdict
+    item 5). The device step is stubbed with the synthetic chunk outputs
+    (identical inputs to what the offline chain loads from npz); both chains
+    then run the same build/BA + Sim3-align code with identical settings, so
+    the merged trajectories must agree to solver determinism."""
+    import glob
+    import re as _re
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_pi3_model import TINY
+
+    from pi3_slam_tpu.io import read_tum_trajectory
+    from pi3_slam_tpu.slam.online import OnlineConfig, Pi3SLAMOnline
+
+    W, H = 644, 476  # multiples of 14: the dataset resize is then a no-op
+    n_frames = 420  # chunk_windows(420, 100, 20): 5 full windows + 20f tail
+    gt_centers = write_synthetic_chunks(
+        tmp_path, rng,
+        n_frames=n_frames, n_landmarks=5000, chunk_length=100, overlap=20,
+        n_kp=400, noise_px=0.4, step=0.08, yaw_rate=0.0007,
+        conf_outliers=True, width=W, height=H,
+    )
+
+    # --- offline chain (reduced iterations, as the eval-scale gate) ---
+    rec = OfflineReconstructor(
+        ReconstructorConfig(
+            chunk_dir=str(tmp_path), output_dir=str(tmp_path / "recon"),
+            max_observations_per_track=10, ba_iterations=3,
+            align_refine_iterations=10,
+        )
+    )
+    off = rec.run()
+    assert all(a.success for a in off["alignment"])
+    traj_off = read_tum_trajectory(off["artifacts"]["trajectory"])["positions"]
+
+    # --- online chain over the same data, same settings ---
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    flat = np.full((H, W, 3), 127, np.uint8)  # content unused by the stub
+    im = Image.fromarray(flat)
+    paths = []
+    for i in range(n_frames):
+        p = str(img_dir / f"frame_{i:04d}.png")
+        im.save(p)
+        paths.append(p)
+
+    chunk_files = sorted(glob.glob(str(tmp_path / "chunks" / "chunk_*.npz")))
+    by_start = {}
+    for f in chunk_files:
+        d = np.load(f, allow_pickle=True)
+        start = int(_re.search(r"(\d+)", str(d["image_paths"][0])).group(1))
+        by_start[start] = {
+            "kps": d["keypoints"].astype(np.float32),
+            "pts": d["points"],
+            "colors": d["colors"],
+            "poses": d["camera_poses"],
+            "intr": d["intrinsics"],
+        }
+
+    cfg = OnlineConfig(
+        chunk_length=100, overlap=20, pixel_limit=W * H,
+        use_metric_depth=False, max_keypoints=400, compute_dtype="float32",
+        output_dir=str(tmp_path / "online_out"),
+        max_observations_per_track=10, ba_iterations=3,
+        align_refine_iterations=10,
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+
+    def fake_dispatch(batch):
+        start = int(
+            _re.search(r"(\d+)", os.path.basename(batch["paths"][0])).group(1)
+        )
+        d = by_start[start]
+        # windows include a 20-frame tail (chunk_windows(420,100,20) strides
+        # by 80 then appends (400,420)); shapes must match the stored chunk
+        assert batch["images"].shape == (d["poses"].shape[0], 3, H, W)
+        slam._produced += 1
+        return {
+            "dev": {
+                "camera_poses": d["poses"],
+                "points_kp": d["pts"],
+                "colors_kp": d["colors"],
+                "intrinsics": d["intr"],
+            },
+            "moge_depth": None, "kps": d["kps"], "det": None, "batch": batch,
+        }
+
+    slam._dispatch_device = fake_dispatch
+    r = slam.process_image_paths(paths)
+    assert r["num_chunks"] == 6  # 5 full windows + the (400,420) tail
+    assert all(a.success for a in slam.alignment_results)
+    traj_on = slam._merged_trajectory()[0]
+
+    # identical inputs + identical solver settings: the streaming pipeline
+    # may not change the math, only the schedule
+    assert traj_on.shape == traj_off.shape == (n_frames, 3)
+    np.testing.assert_allclose(traj_on, traj_off, atol=1e-6)
+
+    ape_on = ape_translation(gt_centers, traj_on, align_sim3=True)
+    ape_off = ape_translation(gt_centers, traj_off, align_sim3=True)
+    assert ape_on.rmse < 0.07, f"online eval-scale APE {ape_on.rmse:.4f} m"
+    assert abs(ape_on.rmse - ape_off.rmse) < 1e-4
