@@ -65,3 +65,20 @@ def test_kv_merge_drift_metric_sensitivity():
     d_uncorr = drift_metrics(jax.tree.map(np.asarray, fwd(params, uncorr, TINY)),
                              fwd(params, uncorr, cfg4))
     assert d_uncorr["trans_rel"] > 2.0 * d_corr["trans_rel"], (d_corr, d_uncorr)
+
+
+@pytest.mark.slow
+def test_kv_merge_ape_bridge_bound():
+    """Task-level bound: the full online pipeline with --global-kv-merge 2/4
+    must stay within 15% of trajectory span APE of the exact path on the
+    sharpened synthetic protocol (measured median ~5-6%, PARITY.md round 5 —
+    the SfM chain amplifies the ~1% forward drift), and must actually differ
+    from it (wiring canary: a silently dead merge path would read as
+    zero APE)."""
+    from kv_merge_drift import ape_bridge
+
+    rows = ape_bridge(merges=(2, 4), sharpen=8.0, seed=0, quiet=True)
+    assert len(rows) == 2
+    for r in rows:
+        assert r["ape_rel_span"] < 0.15, r
+        assert r["ape_rel_span"] > 1e-6, r

@@ -90,6 +90,81 @@ def drift_metrics(exact, merged):
             "rot_deg": rot_deg, "conf_mad": conf_mad}
 
 
+def ape_bridge(merges=(2, 4), sharpen=8.0, seed=0, n_frames=16,
+               chunk_length=8, overlap=3, workdir=None, quiet=False):
+    """Task-level bridge: forward drift -> trajectory APE.
+
+    Runs the FULL online pipeline (Pi3SLAMOnline: chunk steps, per-chunk BA,
+    Sim3 alignment chain) on the same correlated video-like frames with
+    global_kv_merge in {1, *merges} and identical sharpened random weights,
+    then scores each merged trajectory against the exact (merge=1) one with
+    the Sim3-aligned APE used by the eval scripts. Point/rotation drift is
+    the mechanism; APE is what users of --global-kv-merge actually pay.
+    Returns a list of {merge, ape_m, ape_rel_span} rows (span = exact
+    trajectory path length). Real-checkpoint validation remains
+    environment-blocked (no weights reachable); these numbers bound the
+    ARCHITECTURE-level task impact only — see the module docstring caveat.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from PIL import Image
+
+    from test_pi3_model import TINY, make_tiny_params
+
+    from pi3_slam_tpu.slam.online import OnlineConfig, Pi3SLAMOnline
+    from pi3_slam_tpu.utils.evaluation import ape_translation
+
+    h, w = 42, 56
+    rng = np.random.default_rng(1000 + seed)
+    frames = make_video_frames(rng, n_frames, h, w)[0]  # (N, 3, h, w)
+    params = sharpen_params(make_tiny_params(seed), sharpen)
+
+    work = workdir or tempfile.mkdtemp(prefix="kv_ape_")
+    img_dir = os.path.join(work, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    paths = []
+    for i, f in enumerate(frames):
+        p = os.path.join(img_dir, f"frame_{i:04d}.png")
+        Image.fromarray(
+            (f.transpose(1, 2, 0) * 255).clip(0, 255).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+
+    trajs = {}
+    for m in [1] + [m for m in merges if m != 1]:
+        cfg = OnlineConfig(
+            chunk_length=chunk_length, overlap=overlap, pixel_limit=h * w,
+            use_metric_depth=False, max_keypoints=32, compute_dtype="float32",
+            output_dir=os.path.join(work, f"out_m{m}"), global_kv_merge=m,
+        )
+        slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+        slam.params = params
+        slam._make_steps()
+        slam.process_image_paths(paths)
+        trajs[m] = slam._merged_trajectory()[0]
+
+    exact = trajs[1]
+    span = float(np.linalg.norm(np.diff(exact, axis=0), axis=1).sum()) + 1e-12
+    rows = []
+    for m in merges:
+        ape = ape_translation(exact, trajs[m], align_sim3=True)
+        rows.append({
+            "merge": int(m), "sharpen": float(sharpen), "seed": int(seed),
+            "ape_m": float(ape.rmse), "ape_rel_span": float(ape.rmse / span),
+        })
+        if not quiet:
+            print(f"kv-merge m={m} sharpen {sharpen:g}: APE-vs-exact "
+                  f"{ape.rmse:.5f} (span {span:.3f}, rel {ape.rmse / span:.4f})",
+                  flush=True)
+    if workdir is None:
+        shutil.rmtree(work, ignore_errors=True)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
@@ -98,7 +173,26 @@ def main():
     ap.add_argument("--sharpen", type=float, nargs="+", default=[1.0, 8.0])
     ap.add_argument("--full", action="store_true",
                     help="real Pi3 size on the default backend")
+    ap.add_argument("--ape", action="store_true",
+                    help="task-level bridge: run the full online pipeline per "
+                         "merge factor and report trajectory APE vs exact")
     args = ap.parse_args()
+
+    if args.ape:
+        rows = []
+        for seed in args.seeds:
+            for s in args.sharpen:
+                rows += ape_bridge(merges=args.merges, sharpen=s, seed=seed)
+        print("\n=== APE-vs-exact median over seeds ===")
+        for s in args.sharpen:
+            for m in args.merges:
+                sel = [r for r in rows if r["merge"] == m and r["sharpen"] == s]
+                if sel:
+                    print(f"sharpen {s:g} m={m}: APE "
+                          f"{np.median([r['ape_m'] for r in sel]):.5f}  "
+                          f"rel-span {np.median([r['ape_rel_span'] for r in sel]):.4f}")
+        print(json.dumps(rows))
+        return
 
     import dataclasses
 
