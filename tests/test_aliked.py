@@ -227,6 +227,7 @@ def test_extractor_pipeline_contract(tmp_path):
     assert out["colors"].shape == (3, 25, 3) and out["colors"].dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_offline_creator_with_aliked(tmp_path):
     """End-to-end: chunk creation with learned per-frame keypoints, then
     reconstruction (ALIKED keypoints are deterministic per image, so overlap

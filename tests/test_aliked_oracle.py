@@ -22,6 +22,9 @@ from pi3_slam_tpu.models.aliked import (
 )
 
 # jax.nn.selu constants
+pytestmark = pytest.mark.slow  # torch-oracle parity: minutes per test
+
+
 _SELU_SCALE = 1.0507009873554805
 _SELU_ALPHA = 1.6732632423543772
 

@@ -153,6 +153,7 @@ def test_step_fan_matches_reconstructor_fan(rng):
     np.testing.assert_allclose(got_uv[both], ref.obs_uv[both], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_creator_refined_chunks_end_to_end(tmp_path):
     """Creator with --refine-observations writes obs arrays; the
     reconstructor consumes the stored fan (its own max-obs flag is
@@ -231,6 +232,7 @@ def test_creator_refined_chunks_end_to_end(tmp_path):
         assert os.path.exists(art)
 
 
+@pytest.mark.slow
 def test_creator_refined_chunk_dp_matches_single(tmp_path):
     """--refine-observations under chunk-data-parallel sharding on the CPU
     mesh: obs arrays are produced per chunk and match the single-chip path."""
@@ -278,6 +280,7 @@ def test_creator_refined_chunk_dp_matches_single(tmp_path):
         np.testing.assert_allclose(z1["obs_uv"], z2["obs_uv"], atol=2e-2)
 
 
+@pytest.mark.slow
 def test_online_refined_observations(tmp_path):
     """Online mode with --refine-observations: the consumed reconstructions
     carry the device-refined observation fan (incl. the padded tail)."""

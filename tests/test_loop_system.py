@@ -13,6 +13,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from pi3_slam_tpu.slam import OfflineReconstructor, ReconstructorConfig
@@ -119,6 +120,7 @@ def _run(tmp_path, out_name, loop_closure):
     return rec.run()
 
 
+@pytest.mark.slow
 def test_loop_closure_cuts_drift(tmp_path, rng):
     gt_centers = write_loop_chunks(tmp_path, rng)
 

@@ -13,6 +13,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from pi3_slam_tpu.io.mesh import read_mesh_ply
@@ -140,6 +141,7 @@ def write_sphere_chunks(tmp_path, rng, n_frames=10, chunk_length=6, overlap=2,
     return gauges[0]
 
 
+@pytest.mark.slow
 def test_export_mesh_end_to_end(tmp_path, rng):
     g_s, g_R, g_t = write_sphere_chunks(tmp_path, rng)
     out = OfflineReconstructor(
@@ -201,6 +203,7 @@ def test_export_mesh_requires_dense(tmp_path, rng, capsys):
     assert "save-dense" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_chunk_step_returns_strided_dense(rng):
     """Device step with return_dense + stride: strided dense maps alongside
     the sparse keypoint outputs. Only the local map crosses the link — rgb
@@ -349,6 +352,7 @@ def _online_slam(tmp_path, **kw):
     return slam
 
 
+@pytest.mark.slow
 def test_online_save_dense_stashes_chunks(tmp_path):
     """Online --save-dense: every consumed chunk stashes strided dense maps
     to <output>/dense/, and export_mesh() consumes them without crashing

@@ -17,6 +17,9 @@ from pi3_slam_tpu.models.convert import (
 )
 from pi3_slam_tpu.models.moge_model import MoGeConfig, moge_forward, moge_infer_depth
 
+pytestmark = pytest.mark.slow  # torch-oracle parity: minutes per test
+
+
 REFERENCE_PATH = "/root/reference"
 
 MODEL_CONFIG = {

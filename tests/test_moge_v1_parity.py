@@ -15,6 +15,9 @@ from pi3_slam_tpu.models.moge_v1 import (
     moge_v1_infer,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity: minutes per test
+
+
 REFERENCE_PATH = "/root/reference"
 
 MODEL_CONFIG = {

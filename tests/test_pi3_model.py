@@ -1,6 +1,7 @@
 """Fast structural tests of the Pi3 JAX model on a tiny config."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -131,6 +132,7 @@ def test_frame_permutation_changes_only_global_context(rng):
     assert np.abs(solo - pair).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_global_kv_merge_exact_on_duplicate_frames(rng):
     """EXPERIMENTAL global_kv_merge: for frames duplicated in consecutive
     pairs, merged-kv attention is EXACTLY regular attention (the mean of m

@@ -17,6 +17,9 @@ import jax.numpy as jnp
 from pi3_slam_tpu.models import Pi3Config, pi3_forward
 from pi3_slam_tpu.models.convert import convert_pi3_state_dict, save_params_npz, load_params_npz
 
+pytestmark = pytest.mark.slow  # torch-oracle parity: minutes per test
+
+
 REFERENCE_PATH = "/root/reference"
 
 

@@ -569,6 +569,7 @@ def test_online_debug_overlap_dump(image_dir, tmp_path):
     assert e["num_points"] > 0 and np.isfinite(e["mean_conf"])
 
 
+@pytest.mark.slow
 def test_tail_chunk_padding_single_compile(image_dir, tmp_path):
     """Short tail chunks are padded to chunk_length on the device and sliced
     back, so the jitted step compiles exactly ONE (N, H, W) program (SURVEY

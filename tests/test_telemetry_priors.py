@@ -201,6 +201,7 @@ def test_offline_reconstructor_telemetry_georeference(tmp_path, rng):
     assert ape.rmse < 0.15, f"unaligned APE {ape.rmse:.3f} m"
 
 
+@pytest.mark.slow
 def test_online_apply_telemetry_smoke(tmp_path, rng):
     """Online finalization: apply_telemetry() georeferences the accumulated
     reconstructions (gravity-only stream here keeps it light)."""
