@@ -435,10 +435,16 @@ def bundle_adjust(
     use_inverse_depth: bool = False,
     tracks_per_frame: int | None = None,
     ftol: float = 0.0,
+    return_info: bool = False,
 ) -> BAProblem:
     """Run LM-damped Gauss-Newton BA; returns the problem with updated
     rotations/centers/points (and intrinsics when optimize_focal). Jit-friendly
     (bounded iteration count; step acceptance via jnp.where).
+
+    ``return_info=True`` returns ``(problem, info)`` where info carries the
+    iteration count actually executed (< ``iterations`` when the ftol early
+    stop fired — the observable for "does function_tolerance fire at eval
+    scale", VERDICT r4 item 2) and the final accepted cost.
 
     ``iterations`` is a MAXIMUM when ftol > 0: the solve terminates early once
     an accepted step's relative cost decrease falls below ftol, or the LM
@@ -489,16 +495,23 @@ def bundle_adjust(
             prob, lam, cost, converged = step(prob, lam, cost)
             return (prob, lam, cost, i + 1, converged)
 
-        out, _, _, _, _ = jax.lax.while_loop(
+        out, _, fin_cost, n_iter, _ = jax.lax.while_loop(
             cond, wbody, (*init, jnp.asarray(0, jnp.int32), jnp.asarray(False))
         )
+        if return_info:
+            return out, {"iterations": n_iter, "final_cost": fin_cost}
         return out
 
     def body(carry, _):
         prob, lam, cost, _ = step(*carry)
         return (prob, lam, cost), cost
 
-    (out, _, _), _ = jax.lax.scan(body, init, None, length=iterations)
+    (out, _, fin_cost), _ = jax.lax.scan(body, init, None, length=iterations)
+    if return_info:
+        return out, {
+            "iterations": jnp.asarray(iterations, jnp.int32),
+            "final_cost": fin_cost,
+        }
     return out
 
 

@@ -335,6 +335,20 @@ def _assemble_reconstruction(
 
 
 _BA_CACHE: dict = {}
+# iteration count / final cost of the most recent _jit_bundle_adjust solve
+# (device scalars; materialized lazily by last_ba_info). Observable for
+# "does the ftol early stop actually fire at eval scale" — VERDICT r4 item 2.
+_LAST_BA_INFO: dict | None = None
+
+
+def last_ba_info() -> dict | None:
+    """{'iterations': int, 'final_cost': float} of the most recent per-chunk
+    BA solve, or None. iterations < the configured maximum means the ftol
+    (function_tolerance) early stop fired."""
+    if _LAST_BA_INFO is None:
+        return None
+    return {k: float(v) if k == "final_cost" else int(v)
+            for k, v in _LAST_BA_INFO.items()}
 
 
 def _jit_bundle_adjust(
@@ -366,12 +380,15 @@ def _jit_bundle_adjust(
                 use_inverse_depth=use_inverse_depth,
                 tracks_per_frame=tracks_per_frame,
                 ftol=ftol,
+                return_info=True,
             )
         )
     from .device import sfm_compute
 
+    global _LAST_BA_INFO
     with sfm_compute():
-        return _BA_CACHE[key](prob)
+        out, _LAST_BA_INFO = _BA_CACHE[key](prob)
+        return out
 
 
 def reconstruction_stats(recon: ChunkReconstruction) -> Dict:

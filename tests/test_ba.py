@@ -104,6 +104,44 @@ def test_ba_ftol_early_stop_matches_full_budget(rng):
     np.testing.assert_allclose(np.asarray(a.centers), np.asarray(b.centers), atol=1e-6)
 
 
+def test_ba_return_info_iteration_count(rng):
+    """return_info exposes the iteration count actually executed — the
+    observable for 'does the ftol early stop fire' (tools/perf_online_floor).
+    A loose-ftol solve must report fewer iterations than its budget; the
+    fixed-length scan reports exactly its budget; both report the accepted
+    final cost."""
+    s = make_scene(rng)
+    pert = dict(s)
+    pert["centers"] = s["centers"] + rng.normal(size=s["centers"].shape) * 0.05
+    pert["points"] = s["points"] + rng.normal(size=s["points"].shape) * 0.05
+    prob = make_problem(**pert)
+
+    out, info = bundle_adjust(
+        prob, iterations=50, huber_delta=2.0, ftol=1e-4, return_info=True
+    )
+    n = int(info["iterations"])
+    assert 1 <= n < 50, f"loose-ftol solve should stop early, ran {n}/50"
+    assert np.isfinite(float(info["final_cost"]))
+
+    out2, info2 = bundle_adjust(
+        prob, iterations=5, huber_delta=2.0, return_info=True
+    )
+    assert int(info2["iterations"]) == 5
+    np.testing.assert_allclose(
+        np.asarray(out2.centers),
+        np.asarray(bundle_adjust(prob, iterations=5, huber_delta=2.0).centers),
+        atol=1e-6,
+    )
+
+    # the production per-chunk BA records its last solve's info
+    from pi3_slam_tpu.sfm.reconstruction import _jit_bundle_adjust, last_ba_info
+
+    _jit_bundle_adjust(prob, 5, 2.0, tracks_per_frame=None)
+    rec = last_ba_info()
+    assert rec is not None and 1 <= rec["iterations"] <= 5
+    assert np.isfinite(rec["final_cost"])
+
+
 def test_ba_with_fixed_cameras(rng):
     s = make_scene(rng)
     pert = dict(s)
