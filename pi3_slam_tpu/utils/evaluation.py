@@ -11,11 +11,26 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
+import jax
 import numpy as np
-import jax.numpy as jnp
 
 from ..geometry.sim3 import umeyama, sim3_apply
 from ..io.tum import read_tum_trajectory
+
+
+def _host_sim3_align(est: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Umeyama-align est onto gt ON THE HOST CPU BACKEND and return the
+    aligned positions. A trajectory scorer must never touch (or wait on) an
+    accelerator: on this machine's remote TPU the default-backend round-trip
+    for an 8-pose file measured 9m32s wall / 5s CPU — the eval scripts' APE
+    stage (scripts/eval_7scenes.sh:79, eval_euroc.sh:73) runs in a fresh
+    process where the default backend is the TPU."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        e = jax.device_put(np.asarray(est, np.float32), cpu)
+        g = jax.device_put(np.asarray(gt, np.float32), cpu)
+        s = umeyama(e, g)
+        return np.asarray(sim3_apply(s, e), np.float64)
 
 
 @dataclass
@@ -81,8 +96,7 @@ def ape_translation(
     est = np.asarray(est_positions, np.float64)
     assert gt.shape == est.shape and gt.ndim == 2
     if align_sim3 and gt.shape[0] >= 3:
-        s = umeyama(jnp.asarray(est, jnp.float32), jnp.asarray(gt, jnp.float32))
-        est = np.asarray(sim3_apply(s, jnp.asarray(est, jnp.float32)), np.float64)
+        est = _host_sim3_align(est, gt)
     err = np.linalg.norm(est - gt, axis=1)
     return APEResult(
         rmse=float(np.sqrt(np.mean(err**2))),
@@ -118,8 +132,7 @@ def evaluate_tum_files(
     if plot_path:
         aligned = estp
         if align_sim3 and gtp.shape[0] >= 3:
-            s = umeyama(jnp.asarray(estp, jnp.float32), jnp.asarray(gtp, jnp.float32))
-            aligned = np.asarray(sim3_apply(s, jnp.asarray(estp, jnp.float32)), np.float64)
+            aligned = _host_sim3_align(estp, gtp)
         plot_ape(gtp, aligned, result, plot_path)
     return result
 

@@ -57,3 +57,44 @@ def test_eval_7scenes_script_plumbing(tmp_path):
     # artifacts the reference protocol produces per scene
     assert (tmp_path / "out" / "alpha" / "trajectory_tum.txt").exists()
     assert (tmp_path / "out" / "alpha" / "evo_ape.png").exists()
+
+
+def test_eval_euroc_script_plumbing(tmp_path):
+    """scripts/eval_euroc.sh UNMODIFIED on a fabricated V1_01 (skip table 0,
+    so the sequence stays tiny): EuRoC tree -> ns-timestamp loader -> calib
+    undistortion -> GT csv interpolation -> APE scorer, the same chain the
+    recorded MH_03 smoke (tools/smoke_eval_scripts.py, 378 s) validates at
+    scale. Reference protocol: scripts/eval_euroc.sh:50-119."""
+    import smoke_eval_scripts as sm
+    from test_pi3_model import TINY, make_tiny_params
+
+    from pi3_slam_tpu.models.convert import save_pi3_checkpoint
+
+    pi3_path = str(tmp_path / "pi3_tiny.npz")
+    save_pi3_checkpoint(pi3_path, make_tiny_params(), TINY)
+
+    data_root = str(tmp_path / "euroc")
+    calib = sm.make_euroc(data_root, "V1_01", 8, 120, 160)
+
+    out = sm.run_script(
+        "eval_euroc.sh",
+        ["bash", "scripts/eval_euroc.sh", data_root, pi3_path, calib, "",
+         str(tmp_path / "out")],
+        {
+            "DEVICE": "cpu",
+            "CHUNK_LENGTH": "4",
+            "OVERLAP": "2",
+            "MAX_KP": "16",
+            "MAX_OBS": "4",
+            "SEQS": "V1_01",
+        },
+        timeout=900.0,
+    )
+
+    apes = [float(m) for m in re.findall(r"APE RMSE: ([0-9.eE+-]+|nan) m", out)]
+    assert len(apes) == 1, f"expected 1 APE line, got {apes}"
+    assert np.isfinite(apes[0]), f"non-finite APE: {apes}"
+    # all 8 frames processed (no skip for V1_*), trajectory artifact exists
+    m = re.search(r"(\d+) images", out)
+    assert m is None or int(m.group(1)) == 8, out[-2000:]
+    assert (tmp_path / "out" / "V1_01" / "trajectory_tum.txt").exists()
