@@ -111,5 +111,37 @@ def _run_with_recovery():
         main()
 
 
+def _supervise():
+    """Run the measurement in a child process with a hang watchdog.
+
+    The axon tunnel can wedge a single transfer indefinitely (observed
+    2026-08-21: a bench run produced no output for 20 min while a plain
+    matmul probe ran fine moments later). In-process recovery cannot catch
+    a hang, so the parent re-execs itself with a hard timeout and retries
+    once in a fresh process (fresh tunnel connection). The child inherits
+    stdout, so the driver still reads exactly ONE JSON line."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PI3_BENCH_CHILD="1")
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env, timeout=900
+            )
+            if r.returncode == 0:
+                return
+            print(f"bench child rc={r.returncode} (attempt {attempt})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench child hung >900s, killed (attempt {attempt})", file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    _run_with_recovery()
+    import os as _os
+
+    if _os.environ.get("PI3_BENCH_CHILD") == "1":
+        _run_with_recovery()
+    else:
+        _supervise()
