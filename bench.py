@@ -118,8 +118,11 @@ def _supervise():
     2026-08-21: a bench run produced no output for 20 min while a plain
     matmul probe ran fine moments later). In-process recovery cannot catch
     a hang, so the parent re-execs itself with a hard timeout and retries
-    once in a fresh process (fresh tunnel connection). The child inherits
-    stdout, so the driver still reads exactly ONE JSON line."""
+    once in a fresh process (fresh tunnel connection). The child's stdout
+    is CAPTURED and only the measurement line of the first successful
+    attempt is forwarded — a child that prints its JSON and then wedges at
+    teardown (killed -> retried) must not leave the driver reading two
+    JSON lines."""
     import os
     import subprocess
     import sys
@@ -128,13 +131,21 @@ def _supervise():
     for attempt in (1, 2):
         try:
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env, timeout=900
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=900, stdout=subprocess.PIPE, text=True,
             )
-            if r.returncode == 0:
-                return
-            print(f"bench child rc={r.returncode} (attempt {attempt})", file=sys.stderr)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or b""
+            out = out.decode() if isinstance(out, bytes) else out
             print(f"bench child hung >900s, killed (attempt {attempt})", file=sys.stderr)
+        else:
+            out = r.stdout or ""
+            if r.returncode != 0:
+                print(f"bench child rc={r.returncode} (attempt {attempt})", file=sys.stderr)
+        lines = [l for l in out.splitlines() if l.startswith('{"metric"')]
+        if lines:
+            print(lines[-1])
+            return
     sys.exit(1)
 
 

@@ -436,7 +436,7 @@ def bundle_adjust(
     tracks_per_frame: int | None = None,
     ftol: float = 0.0,
     return_info: bool = False,
-) -> BAProblem:
+) -> "BAProblem | tuple[BAProblem, dict]":
     """Run LM-damped Gauss-Newton BA; returns the problem with updated
     rotations/centers/points (and intrinsics when optimize_focal). Jit-friendly
     (bounded iteration count; step acceptance via jnp.where).

@@ -335,20 +335,32 @@ def _assemble_reconstruction(
 
 
 _BA_CACHE: dict = {}
-# iteration count / final cost of the most recent _jit_bundle_adjust solve
-# (device scalars; materialized lazily by last_ba_info). Observable for
-# "does the ftol early stop actually fire at eval scale" — VERDICT r4 item 2.
-_LAST_BA_INFO: dict | None = None
+# iteration count / final cost of the most recent _jit_bundle_adjust solve.
+# Thread-LOCAL (the async pipeline runs build(k+1)'s chunk BA and finish(k)'s
+# align-refine BA concurrently in different threads; a module global would
+# report one solve's numbers as the other's). Held as device scalars —
+# materializing eagerly would insert a blocking sync on the hot BA path —
+# and materialized lazily, guarded against handles from a recovered (dead)
+# backend. Observable for "does the ftol early stop actually fire at eval
+# scale" — VERDICT r4 item 2.
+_BA_INFO_TLS = __import__("threading").local()
 
 
 def last_ba_info() -> dict | None:
-    """{'iterations': int, 'final_cost': float} of the most recent per-chunk
-    BA solve, or None. iterations < the configured maximum means the ftol
-    (function_tolerance) early stop fired."""
-    if _LAST_BA_INFO is None:
+    """{'iterations': int, 'final_cost': float} of the most recent BA solve
+    dispatched FROM THIS THREAD, or None (no solve yet, or its backend was
+    torn down by crash recovery). iterations < the configured maximum means
+    the ftol (function_tolerance) early stop fired."""
+    info = getattr(_BA_INFO_TLS, "info", None)
+    if info is None:
         return None
-    return {k: float(v) if k == "final_cost" else int(v)
-            for k, v in _LAST_BA_INFO.items()}
+    try:
+        return {
+            "iterations": int(info["iterations"]),
+            "final_cost": float(info["final_cost"]),
+        }
+    except Exception:  # device handles died with a recovered backend
+        return None
 
 
 def _jit_bundle_adjust(
@@ -385,9 +397,9 @@ def _jit_bundle_adjust(
         )
     from .device import sfm_compute
 
-    global _LAST_BA_INFO
     with sfm_compute():
-        out, _LAST_BA_INFO = _BA_CACHE[key](prob)
+        out, info = _BA_CACHE[key](prob)
+        _BA_INFO_TLS.info = info  # device scalars; materialized by last_ba_info
         return out
 
 

@@ -373,13 +373,17 @@ class Pi3SLAMOnline:
             # build lost its ctx; re-run the forward from the source batch.
             # Every caller that can reach this state guarantees the device is
             # quiescent (drive-thread recovery after the consumer is joined).
-            self._produced -= 1  # the re-dispatch below re-counts it
             if self.mesh is not None:
                 redo = self._finish_group(
                     self._dispatch_group([batch], self.config.data_parallel_chunks)
                 )[0]
             else:
                 redo = self._dispatch_device(batch)
+            # decrement only after the re-dispatch succeeded (it re-counted
+            # the chunk): if it crashed above, recover_and_redo already does
+            # its own decrement+redispatch and a decrement here would skew
+            # chunks_produced/inflight by -1
+            self._produced -= 1
             pending.update(redo)
         with self.timing.track("materialize"):
             host = {k: np.asarray(v) for k, v in pending["dev"].items()}
@@ -465,19 +469,33 @@ class Pi3SLAMOnline:
                 )
                 self.alignment_results.append(res)
         if self.config.debug_overlap and self.reconstructions:
-            self._dump_overlap_debug(self.reconstructions[-1], recon, res, host)
+            try:
+                self._dump_overlap_debug(self.reconstructions[-1], recon, res, host)
+            except Exception as e:  # debug artifact must never kill the run
+                print(f"overlap debug dump failed: {e}")
         self.reconstructions.append(recon)
         self._consumed += 1
+        # Everything below is observability side-effects. They run AFTER the
+        # chunk was appended to the chain, so an exception here must NOT
+        # propagate: the recovery machinery would re-consume the item and
+        # append the chunk a SECOND time (duplicate frames in the merged
+        # trajectory). A dead backend surfaced here is re-detected (and
+        # recovered) by the next chunk's dispatch, which owns a consumable
+        # item. Reference degradation semantics: errors in debug/viz are
+        # printed and skipped (slam/online_reconstructor.py:877-879).
         if self.config.save_debug_recons:
             import os as _os
 
             from ..sfm.serialization import save_reconstruction
 
-            rdir = _os.path.join(self.config.output_dir, "debug_recons")
-            _os.makedirs(rdir, exist_ok=True)
-            save_reconstruction(
-                recon, _os.path.join(rdir, f"recon_{self._consumed - 1:06d}.npz")
-            )
+            try:
+                rdir = _os.path.join(self.config.output_dir, "debug_recons")
+                _os.makedirs(rdir, exist_ok=True)
+                save_reconstruction(
+                    recon, _os.path.join(rdir, f"recon_{self._consumed - 1:06d}.npz")
+                )
+            except Exception as e:
+                print(f"debug recon save failed: {e}")
         if self.config.save_debug_projections:
             import os as _os
 
@@ -496,15 +514,23 @@ class Pi3SLAMOnline:
             except Exception as e:  # debug artifact must never kill the run
                 print(f"debug projections failed: {e}")
         if self.visualizer is not None:
-            frame = batch["images"][-1].transpose(1, 2, 0)
-            if frame.dtype != np.uint8:
-                frame = (frame * 255.0).clip(0, 255).astype(np.uint8)
-            self.visualizer.update(recon, frame=frame, keypoints=pending["kps"][-1])
+            try:
+                frame = batch["images"][-1].transpose(1, 2, 0)
+                if frame.dtype != np.uint8:
+                    frame = (frame * 255.0).clip(0, 255).astype(np.uint8)
+                self.visualizer.update(
+                    recon, frame=frame, keypoints=pending["kps"][-1]
+                )
+            except Exception as e:
+                print(f"viewer update failed: {e}")
         if (
             self.config.live_mesh_every > 0
             and self._consumed % self.config.live_mesh_every == 0
         ):
-            self._live_mesh_tick()
+            try:
+                self._live_mesh_tick()
+            except Exception as e:
+                print(f"live mesh tick failed: {e}")
         return recon
 
     def _dump_overlap_debug(self, prev, recon, res, host) -> None:

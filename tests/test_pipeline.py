@@ -542,6 +542,55 @@ def test_online_async_consume_crash_recovery(image_dir, tmp_path):
     assert slam._merged_trajectory()[0].shape == (8, 3)
 
 
+def test_online_post_append_side_effect_failure_no_duplicate(image_dir, tmp_path):
+    """An exception in the observability tail of _consume_finish (viewer
+    update / debug saves / live-mesh tick) fires AFTER the chunk was appended
+    to the chain; it must be swallowed, not 'recovered' — recovery would
+    re-consume the item and append the chunk a SECOND time, silently
+    duplicating its frames in the merged trajectory. Reference semantics:
+    debug/viz errors are printed and skipped (online_reconstructor.py:877-879)."""
+    import glob
+
+    cfg = OnlineConfig(
+        chunk_length=4, overlap=2, pixel_limit=4000, use_metric_depth=False,
+        max_keypoints=20, compute_dtype="float32",
+        output_dir=str(tmp_path / "tail_crash"),
+    )
+    slam = Pi3SLAMOnline(cfg, pi3_config=TINY)
+    slam.params = make_tiny_params()
+
+    class ExplodingViz:
+        calls = 0
+
+        def update(self, recon, frame=None, keypoints=None):
+            ExplodingViz.calls += 1
+            raise RuntimeError("TPU worker crashed: UNAVAILABLE")
+
+    slam.visualizer = ExplodingViz()
+    recovered = {"n": 0}
+    real_recover = slam._recover_backend
+
+    def counting_recover():
+        recovered["n"] += 1
+        real_recover()
+
+    slam._recover_backend = counting_recover
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    result = slam.process_image_paths(paths)
+
+    assert ExplodingViz.calls == 4  # fired (and was swallowed) on every chunk
+    assert recovered["n"] == 0  # swallowed, NOT routed through crash recovery
+    assert result["num_chunks"] == 4
+    assert len(slam.reconstructions) == 4  # each chunk appended exactly once
+    names = [n for r in slam.reconstructions for n in r.frame_names]
+    # windows (0,4),(2,6),(4,8),(6,8): every frame at most twice (overlap),
+    # and the merged trajectory has each of the 8 frames exactly once
+    assert max(names.count(n) for n in set(names)) <= 2
+    traj, _, traj_names = slam._merged_trajectory(return_names=True)
+    assert traj.shape == (8, 3)
+    assert len(set(traj_names)) == len(traj_names) == 8
+
+
 def test_online_debug_overlap_dump(image_dir, tmp_path):
     """--debug-overlap appends one JSON line per alignment with overlap frame
     ids and common-track stats (reference _debug_print_overlap_indices)."""

@@ -88,6 +88,9 @@ def main():
                 align_s.append(time.perf_counter() - t0)
             prev = recon
 
+    if args.chunks < 3:
+        raise SystemExit("--chunks must be >= 3 (chunk 0 carries the CPU jit "
+                         "compiles and is excluded from the steady medians)")
     steady_recon = float(np.median(recon_s[1:]))
     steady_align = float(np.median(align_s[1:]))
     print(
